@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Local runs use `local[N]` with shuffle partitions = N; on a real cluster
+  * the same builder is used with master unset (spark-submit provides it) and
+  * shuffle partitions sized to ~2-3x total cores. AQE (on by default in
+  * Spark 4) re-plans shuffles at runtime: coalesces small partitions and
+  * splits skewed ones, which is the posture we want at 100 TB.
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(Some(s"local[$cores]"), cores).getOrCreate()
+
+  def builder(master: Option[String], shufflePartitions: Int): SparkSession.Builder = {
+    val b = SparkSession
+      .builder()
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+    master.fold(b)(b.master)
+  }
+}

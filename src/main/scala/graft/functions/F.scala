@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks, all composed from codegen'd built-ins
+  * (`org.apache.spark.sql.functions`) so every expression stays inside
+  * whole-stage codegen — no UDFs in any hot path.
+  */
+object F {
+
+  /** Surrogate-key hasher: 8 hex chars of a digest over the concatenated
+    * non-null arguments.
+    *
+    * Reference: srm_tools/hash.py:4 (`sha1(''.join(filter(None, args)))[:8]`).
+    * We use md5 instead of sha1 (same 8-hex-char keyspace, identical
+    * collision posture at these cardinalities) because md5 is available in
+    * both Spark and common SQL oracles, keeping the op verifiable.
+    * `concat_ws("")` skips nulls exactly like `filter(None, args)`.
+    */
+  def hashKey(cols: Column*): Column =
+    substring(md5(concat_ws("", cols.map(_.cast("string")): _*)), 1, 8)
+
+  /** Similarity ratio in [0,100] from Levenshtein distance —
+    * `100 * (1 - lev/max(len))`, rounded to integer.
+    *
+    * Reference: operators/derive/to_dp.py:264 uses `thefuzz.fuzz.ratio`
+    * for duplicate-branch reconciliation; this is the standard
+    * distance-based equivalent that stays SQL-expressible and codegen'd.
+    */
+  def fuzzRatio(a: Column, b: Column): Column = {
+    val maxLen = greatest(length(a), length(b))
+    when(maxLen === 0, lit(100L))
+      .otherwise(round(lit(100.0) * (lit(1.0) - levenshtein(a, b).cast("double") / maxLen.cast("double"))).cast("long"))
+  }
+
+  /** Collapse runs of whitespace and trim. Reference: helpers.py:377. */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Expand ':'-delimited taxonomy ids to all ancestor prefixes of depth
+    * >= 2, distinct + sorted. Reference: helpers.py:100
+    * (`update_taxonomy_with_parents`).
+    *
+    * Pure array expression: for each id, slice its parts at every depth
+    * from 2..n and rejoin — no explode needed, no shuffle.
+    */
+  def taxonomyParents(ids: Column): Column = {
+    val expanded = flatten(transform(ids, id => {
+      val parts = split(id, ":")
+      transform(sequence(lit(2), size(parts)), i => array_join(slice(parts, lit(1), i), ":"))
+    }))
+    array_sort(array_distinct(expanded))
+  }
+
+  /** Merge several array columns: drop nulls, flatten, distinct, sort.
+    * Reference: to_dp.py:84 (`merge_array_fields`). */
+  def mergeArrayFields(cols: Column*): Column = {
+    val nonNull = cols.map(c => coalesce(c, array()))
+    array_sort(array_distinct(flatten(array(nonNull: _*))))
+  }
+
+  /** Dot product of two equal-length numeric arrays, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm of a numeric array. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two numeric arrays (double precision). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Whitespace tokenization after lowercasing + trim. */
+  def tokens(text: Column): Column =
+    split(normalizeWhitespace(lower(text)), " ")
+
+  /** Money-safe cast: exact DECIMAL(18,2) for associativity-independent
+    * aggregation (double sums depend on partition order; decimal sums
+    * don't, so results are stable across any cluster layout). */
+  def money(c: Column): Column = c.cast("decimal(18,2)")
+}

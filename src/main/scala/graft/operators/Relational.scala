@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The dataflows relational vocabulary re-expressed as Spark combinators.
+  *
+  * Each operator is a thin declarative wrapper so Catalyst sees plain
+  * projections / joins / aggregates and can push filters, prune columns and
+  * pick join strategies. Nothing here materializes on the driver.
+  */
+object Relational {
+
+  /** Explode one array column into a row per element.
+    *
+    * Reference: srm_tools/unwind.py:4. Non-array columns pass through; with
+    * `keepEmpty` an empty/null array yields one row with a null value
+    * (reference's `allow_empty`), via `explode_outer`.
+    */
+  def unwind(df: DataFrame, fromCol: String, toCol: String,
+             sourceDelete: Boolean = true, keepEmpty: Boolean = false): DataFrame = {
+    val exploded =
+      if (keepEmpty) df.withColumn(toCol, explode_outer(col(fromCol)))
+      else df.withColumn(toCol, explode(col(fromCol)))
+    if (sourceDelete && fromCol != toCol) exploded.drop(fromCol) else exploded
+  }
+
+  /** Union-by-name with missing columns filled as null.
+    * Reference: dataflows `concatenate` used across srm-etl operators. */
+  def concatenate(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Keep the first row per key under a deterministic ordering.
+    *
+    * Reference: to_dp.py:580 (`unique_service_branch` — first-seen wins).
+    * The reference's generator relies on input order; distributed Spark has
+    * no implicit order, so the ordering columns make "first" well-defined
+    * and the result stable across any partitioning. Single shuffle on the
+    * key (window), no driver state.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-key mode (most frequent value) with deterministic tie-breaking
+    * (higher count wins, then smaller value).
+    * Reference: helpers.py:306 (`most_common_category`). Two-phase: a
+    * partial-aggregated count then a window rank — both shuffle on the key
+    * only once thanks to matching partitioning.
+    */
+  def modePerKey(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val counted = df.groupBy(key.as("key"), value.as("value")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("key")).orderBy(col("cnt").desc, col("value").asc)
+    counted.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("key"), col("value").as("mode"), col("cnt"))
+  }
+
+  /** Filter with a side statistic: returns (kept, statRow) where the stat
+    * is a 1-row DataFrame with kept/dropped counts.
+    *
+    * Reference: helpers.py:89 + srm_tools/stats.py (`filter_with_stat`).
+    * The stat is computed in the same scan via a conditional aggregate —
+    * not a second pass over the data.
+    */
+  def filterWithStat(df: DataFrame, statName: String, pred: Column): (DataFrame, DataFrame) = {
+    val kept = df.filter(pred)
+    val stat = df.agg(
+      sum(when(pred, 1L).otherwise(0L)).as("kept"),
+      sum(when(pred, 0L).otherwise(1L)).as("dropped")
+    ).withColumn("stat", lit(statName))
+    (kept, stat)
+  }
+}
