@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.F
+import graft.operators.Relational
+
+/** SURVEY.md §2.A (continued) — the srm-etl-specific row/group transforms:
+  * taxonomy expansion, stats-filters, array merging, normalization, mode,
+  * geo clustering, TF-IDF scoring, autocomplete corpus, merge-dedup.
+  */
+object EtlQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // q11: taxonomy parent expansion (helpers.py:100). Pure array
+    // expression per row — no explode, no shuffle; scales linearly.
+    "q11_taxonomy_parents" -> QueryDef.of(
+      """SELECT p_partkey AS part_id,
+        |  list_sort(list_distinct([
+        |    p_type || ':' || p_brand,
+        |    p_type || ':' || p_brand || ':' || replace(p_name, ' ', '_')
+        |  ])) AS parents
+        |FROM part ORDER BY part_id""".stripMargin) { (s, dir) =>
+      val ids = array(
+        concat_ws(":", col("p_type"), col("p_brand")),
+        concat_ws(":", col("p_type"), col("p_brand"), regexp_replace(col("p_name"), " ", "_")))
+      Tables.part(s, dir)
+        .select(col("p_partkey").as("part_id"), F.taxonomyParents(ids).as("parents"))
+        .orderBy(col("part_id"))
+    },
+
+    // q12: filter_with_stat (helpers.py:89, srm_tools/stats.py) — the side
+    // statistic comes from the same scan via conditional aggregation, not a
+    // second pass.
+    "q12_filter_stat" -> QueryDef.of(
+      """SELECT 'Processing: Orders: HighValue' AS stat,
+        |  CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 0 ELSE 1 END) AS BIGINT) AS dropped
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val (_, stat) = Relational.filterWithStat(
+        Tables.orders(s, dir), "Processing: Orders: HighValue", col("o_totalprice") > 100000)
+      stat.select(col("stat"), col("kept"), col("dropped"))
+    },
+
+    // q13: merge_array_fields (to_dp.py:84) — null-safe union + distinct +
+    // sort of several array columns, all codegen'd array expressions.
+    "q13_merge_arrays" -> QueryDef.of(
+      """SELECT p_partkey AS part_id,
+        |  list_sort(list_distinct(list_concat(string_split(p_name, ' '), [p_type, p_brand]))) AS merged
+        |FROM part ORDER BY part_id""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey").as("part_id"),
+          F.mergeArrayFields(split(col("p_name"), " "), array(col("p_type"), col("p_brand"))).as("merged"))
+        .orderBy(col("part_id"))
+    },
+
+    // q14: string normalization (helpers.py:377 remove_whitespaces;
+    // helpers.py:32 digit extraction for phone numbers). Pure regexp
+    // projection — fully pushed-down scan of 2 columns.
+    "q14_normalize_str" -> QueryDef.of(
+      """SELECT doc_id,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm_text,
+        |  length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val norm = F.normalizeWhitespace(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), norm.as("norm_text"), length(norm).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // q15: per-key mode (helpers.py:306 most_common_category) with
+    // deterministic ties. Two-phase aggregate + window over the partial
+    // counts — the window reuses the groupBy's hash partitioning on the key.
+    "q15_mode" -> QueryDef.of(
+      """SELECT key, mode_value, cnt FROM (
+        |  SELECT user_id AS key, event_type AS mode_value, COUNT(*) AS cnt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type
+        |) WHERE rn = 1 ORDER BY key""".stripMargin) { (s, dir) =>
+      Relational.modePerKey(Tables.events(s, dir), col("user_id"), col("event_type"))
+        .select(col("key"), col("mode").as("mode_value"), col("cnt"))
+        .orderBy(col("key"))
+    },
+
+    // q16: geo clustering (to_mapbox.py:97 geo_data_flow — join_with_self
+    // on point_id with array-of-records aggregate). Bucket key is
+    // high-cardinality at scale; records within a cluster sorted for
+    // determinism (reference relies on input order).
+    "q16_geo_cluster" -> QueryDef.of(
+      """SELECT CAST(floor(value / 100) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  list_sort(list(event_id)) AS point_ids,
+        |  max(event_type) AS max_type
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(floor(col("value") / 100).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          sort_array(collect_list(col("event_id"))).as("point_ids"),
+          max(col("event_type")).as("max_type"))
+        .orderBy(col("bucket"))
+    },
+
+    // q17: RS-score (to_dp.py:700 RSScoreCalc): log(total/freq) over
+    // co-occurrence counts. The reference collects counts into a driver
+    // dict; here both sides are aggregates joined on the response key —
+    // fully distributed, broadcastable small side.
+    "q17_tfidf_score" -> QueryDef.of(
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), freq AS (
+        |  SELECT lang, token, COUNT(*) AS freq FROM tok GROUP BY lang, token
+        |), tot AS (
+        |  SELECT lang, CAST(SUM(freq) AS BIGINT) AS total FROM freq GROUP BY lang
+        |)
+        |SELECT f.lang, f.token, f.freq, round(ln(CAST(t.total AS DOUBLE) / f.freq), 4) AS score
+        |FROM freq f JOIN tot t ON f.lang = t.lang
+        |ORDER BY f.lang, f.token""".stripMargin) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("lang"), explode(F.tokens(col("text"))).as("token"))
+      val freq = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq"))
+      val tot = freq.groupBy(col("lang")).agg(sum(col("freq")).cast("long").as("total"))
+      freq.join(broadcast(tot), "lang")
+        .select(col("lang"), col("token"), col("freq"),
+          round(log(col("total").cast("double") / col("freq")), 4).as("score"))
+        .orderBy(col("lang"), col("token"))
+    },
+
+    // q18: autocomplete corpus (autocomplete.py:17 template cross-product).
+    // Templates expand as an array literal per row then explode — the
+    // cross-product stays row-local; aggregation is a plain count.
+    "q18_autocomplete" -> QueryDef.of(
+      """SELECT phrase, COUNT(*) AS cnt FROM (
+        |  SELECT unnest([
+        |    c_mktsegment,
+        |    c_mktsegment || ' in ' || n_name,
+        |    'services for ' || c_mktsegment || ' in ' || n_name
+        |  ]) AS phrase
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |) GROUP BY phrase ORDER BY phrase""".stripMargin) { (s, dir) =>
+      val joined = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      val templates = array(
+        col("c_mktsegment"),
+        concat(col("c_mktsegment"), lit(" in "), col("n_name")),
+        concat(lit("services for "), col("c_mktsegment"), lit(" in "), col("n_name")))
+      joined.select(explode(templates).as("phrase"))
+        .groupBy(col("phrase")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("phrase"))
+    },
+
+    // q19: merge-duplicate-entities (to_dp.py:237 merge_duplicate_branches):
+    // re-key by content hash, merge each group to one row, and count groups
+    // per parent entity. The reference's driver-side dict becomes a groupBy
+    // + a window count over the group key — single shuffle each.
+    "q19_dedup_merge" -> QueryDef.of(
+      """SELECT custkey, status, entity_key, rep_orderkey, n_merged, total,
+        |  CAST(COUNT(*) OVER (PARTITION BY custkey) AS BIGINT) AS groups_per_cust
+        |FROM (
+        |  SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |    substr(md5(concat_ws('', CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 8) AS entity_key,
+        |    min(o_orderkey) AS rep_orderkey,
+        |    COUNT(*) AS n_merged,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  FROM orders GROUP BY 1, 2, 3
+        |) ORDER BY custkey, status""".stripMargin) { (s, dir) =>
+      val grouped = Tables.orders(s, dir)
+        .groupBy(
+          col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"),
+          F.hashKey(col("o_custkey"), col("o_orderstatus")).as("entity_key"))
+        .agg(
+          min(col("o_orderkey")).as("rep_orderkey"),
+          count(lit(1)).as("n_merged"),
+          sum(F.money(col("o_totalprice"))).cast("decimal(38,2)").as("total"))
+      grouped
+        .withColumn("groups_per_cust", count(lit(1)).over(Window.partitionBy(col("custkey"))).cast("long"))
+        .orderBy(col("custkey"), col("status"))
+    }
+  )
+}

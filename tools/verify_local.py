@@ -34,6 +34,8 @@ def norm(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm(v[k])}" for k in sorted(v)) + "}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
