@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.operators.Dedup
+
+class DedupSpec extends SpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, SfDir).cache()
+
+  /** Brute-force shingle-set Jaccard pairs — the exact reference answer
+    * in the same set space minhash estimates. */
+  private def exactPairs(threshold: Double) = {
+    val t = docs.select($"doc_id",
+      array_distinct(Dedup.shingles(F.tokens($"text"), 3)).as("toks"))
+    val a = t.select($"doc_id".as("id_a"), $"toks".as("ta"))
+    val b = t.select($"doc_id".as("id_b"), $"toks".as("tb"))
+    a.join(b, $"id_a" < $"id_b")
+      .withColumn("j", size(array_intersect($"ta", $"tb")).cast("double") /
+        size(array_union($"ta", $"tb")).cast("double"))
+      .filter($"j" >= threshold)
+      .select($"id_a", $"id_b")
+  }
+
+  test("minhashNearDups: every returned pair truly exceeds the threshold (precision = 1)") {
+    val got = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7).collect()
+    assert(got.nonEmpty, "expected planted near-dups to be found")
+    assert(got.forall(_.getAs[Double]("jaccard") >= 0.7))
+  }
+
+  test("minhashNearDups: recall against brute force is high") {
+    val exact = exactPairs(0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} strong pairs")
+  }
+
+  test("simhashNearDups: finds all pairs within guaranteed hamming distance 3") {
+    val sims = docs.select($"doc_id", Dedup.simhash64(F.tokens($"text")).as("sim"))
+    val a = sims.select($"doc_id".as("id_a"), $"sim".as("sa"))
+    val b = sims.select($"doc_id".as("id_b"), $"sim".as("sb"))
+    val exact = a.join(b, $"id_a" < $"id_b")
+      .withColumn("h", bit_count($"sa".bitwiseXOR($"sb")))
+      .filter($"h" <= 3)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == exact, s"pigeonhole blocking must have full recall at dist<=3 (got ${got.size}, exact ${exact.size})")
+  }
+
+  test("shingles fall back to whole doc when shorter than the window") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    val out = df.select(Dedup.shingles(F.tokens($"text"), 3).as("sh")).head().getSeq[String](0)
+    assert(out == Seq("a b"))
+  }
+
+  test("exactGroups keys on normalized text") {
+    val df = Seq((1L, "hello  world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactGroups(df, $"text", $"doc_id").orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("keep_id") == 1L && out.head.getAs[Long]("n_dups") == 2L)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SpecBase {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.asMediaTable(Tables.documents(spark, SfDir)).cache()
+
+  test("media table has binary payload + typed metadata") {
+    val schema = media.schema
+    assert(schema("media").dataType.typeName == "binary")
+    val meta = schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("format", "n_bytes"))
+    val row = media.orderBy("id").head()
+    assert(row.getAs[Array[Byte]]("media").nonEmpty)
+  }
+
+  test("feature extraction is deterministic with the declared dimension") {
+    val f1 = Multimodal.extractFeatures(spark, media, dim = 8).collect().sortBy(_.id)
+    val f2 = Multimodal.extractFeatures(spark, media, dim = 8).collect().sortBy(_.id)
+    assert(f1.length == media.count())
+    assert(f1.forall(_.features.length == 8))
+    assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    assert(f1.forall(_.features.forall(v => v >= 0f && v <= 1f)))
+  }
+
+  test("frame sampling reconstitutes a prefix of the payload in order") {
+    val one = media.orderBy("id").limit(1)
+    val payload = one.head().getAs[Array[Byte]]("media")
+    val frames = Multimodal.sampleFrames(one, n = 4).orderBy("frame_idx").collect()
+    assert(frames.length == 4)
+    val joined = frames.flatMap(_.getAs[Array[Byte]]("frame_bytes"))
+    assert(joined.sameElements(payload.take(joined.length)))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.operators.Similarity
+
+class SimilaritySpec extends SpecBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, SfDir).cache()
+
+  test("cosineTopK returns k ordered neighbors with correct scores") {
+    val out = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 3), k = 5)
+      .orderBy("query_id", "rk").collect()
+    assert(out.length == 15)
+    // scores non-increasing within each query
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+    // spot-check one score against a local computation
+    val r0 = out.head
+    val vecs = emb.filter($"vec_id" === 0 || $"vec_id" === r0.getAs[Long]("neighbor_id"))
+      .orderBy($"vec_id" =!= 0) // query first
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val dot = vecs(0).zip(vecs(1)).map { case (x, y) => x * y }.sum
+    val expected = dot / (math.sqrt(vecs(0).map(x => x * x).sum) * math.sqrt(vecs(1).map(x => x * x).sum))
+    assert(math.abs(r0.getAs[Double]("cos") - expected) < 1e-3)
+  }
+
+  test("lshAnnTopK returns only true-cosine-scored candidates and nonzero recall") {
+    val brute = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshAnnTopK(emb, emb.filter($"vec_id" < 10), dim = 64, k = 5)
+      .collect()
+    assert(approx.nonEmpty)
+    val approxPairs = approx.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(approxPairs.contains).toDouble / brute.size
+    assert(recall > 0.0, s"ANN should recover some true neighbors (recall $recall)")
+  }
+
+  test("hyperplane buckets are deterministic across invocations") {
+    val b1 = emb.select(Similarity.hyperplaneBucket($"embedding", 64, 8).as("b")).collect().map(_.getLong(0))
+    val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 64, 8).as("b")).collect().map(_.getLong(0))
+    assert(b1.sameElements(b2))
+  }
+}

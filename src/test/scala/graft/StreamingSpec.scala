@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** The streaming twins must agree with the oracle-verified batch queries
+  * (q20/q21) on the same data. */
+class StreamingSpec extends SpecBase {
+  import spark.implicits._
+
+  private def loadEvents(): Seq[Event] =
+    Tables.events(spark, SfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+
+  test("streaming tumbling rollup matches batch on counts and totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val out = EventStreams.tumblingHourly(stream.toDF())
+    val query = out.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      // push the watermark far past the data so all windows finalize
+      stream.addData(Event(-1L, Timestamp.valueOf("2025-06-01 00:00:00"), 0L, "sentinel", 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("tumbling_test")
+        .filter($"hour_start" < lit("2025-01-01").cast("timestamp"))
+        .select($"hour_start", $"n_events", $"total_value")
+        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+
+      val batch = SparkEntry.queries("q20_tumbling")(spark, SfDir)
+        .select($"hour_start", $"n_events", $"total_value")
+        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch q21 in batch mode") {
+    val ds = Tables.events(spark, SfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    val got = EventStreams.sessionizeWithState(spark, ds)
+      .collect().map(s => (s.user_id, s.session_idx, s.n_events, s.start_ts, s.end_ts)).toSet
+    val expected = SparkEntry.queries("q21_session")(spark, SfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Timestamp]("start_ts"), r.getAs[Timestamp]("end_ts"))).toSet
+    assert(got == expected)
+  }
+
+  test("session_window streaming sessions match batch q21 session boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val out = EventStreams.sessionWindows(stream.toDF())
+    val query = out.writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      stream.addData(Event(-1L, Timestamp.valueOf("2025-06-01 00:00:00"), 999999L, "sentinel", 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("session_test")
+        .filter($"user_id" =!= 999999L)
+        .select($"user_id", $"start_ts", $"n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+      val batch = SparkEntry.queries("q21_session")(spark, SfDir)
+        .select($"user_id", $"start_ts", $"n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+}
