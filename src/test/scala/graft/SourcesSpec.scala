@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+class SourcesSpec extends SpecBase {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").resolve("out").toString
+
+  test("parquet round-trip preserves schema and rows") {
+    val df = Tables.customer(spark, SfDir)
+    val path = tmp("pq")
+    Sources.writeParquet(df, path)
+    val back = Sources.readParquet(spark, path)
+    assert(back.schema == df.schema)
+    assert(back.count() == df.count())
+  }
+
+  test("partitioned parquet layout enables partition pruning") {
+    val df = Tables.customer(spark, SfDir)
+    val path = tmp("pqpart")
+    Sources.writeParquet(df, path, partitionCols = Seq("c_mktsegment"))
+    val pruned = Sources.readParquet(spark, path).filter(col("c_mktsegment") === "BUILDING")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == df.filter(col("c_mktsegment") === "BUILDING").count())
+    assert(plan.contains("PartitionFilters") || !plan.contains("c_mktsegment)"),
+      "segment filter should prune partitions, not scan+filter")
+  }
+
+  test("csv round-trip and json-lines round-trip") {
+    val df = Tables.nation(spark, SfDir)
+    val csvPath = tmp("csv")
+    Sources.writeCsv(df, csvPath)
+    assert(Sources.readCsv(spark, csvPath).count() == df.count())
+    val jsonPath = tmp("json")
+    Sources.writeJsonLines(df, jsonPath)
+    assert(Sources.readJsonLines(spark, jsonPath).count() == df.count())
+  }
+
+  test("registerView exposes a DataFrame to spark.sql") {
+    Sources.registerView(Tables.region(spark, SfDir), "region_view")
+    assert(spark.sql("SELECT count(*) AS c FROM region_view").head().getLong(0) == 5)
+  }
+}
