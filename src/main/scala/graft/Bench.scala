@@ -14,7 +14,11 @@ object Bench {
     val spark: SparkSession = GraftSession.builder(Some(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated filter for local bisection, e.g.
+    // SPARK_GRAFT_ONLY=q23_minhash,q25_ngram_jaccard
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Warmup: run everything once (exercises codegen + file listing).
     queries.foreach { case (_, fn) =>

@@ -29,14 +29,33 @@ object Dedup {
         sequence(lit(1), size(tokens) - (w - 1)),
         i => array_join(slice(tokens, i, lit(w)), " ")))
 
-  /** MinHash signature: k independent hash slots, each the minimum of
-    * xxhash64(slot, shingle) over the doc's shingles. Stays entirely inside
-    * codegen'd array expressions (the optimized path would be a single
-    * custom Expression; this form is already one pass over shingles × k). */
-  def minhashSignature(shinglesCol: Column, k: Int = 64): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shinglesCol, sh => xxhash64(i, sh))))
+  /** MinHash signatures, relationally: explode shingles to rows, hash each
+    * shingle string ONCE with codegen'd xxhash64, then take k column-wise
+    * `min` aggregates of slot-salted rehashes of that 8-byte value
+    * (fixed-width input -> cheap, and no ANSI overflow like a
+    * multiply-add mix would hit).
+    *
+    * Why not array lambdas: Spark's higher-order functions are
+    * CodegenFallback (interpreted), and projection collapse would inline
+    * the shingle construction into every one of the k lambda bodies —
+    * measured 1000x slower. The explode+groupBy form is all
+    * whole-stage-codegen with map-side partial aggregation, and the
+    * shuffle carries k longs + the shingle set per doc. Returns
+    * (id, sh_set, sig). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleWidth: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(F.tokens(col(textCol)), shingleWidth)).as("sh"))
+      .select(col("id"), col("sh"), xxhash64(col("sh")).as("h"))
+    val slotAggs = (0 until k).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+    }
+    val aggs = slotAggs :+ collect_set(col("sh")).as("sh_set")
+    exploded.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), col("sh_set"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and emit (band_idx, band_hash) keys. Docs agreeing on any band become
@@ -62,13 +81,7 @@ object Dedup {
                       k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                       threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = k / bands
-    val toks = df.select(
-      col(idCol).as("id"),
-      array_distinct(shingles(F.tokens(col(textCol)), shingleWidth)).as("tok_set"),
-      shingles(F.tokens(col(textCol)), shingleWidth).as("sh"))
-    val sigs = toks.select(
-      col("id"), col("tok_set"),
-      minhashSignature(col("sh"), k).as("sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
     val banded = sigs.select(
       col("id"),
       explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
@@ -80,20 +93,69 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = sigs.select(col("id"), col("tok_set"))
-    candidates
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("tok_set", "set_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("tok_set", "set_b"), "id_b")
+    verifyJaccard(candidates, sigs.select(col("id"), col("sh_set")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against per-id shingle
+    * sets (shared by the all-pairs and star-link pipelines). */
+  private def verifyJaccard(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh_set", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh_set", "set_b"), "id_b")
       .withColumn("jaccard",
         round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b"))).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** MinHash+LSH dedup links — the 100 TB path. Instead of enumerating all
+    * pairs inside a bucket (quadratic in bucket size, explosive on
+    * self-similar corpora), each doc links to the smallest id sharing any
+    * band bucket (star pattern): one window-min per bucket, linear work.
+    * Links are Jaccard-verified; transitive closure over these links
+    * reproduces the duplicate clusters a dedup pass needs.
+    */
+  def minhashDedupLinks(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
+                        threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rowsPerBand = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
+    val banded = sigs.select(
+      col("id"),
+      explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
+      .select(col("id"), col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    val bucketMin = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val links = banded
+      .withColumn("rep", min(col("id")).over(bucketMin))
+      .filter(col("rep") < col("id"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    verifyJaccard(links, sigs.select(col("id"), col("sh_set")), threshold)
+  }
+
+  /** 64-bit SimHash signatures, relationally: explode tokens, hash once
+    * (codegen'd), then 64 conditional-sum aggregates vote per bit — same
+    * rationale as [[minhashSignatures]] (array lambdas are interpreted).
+    * Returns (id, sim). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(F.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val agged = exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col("id"), sim.as("sim"))
   }
 
   /** 64-bit SimHash over a token array: per-bit majority vote of token
-    * hashes. Composed from array expressions (codegen); a custom
-    * Expression with doGenCode is the future fast path for 100 TB. */
+    * hashes. Column form for expression-level composition; pipelines use
+    * the relational [[simhashes]] (this form is interpreted — HOFs are
+    * CodegenFallback). */
   def simhash64(tokens: Column): Column = {
     val th = transform(tokens, t => xxhash64(t))
     val bitCols = (0 until 64).map { j =>
@@ -110,7 +172,7 @@ object Dedup {
     * found with partial recall — standard SimHash trade-off). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
-    val sims = df.select(col(idCol).as("id"), simhash64(F.tokens(col(textCol))).as("sim"))
+    val sims = simhashes(df, idCol, textCol)
     val blockStructs = (0 until 4).map { b =>
       struct(lit(b).as("block_idx"),
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("block_val"))
@@ -126,6 +188,30 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** SimHash dedup links — star pattern per 16-bit block bucket (same
+    * linear-work rationale as [[minhashDedupLinks]]). */
+  def simhashDedupLinks(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sims = simhashes(df, idCol, textCol)
+    val blockStructs = (0 until 4).map { b =>
+      struct(lit(b).as("block_idx"),
+        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("block_val"))
+    }
+    val blocked = sims.select(col("id"), col("sim"), explode(array(blockStructs: _*)).as("blk"))
+      .select(col("id"), col("sim"), col("blk.block_idx").as("block_idx"), col("blk.block_val").as("block_val"))
+    val bucketMin = Window.partitionBy(col("block_idx"), col("block_val"))
+    blocked
+      .withColumn("rep", min(col("id")).over(bucketMin))
+      .withColumn("rep_sim", first(col("sim")).over(
+        bucketMin.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rep") < col("id"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        bit_count(col("rep_sim").bitwiseXOR(col("sim"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

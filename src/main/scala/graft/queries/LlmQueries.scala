@@ -27,23 +27,29 @@ object LlmQueries {
         .orderBy(col("keep_id"))
     },
 
-    // q23: MinHash+LSH near-dup pairs, verified with exact Jaccard.
-    // Rows-only (seeded xxhash64 signatures aren't SQL-portable); the
-    // Jaccard-verification stage is itself oracle-covered by q25.
+    // q23: MinHash+LSH dedup links (star-to-representative: linear in
+    // bucket size — the only shape that survives self-similar corpora at
+    // 100 TB), verified with exact shingle Jaccard. Rows-only (seeded
+    // xxhash64 signatures aren't SQL-portable); the Jaccard-verification
+    // stage is itself oracle-covered by q25, and all-pairs recall is
+    // spec-checked at small scale via minhashNearDups.
     "q23_minhash" -> QueryDef.rowsOnly { (s, dir) =>
-      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text", threshold = 0.7)
+      Dedup.minhashDedupLinks(Tables.documents(s, dir), "doc_id", "text", threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // q24: SimHash near-dup pairs (Hamming <= 3 guaranteed recall via
-    // 16-bit block pigeonhole). Rows-only for the same seeded-hash reason.
+    // q24: SimHash dedup links (same star pattern over 16-bit blocks).
+    // Rows-only for the same seeded-hash reason.
     "q24_simhash" -> QueryDef.rowsOnly { (s, dir) =>
-      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxDist = 16)
+      Dedup.simhashDedupLinks(Tables.documents(s, dir), "doc_id", "text", maxDist = 16)
         .orderBy(col("id_a"), col("id_b"))
     },
 
     // q25: token-set Jaccard similarity pairs, blocked on lang (the
-    // blocking key bounds each comparison group at scale).
+    // blocking key bounds each comparison group at scale) with an exact
+    // size prune in the join condition: jaccard >= 0.6 forces
+    // min(|A|,|B|) >= 0.6*max(|A|,|B|), so the integer size check rejects
+    // pairs before any array work — identical logic on both engines.
     "q25_ngram_jaccard" -> QueryDef.of(
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -55,13 +61,16 @@ object LlmQueries {
         |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |          len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND len(a.toks) * 10 >= len(b.toks) * 6 AND len(b.toks) * 10 >= len(a.toks) * 6
         |) WHERE jaccard >= 0.6
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val t = Tables.documents(s, dir).select(
         col("doc_id"), col("lang"), array_distinct(F.tokens(col("text"))).as("toks"))
       val a = t.select(col("doc_id").as("id_a"), col("lang").as("lang_a"), col("toks").as("toks_a"))
       val b = t.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("toks").as("toks_b"))
-      a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b"))
+      a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b")
+          && size(col("toks_a")) * 10 >= size(col("toks_b")) * 6
+          && size(col("toks_b")) * 10 >= size(col("toks_a")) * 6)
         .withColumn("jaccard",
           round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
             size(array_union(col("toks_a"), col("toks_b"))).cast("double"), 4))

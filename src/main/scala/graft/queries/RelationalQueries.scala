@@ -194,12 +194,17 @@ object RelationalQueries {
         |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |    CAST(round(100.0 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) / greatest(length(a.p_name), length(b.p_name)))) AS BIGINT) AS ratio
         |  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |    AND abs(length(a.p_name) - length(b.p_name)) * 5 <= greatest(length(a.p_name), length(b.p_name))
         |) WHERE ratio >= 80
         |ORDER BY key_a, key_b""".stripMargin) { (s, dir) =>
+      // Exact length prune in the join: ratio >= 80 needs lev <= 0.2*maxlen,
+      // and lev >= |len_a - len_b| always, so 5*|len diff| <= maxlen is a
+      // lossless pre-filter evaluated before any Levenshtein work.
       val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
       val a = p.select(col("p_partkey").as("key_a"), col("p_brand").as("brand_a"), col("p_name").as("name_a"))
       val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand_b"), col("p_name").as("name_b"))
-      a.join(b, col("brand_a") === col("brand_b") && col("key_a") < col("key_b"))
+      a.join(b, col("brand_a") === col("brand_b") && col("key_a") < col("key_b")
+          && abs(length(col("name_a")) - length(col("name_b"))) * 5 <= greatest(length(col("name_a")), length(col("name_b"))))
         .withColumn("ratio", F.fuzzRatio(col("name_a"), col("name_b")))
         .filter(col("ratio") >= 80)
         .select(col("key_a"), col("key_b"), col("ratio"))
