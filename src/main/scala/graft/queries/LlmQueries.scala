@@ -64,18 +64,7 @@ object LlmQueries {
         |    AND len(a.toks) * 10 >= len(b.toks) * 6 AND len(b.toks) * 10 >= len(a.toks) * 6
         |) WHERE jaccard >= 0.6
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      val t = Tables.documents(s, dir).select(
-        col("doc_id"), col("lang"), array_distinct(F.tokens(col("text"))).as("toks"))
-      val a = t.select(col("doc_id").as("id_a"), col("lang").as("lang_a"), col("toks").as("toks_a"))
-      val b = t.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("toks").as("toks_b"))
-      a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b")
-          && size(col("toks_a")) * 10 >= size(col("toks_b")) * 6
-          && size(col("toks_b")) * 10 >= size(col("toks_a")) * 6)
-        .withColumn("jaccard",
-          round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-            size(array_union(col("toks_a"), col("toks_b"))).cast("double"), 4))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "lang", "text", threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -201,11 +201,24 @@ object RelationalQueries {
       // and lev >= |len_a - len_b| always, so 5*|len diff| <= maxlen is a
       // lossless pre-filter evaluated before any Levenshtein work.
       val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
-      val a = p.select(col("p_partkey").as("key_a"), col("p_brand").as("brand_a"), col("p_name").as("name_a"))
+      // The probe side is a single small parquet split but the join does
+      // O(n^2/brand) Levenshtein work — spread it across all cores (the
+      // same fix a 100 TB run needs when compute, not input bytes, is the
+      // bottleneck).
+      val a = p.repartition(s.sparkContext.defaultParallelism)
+        .select(col("p_partkey").as("key_a"), col("p_brand").as("brand_a"), col("p_name").as("name_a"))
       val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand_b"), col("p_name").as("name_b"))
+      // Banded levenshtein with early exit: ratio>=80 needs lev <= 0.205*maxlen,
+      // which is <= 7 for any name under 35 chars (p_name is ~8-15), so the
+      // k=7 threshold is lossless and the DP early-exits on distant pairs.
+      val lev = levenshtein(col("name_a"), col("name_b"), 7)
+      val maxLen = greatest(length(col("name_a")), length(col("name_b")))
       a.join(b, col("brand_a") === col("brand_b") && col("key_a") < col("key_b")
           && abs(length(col("name_a")) - length(col("name_b"))) * 5 <= greatest(length(col("name_a")), length(col("name_b"))))
-        .withColumn("ratio", F.fuzzRatio(col("name_a"), col("name_b")))
+        .withColumn("lev", lev)
+        .filter(col("lev") >= 0)
+        .withColumn("ratio",
+          round(lit(100.0) * (lit(1.0) - col("lev").cast("double") / maxLen.cast("double"))).cast("long"))
         .filter(col("ratio") >= 80)
         .select(col("key_a"), col("key_b"), col("ratio"))
         .orderBy(col("key_a"), col("key_b"))
