@@ -44,17 +44,28 @@ object Dedup {
     * (id, sh_set, sig). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleWidth: Int): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("id"), explode(shingles(F.tokens(col(textCol)), shingleWidth)).as("sh"))
+    // Small corpora arrive as one parquet split but shingling+hashing is
+    // compute-bound — spread rows across all cores first (at real scale
+    // the scan has many splits and AQE keeps this exchange cheap).
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val exploded = spread
+      // tokenize in its own projection so the shingle lambda references a
+      // bound attribute — inlined, the tokenizer would re-run per element
+      .select(col(idCol).as("id"), F.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(shingles(col("toks"), shingleWidth)).as("sh"))
       .select(col("id"), col("sh"), xxhash64(col("sh")).as("h"))
+    // Two aggregations on purpose: collect_set forces ObjectHashAggregate
+    // (no codegen), which would drag the 64 min-slots into interpreted
+    // evaluation. Separated, the slot mins stay in whole-stage codegen and
+    // only the set collection pays the object-hash cost.
     val slotAggs = (0 until k).map { i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i")
     }
-    val aggs = slotAggs :+ collect_set(col("sh")).as("sh_set")
-    exploded.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), col("sh_set"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val sigs = exploded.groupBy(col("id"))
+      .agg(slotAggs.head, slotAggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val sets = exploded.groupBy(col("id")).agg(collect_set(col("sh")).as("sh_set"))
+    sigs.join(sets, "id").select(col("id"), col("sh_set"), col("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
@@ -154,21 +165,30 @@ object Dedup {
       explode(array_distinct(F.tokens(col(textCol)))).as("t"))
     val dict = toks.select(col("t")).distinct()
       .withColumn("tid", row_number().over(Window.orderBy(col("t"))) - 1)
+    // Block 0 (the first 64 dictionary slots) rides as a plain long column
+    // so the common case is a codegen'd bit_count(AND); only vocabularies
+    // past 64 tokens touch the (interpreted) overflow-map aggregate.
     val masks = toks.join(broadcast(dict), "t")
       .select(col("id"), col("blk"), (col("tid") / 64).cast("int").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), tid % 64)").as("bit"))
       .groupBy(col("id"), col("blk"), col("w")).agg(bit_or(col("bit")).as("bits"))
       .groupBy(col("id"), col("blk"))
-      .agg(map_from_entries(sort_array(collect_list(struct(col("w"), col("bits"))))).as("mask"),
+      .agg(
+        coalesce(max(when(col("w") === 0, col("bits"))), lit(0L)).as("m0"),
+        map_from_entries(sort_array(collect_list(
+          when(col("w") =!= 0, struct(col("w"), col("bits")))))).as("rest"),
         sum(bit_count(col("bits"))).cast("int").as("sz"))
     val num = math.round(threshold * 10).toInt // threshold with one decimal -> exact int prune
-    val a = masks.select(col("id").as("id_a"), col("blk").as("blk_a"), col("mask").as("mask_a"), col("sz").as("sz_a"))
-    val b = masks.select(col("id").as("id_b"), col("blk").as("blk_b"), col("mask").as("mask_b"), col("sz").as("sz_b"))
-    val inter = aggregate(
-      map_entries(col("mask_a")),
-      lit(0),
-      (acc, e) => acc + bit_count(e.getField("value").bitwiseAND(
-        coalesce(element_at(col("mask_b"), e.getField("key")), lit(0L)))).cast("int"))
+    val a = masks.select(col("id").as("id_a"), col("blk").as("blk_a"),
+      col("m0").as("m0_a"), col("rest").as("rest_a"), col("sz").as("sz_a"))
+    val b = masks.select(col("id").as("id_b"), col("blk").as("blk_b"),
+      col("m0").as("m0_b"), col("rest").as("rest_b"), col("sz").as("sz_b"))
+    val inter = bit_count(col("m0_a").bitwiseAND(col("m0_b"))).cast("int") +
+      aggregate(
+        map_entries(col("rest_a")),
+        lit(0),
+        (acc, e) => acc + bit_count(e.getField("value").bitwiseAND(
+          coalesce(element_at(col("rest_b"), e.getField("key")), lit(0L)))).cast("int"))
     a.join(b, col("blk_a") === col("blk_b") && col("id_a") < col("id_b")
         && col("sz_a") * 10 >= col("sz_b") * num && col("sz_b") * 10 >= col("sz_a") * num)
       .withColumn("inter", inter)
@@ -183,7 +203,7 @@ object Dedup {
     * rationale as [[minhashSignatures]] (array lambdas are interpreted).
     * Returns (id, sim). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df
+    val exploded = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), explode(F.tokens(col(textCol))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val votes = (0 until 64).map { j =>
