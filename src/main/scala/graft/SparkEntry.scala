@@ -9,7 +9,7 @@ object SparkEntry {
   /** All registered query families (SURVEY.md §2). */
   private def allDefs: Map[String, QueryDef] =
     RelationalQueries.defs ++ EtlQueries.defs ++ EventQueries.defs ++
-      LlmQueries.defs ++ DeriveQueries.defs
+      LlmQueries.defs ++ DeriveQueries.defs ++ UpdateQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

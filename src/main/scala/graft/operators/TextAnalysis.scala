@@ -41,9 +41,15 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
 
   /** Polynomial rolling hash (base 31, mod 1e9+7) over the normalized
-    * text — a stable document fingerprint. Composed from array
-    * expressions; the 100 TB fast path is a custom codegen Expression. */
-  def fingerprint(text: Column): Column = {
+    * text — a stable document fingerprint, computed by the native codegen
+    * Expression [[graft.functions.expressions.PolyHash]] (the array-HOF
+    * composition is CodegenFallback and allocates per character). */
+  def fingerprint(text: Column): Column =
+    graft.functions.expressions.PolyHash(F.normalizeWhitespace(lower(text)))
+
+  /** Reference implementation of [[fingerprint]] via array HOFs —
+    * interpreted; kept for cross-checking the native expression. */
+  def fingerprintHof(text: Column): Column = {
     val norm = F.normalizeWhitespace(lower(text))
     val codes = transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1))))
     aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c.cast("long")) % 1000000007L)

@@ -14,6 +14,15 @@ class TextAnalysisSpec extends SpecBase {
     assert(out == 97L * 31 + 98)
   }
 
+  test("native PolyHash expression agrees with the HOF reference on real docs") {
+    val docs = Tables.documents(spark, SfDir)
+    val mismatches = docs.select(
+      TextAnalysis.fingerprint($"text").as("native"),
+      TextAnalysis.fingerprintHof($"text").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches == 0)
+  }
+
   test("fingerprint normalizes whitespace and case first") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world")).toDF("id", "text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
