@@ -179,8 +179,12 @@ object Dedup {
           when(col("w") =!= 0, struct(col("w"), col("bits")))))).as("rest"),
         sum(bit_count(col("bits"))).cast("int").as("sz"))
     val num = math.round(threshold * 10).toInt // threshold with one decimal -> exact int prune
-    val a = masks.select(col("id").as("id_a"), col("blk").as("blk_a"),
-      col("m0").as("m0_a"), col("rest").as("rest_a"), col("sz").as("sz_a"))
+    // Pair evaluation is the compute bottleneck, and AQE would coalesce the
+    // tiny mask exchange down to one partition — pin the probe side's
+    // parallelism so the O(pairs) work uses every core.
+    val a = masks.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id").as("id_a"), col("blk").as("blk_a"),
+        col("m0").as("m0_a"), col("rest").as("rest_a"), col("sz").as("sz_a"))
     val b = masks.select(col("id").as("id_b"), col("blk").as("blk_b"),
       col("m0").as("m0_b"), col("rest").as("rest_b"), col("sz").as("sz_b"))
     val inter = bit_count(col("m0_a").bitwiseAND(col("m0_b"))).cast("int") +
