@@ -11,9 +11,11 @@ object SparkEntry {
     RelationalQueries.defs ++ EtlQueries.defs ++ EventQueries.defs ++
       LlmQueries.defs ++ DeriveQueries.defs ++ UpdateQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * full card-derivation pipeline — the reference's to_dp.py flow
+    * composed end-to-end from the library's operators. */
   def entry(spark: SparkSession): DataFrame =
-    allDefs("q01_agg").build(spark, "/root/testdata/sf0.001")
+    graft.pipelines.CardPipeline.cards(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

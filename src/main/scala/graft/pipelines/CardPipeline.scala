@@ -1,0 +1,93 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.F
+import graft.operators.Relational
+
+/** Flagship end-to-end pipeline — the reference's derive flow
+  * (operators/derive/to_dp.py `operator`: srm_data_pull -> flat_branches
+  * -> flat_services -> flat_table -> card_data) re-expressed over the
+  * TPC-H-shaped entities:
+  *
+  *   organizations -> customer, branches -> orders, services -> lineitem.
+  *
+  * Every stage is a library operator: surrogate hash keys
+  * (srm_tools/hash.py), duplicate-branch merging (to_dp.py:237),
+  * first-seen dedup (to_dp.py:580), array-field merging (to_dp.py:84),
+  * relevance scoring (to_es.py:24), autocomplete phrases
+  * (autocomplete.py:17). One broadcast join for the dimension, shuffles
+  * only on entity keys — the shape that scales to the full corpus.
+  */
+object CardPipeline {
+
+  /** Denormalized "flat branches": orders + their customer (organization),
+    * re-keyed by content hash and merged (to_dp.py flat_branches_flow). */
+  def flatBranches(spark: SparkSession, dir: String): DataFrame = {
+    val orgs = Tables.customer(spark, dir).select(
+      col("c_custkey").as("organization_id"),
+      col("c_name").as("organization_name"),
+      col("c_mktsegment").as("organization_kind"),
+      col("c_acctbal").as("organization_balance"))
+    val branches = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("branch_id"),
+      col("o_custkey").as("organization_id"),
+      col("o_orderstatus").as("branch_status"),
+      col("o_orderdate").as("branch_date"),
+      col("o_orderpriority").as("branch_priority"))
+    val flat = branches.join(broadcast(orgs), "organization_id")
+      .withColumn("branch_key",
+        F.hashKey(col("organization_id"), col("branch_status"), col("branch_priority")))
+    // merge duplicate branches per content key; keep earliest as the
+    // representative and count branches per organization
+    val merged = Relational.dedupKeepFirst(flat,
+      keys = Seq(col("branch_key")),
+      order = Seq(col("branch_date"), col("branch_id")))
+    val orgCounts = merged.groupBy(col("organization_id"))
+      .agg(count(lit(1)).as("organization_branch_count"))
+    merged.join(broadcast(orgCounts), "organization_id")
+  }
+
+  /** Full card table: services (lineitems) on merged branches with scores
+    * and search fields (to_dp.py flat_table_flow + card_data_flow). */
+  def cards(spark: SparkSession, dir: String): DataFrame = {
+    val branches = flatBranches(spark, dir)
+    val services = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("branch_id"),
+      col("l_linenumber").as("service_seq"),
+      col("l_returnflag").as("service_flag"),
+      col("l_linestatus").as("service_status"),
+      col("l_extendedprice").as("service_price"),
+      col("l_shipdate").as("service_date"))
+
+    val flat = services.join(branches, "branch_id")
+      .withColumn("service_id", F.hashKey(col("branch_id"), col("service_seq")))
+      .withColumn("card_id", F.hashKey(col("branch_key"), col("service_id")))
+
+    // unique (service, branch) — the reference's flat-table dedup
+    val unique = Relational.dedupKeepFirst(flat,
+      keys = Seq(col("card_id")),
+      order = Seq(col("service_date"), col("service_seq")))
+
+    unique
+      .withColumn("situation_ids",
+        F.mergeArrayFields(
+          array(col("service_flag"), col("service_status")),
+          array(col("branch_status"))))
+      .withColumn("card_score",
+        when(col("organization_balance") > 0, 10.0).otherwise(1.0)
+          * sqrt(col("organization_branch_count"))
+          * when(col("branch_priority").isin("1-URGENT", "2-HIGH"), 5.0).otherwise(1.0))
+      .withColumn("possible_autocomplete", array(
+        col("organization_kind"),
+        concat(col("organization_kind"), lit(" "), col("branch_priority")),
+        concat(lit("services for "), col("organization_kind"))))
+      .select(
+        col("card_id"), col("service_id"), col("branch_key"), col("branch_id"),
+        col("organization_id"), col("organization_name"), col("organization_kind"),
+        col("organization_branch_count"), col("situation_ids"),
+        col("card_score"), col("possible_autocomplete"))
+  }
+}
