@@ -9,7 +9,8 @@ object SparkEntry {
   /** All registered query families (SURVEY.md §2). */
   private def allDefs: Map[String, QueryDef] =
     RelationalQueries.defs ++ EtlQueries.defs ++ EventQueries.defs ++
-      LlmQueries.defs ++ DeriveQueries.defs ++ UpdateQueries.defs
+      LlmQueries.defs ++ DeriveQueries.defs ++ UpdateQueries.defs ++
+      TaggingQueries.defs
 
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * full card-derivation pipeline — the reference's to_dp.py flow
