@@ -46,6 +46,57 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into `nLists` cells; each query probes its `nProbe` nearest
+    * centroids and ranks only those cells' vectors. The standard
+    * billion-scale layout: the corpus is stored partitioned by cell, so a
+    * query touches nProbe/nLists of the data. Deterministic via a fixed
+    * k-means seed.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    // L2-normalize for clustering/probing so euclidean cell geometry
+    // matches cosine ranking; raw embeddings still score the candidates.
+    val unit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
+    val corpusVec = corpus.select(
+      col("vec_id"), col("embedding"),
+      array_to_vector(unit).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    // nProbe nearest centroids per query (centroids are tiny: driver math)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val probeOf = (emb: Seq[Float]) => {
+      val norm = math.sqrt(emb.map(x => x.toDouble * x).sum)
+      val u = emb.map(_.toDouble / norm)
+      centroids.zipWithIndex.map { case (c, i) =>
+        val d = c.zip(u).map { case (a, b) => val x = a - b; x * x }.sum
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    import spark.implicits._
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probes = qRows.flatMap { case (id, emb) =>
+      probeOf(emb).map(cell => (id, cell, emb))
+    }.toSeq.toDF("query_id", "cell", "q_emb")
+
+    val scored = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(F.cosine(col("q_emb"), col("embedding")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: candidates come only from the query's bucket.
     * Output shape matches cosineTopK (rows-only checked: approximate). */
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,

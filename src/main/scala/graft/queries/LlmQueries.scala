@@ -98,6 +98,15 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // q40: IVF ANN — the billion-scale layout (coarse k-means cells,
+    // nProbe-cell search). Approximate + iterative trainer -> rows-only;
+    // ScalaTest checks recall against the q26 brute-force baseline.
+    "q40_ivf_ann" -> QueryDef.rowsOnly { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // q28: language-ID heuristic (stopword-hit scoring).
     "q28_langid" -> QueryDef.of(
       s"""WITH t AS (

@@ -39,6 +39,18 @@ class SimilaritySpec extends SpecBase {
     assert(recall > 0.0, s"ANN should recover some true neighbors (recall $recall)")
   }
 
+  test("ivfTopK achieves high recall against the brute-force baseline") {
+    val brute = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+      .collect()
+    assert(ivf.nonEmpty)
+    val ivfPairs = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(ivfPairs.contains).toDouble / brute.size
+    // clustered synthetic embeddings: probing 2/16 cells should recover most
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   test("hyperplane buckets are deterministic across invocations") {
     val b1 = emb.select(Similarity.hyperplaneBucket($"embedding", 64, 8).as("b")).collect().map(_.getLong(0))
     val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 64, 8).as("b")).collect().map(_.getLong(0))
