@@ -44,6 +44,36 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("file-source streaming (readStream over parquet) matches the batch rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val events = Tables.events(spark, SfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val query = EventStreams.tumblingHourly(stream)
+      .writeStream.format("memory").queryName("file_tumbling_test")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // sentinel file pushes the watermark so 2024 windows finalize
+      Seq((-1L, Timestamp.valueOf("2025-06-01 00:00:00"), 0L, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(s"$dir/in")
+      query.processAllAvailable()
+
+      val streamed = spark.table("file_tumbling_test")
+        .filter($"hour_start" < lit("2025-01-01").cast("timestamp"))
+        .select($"hour_start", $"n_events", $"total_value")
+        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+      val batch = SparkEntry.queries("q20_tumbling")(spark, SfDir)
+        .select($"hour_start", $"n_events", $"total_value")
+        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches batch q21 in batch mode") {
     val ds = Tables.events(spark, SfDir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
