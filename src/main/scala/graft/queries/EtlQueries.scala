@@ -153,6 +153,22 @@ object EtlQueries {
         .orderBy(col("phrase"))
     },
 
+    // q41: JSON property extraction + flattening (transform/
+    // json_to_dataframe.py + the reference's API extract flows): parse the
+    // JSON props column, pull typed fields, aggregate — schema-on-read
+    // without a UDF (get_json_object is codegen'd).
+    "q41_json_extract" -> QueryDef.of(
+      """SELECT CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS BIGINT) AS k_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, dir)
+        .groupBy((k % 10).cast("long").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(k).cast("long").as("k_sum"))
+        .orderBy(col("k_bucket"))
+    },
+
     // q19: merge-duplicate-entities (to_dp.py:237 merge_duplicate_branches):
     // re-key by content hash, merge each group to one row, and count groups
     // per parent entity. The reference's driver-side dict becomes a groupBy

@@ -1,0 +1,41 @@
+package graft
+
+/** Plan-shape assertions: the properties that matter at 100 TB must be
+  * visible in the physical plan, not assumed. */
+class PlanSpec extends SpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SfDir).queryExecution.executedPlan.toString
+
+  test("q02 pushes the size filter into the parquet scan and prunes columns") {
+    val p = plan("q02_project")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(p_size,25)"),
+      s"size predicate must reach the scan:\n${p.take(800)}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("p_type"), "unused columns must be pruned from the scan")
+  }
+
+  test("q01 prunes lineitem to the aggregation's columns") {
+    val readSchema = plan("q01_agg").linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_partkey"),
+      s"scan must read only needed columns: $readSchema")
+  }
+
+  test("q03 joins the dimension side with broadcast hash joins") {
+    val p = plan("q03_join_topn")
+    assert(p.contains("BroadcastHashJoin"), "customer/orders should broadcast at this scale")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("nested-loop joins appear only where semantics require them") {
+    // q26: brute-force ANN baseline (the point of the query); q38: rule
+    // matching is non-equi (ends-with/contains) over a tiny broadcast rule
+    // table — the same per-row rule scan the reference does.
+    val intentional = Set("q26_cosine_topk", "q38_autotag")
+    val offenders = SparkEntry.queries.keys.filter { name =>
+      try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
+      catch { case _: Throwable => false }
+    }.toSet
+    assert(offenders == intentional, s"unexpected nested-loop joins: ${offenders -- intentional}")
+  }
+}
