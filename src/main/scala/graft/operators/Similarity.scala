@@ -64,8 +64,8 @@ object Similarity {
     val unit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
     val corpusVec = corpus.select(
       col("vec_id"), col("embedding"),
-      array_to_vector(unit).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(corpusVec)
+      array_to_vector(unit).as("features")).cache()
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(corpusVec)
     val assigned = model.transform(corpusVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
