@@ -57,6 +57,28 @@ object Relational {
       .select(col("key"), col("value").as("mode"), col("cnt"))
   }
 
+  /** Skew-salted equi-join: when one join key carries a disproportionate
+    * share of the left side, a plain shuffle puts that key's rows in one
+    * task. Salting splits each left row into one of `saltFactor` virtual
+    * keys and replicates the right side across all of them, so the hot
+    * key spreads over `saltFactor` tasks. Deterministic salt (hash of a
+    * stable column mod factor) keeps results reproducible.
+    *
+    * AQE's skew-join handles sort-merge cases adaptively; explicit salting
+    * is for when the skew is known and extreme (power-law entity keys),
+    * or the join must stay hash-based. Right side is expected to be the
+    * smaller table (it is replicated saltFactor times).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+                 saltCol: Column, saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = left.withColumn("__salt", pmod(hash(saltCol), lit(saltFactor)))
+    val replicated = right.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated,
+        salted("__salt") === replicated("__salt") &&
+          salted(leftKey) === replicated(rightKey), joinType)
+      .drop("__salt")
+  }
+
   /** Filter with a side statistic: returns (kept, statRow) where the stat
     * is a 1-row DataFrame with kept/dropped counts.
     *

@@ -46,6 +46,18 @@ class RelationalSpec extends SpecBase {
       Seq((1, "a"), (2, "z")))
   }
 
+  test("saltedJoin matches a plain join on skewed keys") {
+    // 90% of left rows share key 1 — the salted join must return exactly
+    // the plain join's rows while splitting key 1 across salt partitions
+    val left = (1 to 1000).map(i => (if (i <= 900) 1 else i, s"v$i")).toDF("k", "v")
+    val right = Seq((1, "one"), (950, "x"), (999, "y")).toDF("rk", "name")
+    val plain = left.join(right, $"k" === $"rk").select($"k", $"v", $"name")
+      .collect().map(_.toSeq).toSet
+    val salted = Relational.saltedJoin(left, right, "k", "rk", $"v", saltFactor = 8)
+      .select($"k", $"v", $"name").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 902)
+  }
+
   test("filterWithStat counts kept and dropped in one scan") {
     val df = Seq(1, 2, 3, 4, 5).toDF("x")
     val (kept, stat) = Relational.filterWithStat(df, "s", $"x" > 3)
