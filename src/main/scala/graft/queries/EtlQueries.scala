@@ -169,6 +169,48 @@ object EtlQueries {
         .orderBy(col("k_bucket"))
     },
 
+    // q42: full autocomplete corpus (autocomplete.py unwind_templates +
+    // downstream dedup/scoring): template cross-product with per-template
+    // importance, phrase-level dedup keeping the best importance, score =
+    // occurrence count, visible/low flags like the reference's
+    // sitemap/search gating. inline() explodes the (phrase, importance,
+    // visible) structs without a second projection pass.
+    "q42_autocomplete_corpus" -> QueryDef.of(
+      """WITH expanded AS (
+        |  SELECT u.phrase, u.importance, u.visible FROM (
+        |    SELECT unnest([
+        |      {'phrase': c_mktsegment, 'importance': 0, 'visible': false},
+        |      {'phrase': c_mktsegment || ' in ' || n_name, 'importance': 1, 'visible': true},
+        |      {'phrase': 'services for ' || c_mktsegment || ' in ' || n_name, 'importance': 2, 'visible': true}
+        |    ]) AS u
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  )
+        |)
+        |SELECT phrase,
+        |  CAST(min(importance) AS BIGINT) AS importance,
+        |  CAST(COUNT(*) AS BIGINT) AS score,
+        |  max(visible) AS visible,
+        |  (COUNT(*) <= 1) AS low
+        |FROM expanded GROUP BY phrase
+        |ORDER BY phrase""".stripMargin) { (s, dir) =>
+      val joined = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      val templates = array(
+        struct(col("c_mktsegment").as("phrase"), lit(0).as("importance"), lit(false).as("visible")),
+        struct(concat(col("c_mktsegment"), lit(" in "), col("n_name")).as("phrase"),
+          lit(1).as("importance"), lit(true).as("visible")),
+        struct(concat(lit("services for "), col("c_mktsegment"), lit(" in "), col("n_name")).as("phrase"),
+          lit(2).as("importance"), lit(true).as("visible")))
+      joined.select(inline(templates))
+        .groupBy(col("phrase"))
+        .agg(
+          min(col("importance")).cast("long").as("importance"),
+          count(lit(1)).as("score"),
+          max(col("visible")).as("visible"))
+        .withColumn("low", col("score") <= 1)
+        .orderBy(col("phrase"))
+    },
+
     // q19: merge-duplicate-entities (to_dp.py:237 merge_duplicate_branches):
     // re-key by content hash, merge each group to one row, and count groups
     // per parent entity. The reference's driver-side dict becomes a groupBy
