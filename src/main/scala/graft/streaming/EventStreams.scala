@@ -57,6 +57,40 @@ object EventStreams {
     * Works identically in batch mode (single group pass), which is how the
     * spec cross-checks it against oracle-verified q21.
     */
+  /** foreachBatch upsert sink: maintains a keyed parquet table where each
+    * micro-batch's rows overwrite existing rows with the same key — the
+    * streaming twin of the q36 upsert semantics (update_table.py), and the
+    * standard pattern for keeping a serving table current from a stream.
+    *
+    * Merge = union + keep-first with batch rows ranked above existing
+    * (one window pass); the new snapshot is staged and swapped in via
+    * directory rename so readers never see a half-written table.
+    */
+  def parquetUpsertSink(keyCol: String, outDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = batch.sparkSession
+    val current = Paths.get(outDir, "current")
+    val staged = Paths.get(outDir, s"staging_$batchId")
+    val incoming = batch.withColumn("__src", lit(1))
+    val merged =
+      if (Files.exists(current)) {
+        val existing = spark.read.parquet(current.toString).withColumn("__src", lit(0))
+        graft.operators.Relational.dedupKeepFirst(
+          existing.unionByName(incoming),
+          keys = Seq(col(keyCol)),
+          order = Seq(col("__src").desc))
+      } else incoming
+    merged.drop("__src").write.mode("overwrite").parquet(staged.toString)
+    // swap: retire the old snapshot, promote the staged one
+    if (Files.exists(current)) {
+      val retired = Paths.get(outDir, s"retired_$batchId")
+      Files.move(current, retired)
+      Files.move(staged, current)
+      org.apache.commons.io.FileUtils.deleteDirectory(retired.toFile)
+    } else Files.move(staged, current)
+  }
+
   /** Timestamp <-> microseconds, preserving full parquet precision
     * (java.sql.Timestamp.getTime alone floors to milliseconds). */
   private def toMicros(ts: Timestamp): Long =

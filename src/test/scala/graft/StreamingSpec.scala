@@ -85,6 +85,33 @@ class StreamingSpec extends SpecBase {
     assert(got == expected)
   }
 
+  test("foreachBatch upsert sink keeps the latest row per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val stream = MemoryStream[Event]
+    val query = stream.toDF().writeStream
+      .foreachBatch(EventStreams.parquetUpsertSink("event_id", dir) _)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10L, "view", 1.0),
+        Event(2L, Timestamp.valueOf("2024-01-01 00:01:00"), 11L, "view", 2.0))
+      query.processAllAvailable()
+      stream.addData(
+        Event(2L, Timestamp.valueOf("2024-01-01 00:02:00"), 11L, "purchase", 9.0),
+        Event(3L, Timestamp.valueOf("2024-01-01 00:03:00"), 12L, "view", 3.0))
+      query.processAllAvailable()
+
+      val table = spark.read.parquet(s"$dir/current")
+        .select($"event_id", $"event_type", $"value")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      assert(table.keySet == Set(1L, 2L, 3L))
+      assert(table(2L) == (("purchase", 9.0)), "second batch must overwrite key 2")
+      assert(table(1L) == (("view", 1.0)))
+    } finally query.stop()
+  }
+
   test("session_window streaming sessions match batch q21 session boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
