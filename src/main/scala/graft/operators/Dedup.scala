@@ -153,9 +153,15 @@ object Dedup {
     *
     * The `sizeRatio` prune (min/max set-size bound implied by the
     * threshold) runs in the join condition before any mask work.
-    * Scale notes: the dictionary is distinct tokens (broadcast); at
-    * vocabularies too large to broadcast you'd range-bucket the
-    * dictionary — the pair stage is unchanged.
+    * Scale notes: the dictionary's bit positions are assigned with a
+    * HASH-BUCKETED window (partitioned — never a global single-partition
+    * sort): token t gets tid = rank-within-bucket * nBuckets + bucket,
+    * which is unique and near-dense (bitmask blocks stay compact) while
+    * every numbering task sees only ~V/nBuckets tokens. Jaccard values
+    * are invariant to the id assignment, so results are byte-identical
+    * to any other numbering. At vocabularies too large to broadcast
+    * you'd range-bucket the dictionary join too — the pair stage is
+    * unchanged.
     */
   def jaccardPairs(df: DataFrame, idCol: String, blockCol: String, textCol: String,
                    threshold: Double): DataFrame = {
@@ -163,8 +169,13 @@ object Dedup {
     val toks = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"),
       explode(array_distinct(F.tokens(col(textCol)))).as("t"))
+    val nBuckets = math.max(df.sparkSession.sparkContext.defaultParallelism, 16)
+    val byBucket = Window.partitionBy(col("bucket")).orderBy(col("t"))
     val dict = toks.select(col("t")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("t"))) - 1)
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("tid",
+        (row_number().over(byBucket) - 1) * nBuckets + col("bucket"))
+      .drop("bucket")
     // Block 0 (the first 64 dictionary slots) rides as a plain long column
     // so the common case is a codegen'd bit_count(AND); only vocabularies
     // past 64 tokens touch the (interpreted) overflow-map aggregate.

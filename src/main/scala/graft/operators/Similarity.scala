@@ -57,7 +57,6 @@ object Similarity {
               nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
 
     // L2-normalize for clustering/probing so euclidean cell geometry
     // matches cosine ranking; raw embeddings still score the candidates.
@@ -68,23 +67,31 @@ object Similarity {
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(corpusVec)
     val assigned = model.transform(corpusVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // The cache only exists to serve KMeans' iterations; release it so
+    // repeated bench/verify runs don't accumulate executor storage. The
+    // one downstream pass over corpusVec recomputes from the scan.
+    corpusVec.unpersist()
 
-    // nProbe nearest centroids per query (centroids are tiny: driver math)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val probeOf = (emb: Seq[Float]) => {
-      val norm = math.sqrt(emb.map(x => x.toDouble * x).sum)
-      val u = emb.map(_.toDouble / norm)
-      centroids.zipWithIndex.map { case (c, i) =>
-        val d = c.zip(u).map { case (a, b) => val x = a - b; x * x }.sum
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
-    }
-    import spark.implicits._
-    val qRows = queries.select(col("vec_id"), col("embedding"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val probes = qRows.flatMap { case (id, emb) =>
-      probeOf(emb).map(cell => (id, cell, emb))
-    }.toSeq.toDF("query_id", "cell", "q_emb")
+    // nProbe nearest centroids per query — fully distributed: centroids
+    // (nLists of them, at most a few thousand in a real deployment) ride
+    // as a broadcast-sized literal array; each query explodes against it
+    // and a window keeps the nProbe closest. No driver collect.
+    val centLit = array(model.clusterCenters.map(_.toArray).zipWithIndex.map {
+      case (c, i) => struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("cvec"))
+    }: _*)
+    val qUnit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), qUnit.as("q_unit"))
+      .select(col("query_id"), col("q_emb"), col("q_unit"), explode(centLit).as("c"))
+      .withColumn("dist",
+        aggregate(
+          zip_with(col("c.cvec"), col("q_unit"), (a, b) => { val d = a - b; d * d }),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("cell", col("c.cell"))
+      .withColumn("pr", row_number().over(byQuery))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cell"), col("q_emb"))
 
     val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))

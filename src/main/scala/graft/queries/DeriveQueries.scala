@@ -46,19 +46,27 @@ object DeriveQueries {
     "q34_es_docs" -> QueryDef.of(
       """SELECT c_custkey AS custkey, max(c_name) AS name,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  list_sort(list({'orderkey': o_orderkey, 'status': o_orderstatus})) AS orders
+        |  array_to_string(list_transform(
+        |    list_sort(list({'orderkey': o_orderkey, 'status': o_orderstatus})),
+        |    o -> CAST(o.orderkey AS VARCHAR) || ':' || o.status), '|') AS orders
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey
         |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      // Nested child array serialized 'orderkey:status|…' in the final
+      // projection (both engines) so the driver can sort/hash the column.
       Tables.customer(s, dir)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey").as("custkey"))
         .agg(
           max(col("c_name")).as("name"),
           count(lit(1)).as("n_orders"),
-          sort_array(collect_list(struct(
-            col("o_orderkey").as("orderkey"),
-            col("o_orderstatus").as("status")))).as("orders"))
+          array_join(
+            transform(
+              sort_array(collect_list(struct(
+                col("o_orderkey").as("orderkey"),
+                col("o_orderstatus").as("status")))),
+              o => concat(o.getField("orderkey").cast("string"), lit(":"), o.getField("status"))),
+            "|").as("orders"))
         .orderBy(col("custkey"))
     },
 

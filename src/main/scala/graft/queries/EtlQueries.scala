@@ -18,16 +18,17 @@ object EtlQueries {
     // expression per row — no explode, no shuffle; scales linearly.
     "q11_taxonomy_parents" -> QueryDef.of(
       """SELECT p_partkey AS part_id,
-        |  list_sort(list_distinct([
+        |  array_to_string(list_sort(list_distinct([
         |    p_type || ':' || p_brand,
         |    p_type || ':' || p_brand || ':' || replace(p_name, ' ', '_')
-        |  ])) AS parents
+        |  ])), '|') AS parents
         |FROM part ORDER BY part_id""".stripMargin) { (s, dir) =>
       val ids = array(
         concat_ws(":", col("p_type"), col("p_brand")),
         concat_ws(":", col("p_type"), col("p_brand"), regexp_replace(col("p_name"), " ", "_")))
       Tables.part(s, dir)
-        .select(col("p_partkey").as("part_id"), F.taxonomyParents(ids).as("parents"))
+        .select(col("p_partkey").as("part_id"),
+          array_join(F.taxonomyParents(ids), "|").as("parents"))
         .orderBy(col("part_id"))
     },
 
@@ -48,12 +49,14 @@ object EtlQueries {
     // sort of several array columns, all codegen'd array expressions.
     "q13_merge_arrays" -> QueryDef.of(
       """SELECT p_partkey AS part_id,
-        |  list_sort(list_distinct(list_concat(string_split(p_name, ' '), [p_type, p_brand]))) AS merged
+        |  array_to_string(list_sort(list_distinct(list_concat(string_split(p_name, ' '), [p_type, p_brand]))), '|') AS merged
         |FROM part ORDER BY part_id""".stripMargin) { (s, dir) =>
       Tables.part(s, dir)
         .select(
           col("p_partkey").as("part_id"),
-          F.mergeArrayFields(split(col("p_name"), " "), array(col("p_type"), col("p_brand"))).as("merged"))
+          array_join(
+            F.mergeArrayFields(split(col("p_name"), " "), array(col("p_type"), col("p_brand"))),
+            "|").as("merged"))
         .orderBy(col("part_id"))
     },
 
@@ -92,14 +95,14 @@ object EtlQueries {
     "q16_geo_cluster" -> QueryDef.of(
       """SELECT CAST(floor(value / 100) AS BIGINT) AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_points,
-        |  list_sort(list(event_id)) AS point_ids,
+        |  array_to_string(list_transform(list_sort(list(event_id)), x -> CAST(x AS VARCHAR)), '|') AS point_ids,
         |  max(event_type) AS max_type
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(floor(col("value") / 100).cast("long").as("bucket"))
         .agg(
           count(lit(1)).as("n_points"),
-          sort_array(collect_list(col("event_id"))).as("point_ids"),
+          array_join(sort_array(collect_list(col("event_id"))).cast("array<string>"), "|").as("point_ids"),
           max(col("event_type")).as("max_type"))
         .orderBy(col("bucket"))
     },
@@ -223,7 +226,7 @@ object EtlQueries {
         |    substr(md5(concat_ws('', CAST(o_custkey AS VARCHAR), o_orderstatus)), 1, 8) AS entity_key,
         |    min(o_orderkey) AS rep_orderkey,
         |    COUNT(*) AS n_merged,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM orders GROUP BY 1, 2, 3
         |) ORDER BY custkey, status""".stripMargin) { (s, dir) =>
       val grouped = Tables.orders(s, dir)
@@ -234,7 +237,7 @@ object EtlQueries {
         .agg(
           min(col("o_orderkey")).as("rep_orderkey"),
           count(lit(1)).as("n_merged"),
-          sum(F.money(col("o_totalprice"))).cast("decimal(38,2)").as("total"))
+          sum(F.money(col("o_totalprice"))).cast("double").as("total"))
       grouped
         .withColumn("groups_per_cust", count(lit(1)).over(Window.partitionBy(col("custkey"))).cast("long"))
         .orderBy(col("custkey"), col("status"))

@@ -22,14 +22,14 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS hour_start,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
         .agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(F.money(col("value"))).cast("decimal(38,2)").as("total_value"))
+          sum(F.money(col("value"))).cast("double").as("total_value"))
         .orderBy(col("hour_start"))
     },
 

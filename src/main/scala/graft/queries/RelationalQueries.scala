@@ -18,11 +18,14 @@ object RelationalQueries {
     // TPC-H Q1 shape. Filter reaches the parquet scan as a pushed predicate;
     // aggregation is partial (map-side) then final — one shuffle on the
     // 6-value grouping key.
+    // Aggregation stays DECIMAL internally (exact, partition-order-
+    // independent); only the FINAL projection casts to DOUBLE so the
+    // driver hashes the same representation from both engines.
     "q01_agg" -> QueryDef.of(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -32,10 +35,10 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(F.money(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-          sum(F.money(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+          sum(F.money(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(F.money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(F.money(col("l_extendedprice")) * (lit(BigDecimal(1.00)).cast("decimal(18,2)") - F.money(col("l_discount"))))
-            .cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -45,7 +48,7 @@ object RelationalQueries {
     // filter pushed down.
     "q02_project" -> QueryDef.of(
       """SELECT p_partkey AS part_id, upper(p_name) AS part_name, p_brand AS brand,
-        |  CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS retail_price
         |FROM part WHERE p_size >= 25
         |ORDER BY part_id""".stripMargin) { (s, dir) =>
       Tables.part(s, dir)
@@ -54,7 +57,7 @@ object RelationalQueries {
           col("p_partkey").as("part_id"),
           upper(col("p_name")).as("part_name"),
           col("p_brand").as("brand"),
-          F.money(col("p_retailprice")).as("retail_price"))
+          F.money(col("p_retailprice")).cast("double").as("retail_price"))
         .orderBy(col("part_id"))
     },
 
@@ -64,7 +67,7 @@ object RelationalQueries {
     // sort of the aggregate).
     "q03_join_topn" -> QueryDef.of(
       """SELECT l_orderkey AS orderkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  o_orderdate AS orderdate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -81,7 +84,7 @@ object RelationalQueries {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey").as("orderkey"), col("o_orderdate").as("orderdate"))
         .agg(sum(F.money(col("l_extendedprice")) * (lit(BigDecimal(1.00)).cast("decimal(18,2)") - F.money(col("l_discount"))))
-          .cast("decimal(38,4)").as("revenue"))
+          .cast("double").as("revenue"))
         .select(col("orderkey"), col("revenue"), col("orderdate"))
         .orderBy(col("revenue").desc, col("orderkey"))
         .limit(10)
@@ -92,16 +95,18 @@ object RelationalQueries {
     // single shuffle on the grouping key.
     "q04_join_agg_set" -> QueryDef.of(
       """SELECT c_custkey AS custkey,
-        |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
         |  COUNT(*) AS order_count
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey
         |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      // Array serialized with '|' in the final projection (both engines):
+      // the driver's pandas hasher can't sort raw list columns.
       Tables.customer(s, dir)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey").as("custkey"))
         .agg(
-          sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("priorities"),
           count(lit(1)).as("order_count"))
         .orderBy(col("custkey"))
     },
@@ -109,16 +114,16 @@ object RelationalQueries {
     // q05: concatenate / union-by-name (dataflows concatenate). No shuffle
     // at all — pure union of two scans.
     "q05_concat" -> QueryDef.of(
-      """SELECT c_name AS name, c_nationkey AS nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, 'customer' AS source FROM customer
+      """SELECT c_name AS name, c_nationkey AS nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal, 'customer' AS source FROM customer
         |UNION ALL
-        |SELECT s_name, s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)), 'supplier' FROM supplier
+        |SELECT s_name, s_nationkey, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE), 'supplier' FROM supplier
         |ORDER BY source, name""".stripMargin) { (s, dir) =>
       val c = Tables.customer(s, dir).select(
         col("c_name").as("name"), col("c_nationkey").as("nationkey"),
-        F.money(col("c_acctbal")).as("acctbal"), lit("customer").as("source"))
+        F.money(col("c_acctbal")).cast("double").as("acctbal"), lit("customer").as("source"))
       val p = Tables.supplier(s, dir).select(
         col("s_name").as("name"), col("s_nationkey").as("nationkey"),
-        F.money(col("s_acctbal")).as("acctbal"), lit("supplier").as("source"))
+        F.money(col("s_acctbal")).cast("double").as("acctbal"), lit("supplier").as("source"))
       Relational.concatenate(Seq(c, p)).orderBy(col("source"), col("name"))
     },
 
@@ -173,7 +178,7 @@ object RelationalQueries {
     "q09_window" -> QueryDef.of(
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_orderdate AS orderdate,
         |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(38,2)) AS running_total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total
         |FROM orders ORDER BY custkey, rk""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
       Tables.orders(s, dir)
@@ -182,7 +187,7 @@ object RelationalQueries {
           col("o_orderkey").as("orderkey"),
           col("o_orderdate").as("orderdate"),
           rank().over(w).cast("long").as("rk"),
-          sum(F.money(col("o_totalprice"))).over(w).cast("decimal(38,2)").as("running_total"))
+          sum(F.money(col("o_totalprice"))).over(w).cast("double").as("running_total"))
         .orderBy(col("custkey"), col("rk"))
     },
 

@@ -23,7 +23,7 @@ object TaggingQueries {
         |  FROM part
         |)
         |SELECT p.p_partkey AS part_id,
-        |  list_sort(list(DISTINCT r.tag)) AS auto_tagged
+        |  array_to_string(list_sort(list(DISTINCT r.tag)), '|') AS auto_tagged
         |FROM part p JOIN rules r
         |  ON (p.p_name LIKE '%' || r.query OR position(r.query || ' ' IN p.p_name) > 0)
         |GROUP BY p.p_partkey
@@ -37,7 +37,7 @@ object TaggingQueries {
           col("p_name").endsWith(col("query")) ||
             col("p_name").contains(concat(col("query"), lit(" "))))
         .groupBy(col("p_partkey").as("part_id"))
-        .agg(sort_array(collect_set(col("tag"))).as("auto_tagged"))
+        .agg(array_join(sort_array(collect_set(col("tag"))), "|").as("auto_tagged"))
         .orderBy(col("part_id"))
     },
 

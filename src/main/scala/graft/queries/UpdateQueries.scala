@@ -30,7 +30,7 @@ object UpdateQueries {
         |)
         |SELECT coalesce(c.id, f.id) AS id,
         |  c.name AS name,
-        |  coalesce(f.balance, c.balance) AS balance,
+        |  CAST(coalesce(f.balance, c.balance) AS DOUBLE) AS balance,
         |  CASE WHEN f.id IS NOT NULL THEN 'ACTIVE' ELSE 'INACTIVE' END AS status,
         |  (c.id IS NOT NULL AND f.id IS NOT NULL AND f.balance <> c.balance) AS changed
         |FROM current c FULL OUTER JOIN fetched f ON c.id = f.id
@@ -45,7 +45,7 @@ object UpdateQueries {
         .select(
           coalesce(col("c_id"), col("f_id")).as("id"),
           col("name"),
-          coalesce(col("f_balance"), col("c_balance")).as("balance"),
+          coalesce(col("f_balance"), col("c_balance")).cast("double").as("balance"),
           when(col("f_id").isNotNull, "ACTIVE").otherwise("INACTIVE").as("status"),
           (col("c_id").isNotNull && col("f_id").isNotNull && col("f_balance") =!= col("c_balance")).as("changed"))
         .orderBy(col("id"))

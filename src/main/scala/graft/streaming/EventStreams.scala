@@ -35,7 +35,7 @@ object EventStreams {
       .agg(
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id")).as("n_users_approx"),
-        sum(F.money(col("value"))).cast("decimal(38,2)").as("total_value"))
+        sum(F.money(col("value"))).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("n_events"),
         col("n_users_approx"), col("total_value"))
 

@@ -34,11 +34,11 @@ class StreamingSpec extends SpecBase {
       val streamed = spark.table("tumbling_test")
         .filter($"hour_start" < lit("2025-01-01").cast("timestamp"))
         .select($"hour_start", $"n_events", $"total_value")
-        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
 
       val batch = SparkEntry.queries("q20_tumbling")(spark, SfDir)
         .select($"hour_start", $"n_events", $"total_value")
-        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
 
       assert(streamed == batch)
     } finally query.stop()
@@ -66,10 +66,10 @@ class StreamingSpec extends SpecBase {
       val streamed = spark.table("file_tumbling_test")
         .filter($"hour_start" < lit("2025-01-01").cast("timestamp"))
         .select($"hour_start", $"n_events", $"total_value")
-        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
       val batch = SparkEntry.queries("q20_tumbling")(spark, SfDir)
         .select($"hour_start", $"n_events", $"total_value")
-        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
       assert(streamed == batch)
     } finally query.stop()
   }

@@ -11,6 +11,33 @@ import duckdb, json, math, sys, os
 from datetime import datetime, date
 from decimal import Decimal
 
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def driver_smoke(path, name):
+    """Mirror the driver's failure modes seen in round 1:
+    - pandas sort_values crashes on top-level list columns
+      (TypeError: unhashable type: 'numpy.ndarray')
+    - DECIMAL columns hash differently between Spark and DuckDB
+    Returns a list of problems (empty = driver-safe output).
+    """
+    problems = []
+    schema = pq.read_table(path).schema
+    import pyarrow.types as pt
+    for field in schema:
+        t = field.type
+        if pt.is_decimal(t):
+            problems.append(f"column '{field.name}' is DECIMAL ({t}) — driver hash-fails; cast to DOUBLE")
+        if pt.is_list(t) or pt.is_large_list(t) or pt.is_struct(t) or pt.is_map(t):
+            problems.append(f"column '{field.name}' is nested ({t}) — driver pandas sort crashes; serialize with array_join/to_json")
+    try:
+        df = pd.read_parquet(path)
+        df.sort_values(list(df.columns))
+    except Exception as e:
+        problems.append(f"pandas sort_values crashed: {type(e).__name__}: {e}")
+    return problems
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 
@@ -77,6 +104,12 @@ for name in sorted(oracle):
             if a != b:
                 print(f"  first diff at row {i}:\n    oracle={a}\n    spark ={b}")
                 break
+        failures += 1
+        continue
+    smoke = driver_smoke(f"{OUT}/{name}", name)
+    if smoke:
+        for p in smoke:
+            print(f"FAIL {name}: driver-unsafe output: {p}")
         failures += 1
         continue
     print(f"OK   {name}: {len(srows)} rows")
