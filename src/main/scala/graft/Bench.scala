@@ -21,9 +21,15 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Full materialization through the noop sink: unlike count(), Catalyst
+    // cannot drop final projections/sorts, so projection-heavy queries are
+    // honestly measured.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
     // Warmup: run everything once (exercises codegen + file listing).
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn) catch { case _: Throwable => () }
     }
 
     // Steady-state seconds: best of two timed runs (local runs share the
@@ -31,7 +37,7 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try run(fn) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

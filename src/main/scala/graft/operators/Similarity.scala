@@ -46,31 +46,78 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** An IVF index: the fitted coarse quantizer plus the cell-assigned
+    * (cached) corpus — the in-memory inverted file. */
+  final case class IvfIndex(
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      assigned: DataFrame)
+
+  // Index memo: an ANN index is long-lived state — built once, serving
+  // many query batches. Keyed by the corpus' analyzed plan + parameters;
+  // bounded (oldest entry unpersisted + evicted) so repeated builds with
+  // changing corpora can't accumulate executor storage.
+  private val ivfMemo =
+    scala.collection.mutable.LinkedHashMap.empty[(Int, Int, Int, Long, Int), IvfIndex]
+  private val IvfMemoMax = 4
+
+  /** Build (or fetch the memoized) IVF index over `corpus`.
+    *
+    * The quantizer trains on a deterministic hash-sample (1/`trainMod` of
+    * the corpus) — at billion scale you never k-means the full corpus;
+    * only the small sample is cached during the fit (and released after),
+    * and cell assignment is a single full pass, cached as the inverted
+    * file. Deterministic via the fixed k-means seed.
+    */
+  def ivfIndex(corpus: DataFrame, nLists: Int = 8, seed: Long = 42L,
+               trainMod: Int = 4): IvfIndex = synchronized {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val planHash = corpus match {
+      case d: org.apache.spark.sql.classic.Dataset[_] => d.queryExecution.analyzed.semanticHash()
+      case d => d.schema.hashCode()
+    }
+    val key = (System.identityHashCode(corpus.sparkSession), planHash, nLists, seed, trainMod)
+    ivfMemo.get(key) match {
+      case Some(idx) => idx
+      case None =>
+        // L2-normalize for clustering/probing so euclidean cell geometry
+        // matches cosine ranking; raw embeddings still score candidates.
+        val unit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
+        val corpusVec = corpus.select(
+          col("vec_id"), col("embedding"),
+          array_to_vector(unit).as("features"))
+        val trainVec = corpusVec
+          .filter(pmod(xxhash64(col("vec_id")), lit(trainMod.toLong)) === 0)
+          .select(col("features")).cache()
+        val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(trainVec)
+        trainVec.unpersist()
+        val assigned = model.transform(corpusVec)
+          .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+          .cache()
+        val idx = IvfIndex(model, assigned)
+        if (ivfMemo.size >= IvfMemoMax) {
+          val (oldKey, old) = ivfMemo.head
+          old.assigned.unpersist()
+          ivfMemo.remove(oldKey)
+        }
+        ivfMemo.put(key, idx)
+        idx
+    }
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into `nLists` cells; each query probes its `nProbe` nearest
     * centroids and ranks only those cells' vectors. The standard
     * billion-scale layout: the corpus is stored partitioned by cell, so a
-    * query touches nProbe/nLists of the data. Deterministic via a fixed
-    * k-means seed.
+    * query touches nProbe/nLists of the data. The index build is amortized
+    * across query batches via [[ivfIndex]].
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    // L2-normalize for clustering/probing so euclidean cell geometry
-    // matches cosine ranking; raw embeddings still score the candidates.
-    val unit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
-    val corpusVec = corpus.select(
-      col("vec_id"), col("embedding"),
-      array_to_vector(unit).as("features")).cache()
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(corpusVec)
-    val assigned = model.transform(corpusVec)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    // The cache only exists to serve KMeans' iterations; release it so
-    // repeated bench/verify runs don't accumulate executor storage. The
-    // one downstream pass over corpusVec recomputes from the scan.
-    corpusVec.unpersist()
+              nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L,
+              trainMod: Int = 4): DataFrame = {
+    val idx = ivfIndex(corpus, nLists, seed, trainMod)
+    val model = idx.model
+    val assigned = idx.assigned
 
     // nProbe nearest centroids per query — fully distributed: centroids
     // (nLists of them, at most a few thousand in a real deployment) ride

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.F
 
@@ -56,7 +56,25 @@ object TextAnalysis {
   }
 
   /** Min-window fingerprint: minimum xxhash64 over all w-token shingles —
-    * the "winnowing" selection used for robust near-dup sketches. */
+    * the "winnowing" selection used for robust near-dup sketches.
+    * Column form is interpreted (HOF-over-HOF); pipelines should use the
+    * relational [[minShingleFingerprints]]. */
   def minShingleFingerprint(tokens: Column, w: Int = 8): Column =
     array_min(transform(Dedup.shingles(tokens, w), sh => xxhash64(sh)))
+
+  /** Relational min-shingle fingerprints: explode shingles to rows, hash
+    * each once with codegen'd xxhash64, take the column-wise min — same
+    * values as [[minShingleFingerprint]], but the hash/min path stays in
+    * whole-stage codegen with map-side partial aggregation (the same
+    * rationale as Dedup.minhashSignatures). Returns (id, min_shingle_fp).
+    */
+  def minShingleFingerprints(df: DataFrame, idCol: String, textCol: String,
+                             w: Int = 8): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread
+      .select(col(idCol).as("id"), F.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode_outer(Dedup.shingles(col("toks"), w)).as("sh"))
+      .groupBy(col("id"))
+      .agg(min(xxhash64(col("sh"))).as("min_shingle_fp"))
+  }
 }

@@ -24,7 +24,7 @@ object DeriveQueries {
         |  , 4) AS score
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_acctbal
-        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       Tables.customer(s, dir)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey").as("custkey"), col("c_acctbal"))
@@ -36,7 +36,6 @@ object DeriveQueries {
               * when(col("n") > 100, col("n") / 10.0).otherwise(sqrt(col("n")))
               * when(col("nk").isin(1, 2, 3), 5.0).otherwise(1.0),
             4).as("score"))
-        .orderBy(col("custkey"))
     },
 
     // q34: nested search documents (to_es.py data_api_es_flow +
@@ -51,7 +50,7 @@ object DeriveQueries {
         |    o -> CAST(o.orderkey AS VARCHAR) || ':' || o.status), '|') AS orders
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey
-        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       // Nested child array serialized 'orderkey:status|…' in the final
       // projection (both engines) so the driver can sort/hash the column.
       Tables.customer(s, dir)
@@ -67,19 +66,17 @@ object DeriveQueries {
                 col("o_orderstatus").as("status")))),
               o => concat(o.getField("orderkey").cast("string"), lit(":"), o.getField("status"))),
             "|").as("orders"))
-        .orderBy(col("custkey"))
     },
 
     // q35: sitemap paths (to_sitemap.py:47 — '/c/{id}' with XML escaping).
     "q35_sitemap" -> QueryDef.of(
       """SELECT concat('/c/', replace(replace(entity_key, '''', '&apos;'), '"', '&quot;')) AS path
         |FROM (SELECT substr(md5(concat_ws('', c_name, CAST(c_custkey AS VARCHAR))), 1, 8) AS entity_key FROM customer)
-        |ORDER BY path""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       Tables.customer(s, dir)
         .select(F.hashKey(col("c_name"), col("c_custkey")).as("entity_key"))
         .select(concat(lit("/c/"),
           regexp_replace(regexp_replace(col("entity_key"), "'", "&apos;"), "\"", "&quot;")).as("path"))
-        .orderBy(col("path"))
     }
   )
 }

@@ -22,14 +22,13 @@ object EtlQueries {
         |    p_type || ':' || p_brand,
         |    p_type || ':' || p_brand || ':' || replace(p_name, ' ', '_')
         |  ])), '|') AS parents
-        |FROM part ORDER BY part_id""".stripMargin) { (s, dir) =>
+        |FROM part""".stripMargin) { (s, dir) =>
       val ids = array(
         concat_ws(":", col("p_type"), col("p_brand")),
         concat_ws(":", col("p_type"), col("p_brand"), regexp_replace(col("p_name"), " ", "_")))
       Tables.part(s, dir)
         .select(col("p_partkey").as("part_id"),
           array_join(F.taxonomyParents(ids), "|").as("parents"))
-        .orderBy(col("part_id"))
     },
 
     // q12: filter_with_stat (helpers.py:89, srm_tools/stats.py) — the side
@@ -50,14 +49,13 @@ object EtlQueries {
     "q13_merge_arrays" -> QueryDef.of(
       """SELECT p_partkey AS part_id,
         |  array_to_string(list_sort(list_distinct(list_concat(string_split(p_name, ' '), [p_type, p_brand]))), '|') AS merged
-        |FROM part ORDER BY part_id""".stripMargin) { (s, dir) =>
+        |FROM part""".stripMargin) { (s, dir) =>
       Tables.part(s, dir)
         .select(
           col("p_partkey").as("part_id"),
           array_join(
             F.mergeArrayFields(split(col("p_name"), " "), array(col("p_type"), col("p_brand"))),
             "|").as("merged"))
-        .orderBy(col("part_id"))
     },
 
     // q14: string normalization (helpers.py:377 remove_whitespaces;
@@ -67,11 +65,10 @@ object EtlQueries {
       """SELECT doc_id,
         |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm_text,
         |  length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_len
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM documents""".stripMargin) { (s, dir) =>
       val norm = F.normalizeWhitespace(col("text"))
       Tables.documents(s, dir)
         .select(col("doc_id"), norm.as("norm_text"), length(norm).cast("long").as("norm_len"))
-        .orderBy(col("doc_id"))
     },
 
     // q15: per-key mode (helpers.py:306 most_common_category) with
@@ -82,10 +79,9 @@ object EtlQueries {
         |  SELECT user_id AS key, event_type AS mode_value, COUNT(*) AS cnt,
         |    row_number() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
         |  FROM events GROUP BY user_id, event_type
-        |) WHERE rn = 1 ORDER BY key""".stripMargin) { (s, dir) =>
+        |) WHERE rn = 1""".stripMargin) { (s, dir) =>
       Relational.modePerKey(Tables.events(s, dir), col("user_id"), col("event_type"))
         .select(col("key"), col("mode").as("mode_value"), col("cnt"))
-        .orderBy(col("key"))
     },
 
     // q16: geo clustering (to_mapbox.py:97 geo_data_flow — join_with_self
@@ -97,14 +93,13 @@ object EtlQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_points,
         |  array_to_string(list_transform(list_sort(list(event_id)), x -> CAST(x AS VARCHAR)), '|') AS point_ids,
         |  max(event_type) AS max_type
-        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(floor(col("value") / 100).cast("long").as("bucket"))
         .agg(
           count(lit(1)).as("n_points"),
           array_join(sort_array(collect_list(col("event_id"))).cast("array<string>"), "|").as("point_ids"),
           max(col("event_type")).as("max_type"))
-        .orderBy(col("bucket"))
     },
 
     // q17: RS-score (to_dp.py:700 RSScoreCalc): log(total/freq) over
@@ -122,7 +117,7 @@ object EtlQueries {
         |)
         |SELECT f.lang, f.token, f.freq, round(ln(CAST(t.total AS DOUBLE) / f.freq), 4) AS score
         |FROM freq f JOIN tot t ON f.lang = t.lang
-        |ORDER BY f.lang, f.token""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       val tok = Tables.documents(s, dir)
         .select(col("lang"), explode(F.tokens(col("text"))).as("token"))
       val freq = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq"))
@@ -130,7 +125,6 @@ object EtlQueries {
       freq.join(broadcast(tot), "lang")
         .select(col("lang"), col("token"), col("freq"),
           round(log(col("total").cast("double") / col("freq")), 4).as("score"))
-        .orderBy(col("lang"), col("token"))
     },
 
     // q18: autocomplete corpus (autocomplete.py:17 template cross-product).
@@ -144,7 +138,7 @@ object EtlQueries {
         |    'services for ' || c_mktsegment || ' in ' || n_name
         |  ]) AS phrase
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |) GROUP BY phrase ORDER BY phrase""".stripMargin) { (s, dir) =>
+        |) GROUP BY phrase""".stripMargin) { (s, dir) =>
       val joined = Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       val templates = array(
@@ -153,7 +147,6 @@ object EtlQueries {
         concat(lit("services for "), col("c_mktsegment"), lit(" in "), col("n_name")))
       joined.select(explode(templates).as("phrase"))
         .groupBy(col("phrase")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("phrase"))
     },
 
     // q41: JSON property extraction + flattening (transform/
@@ -164,12 +157,11 @@ object EtlQueries {
       """SELECT CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS BIGINT) AS k_bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
-        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       val k = get_json_object(col("props"), "$.k").cast("int")
       Tables.events(s, dir)
         .groupBy((k % 10).cast("long").as("k_bucket"))
         .agg(count(lit(1)).as("n"), sum(k).cast("long").as("k_sum"))
-        .orderBy(col("k_bucket"))
     },
 
     // q42: full autocomplete corpus (autocomplete.py unwind_templates +
@@ -195,7 +187,7 @@ object EtlQueries {
         |  max(visible) AS visible,
         |  (COUNT(*) <= 1) AS low
         |FROM expanded GROUP BY phrase
-        |ORDER BY phrase""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       val joined = Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       val templates = array(
@@ -211,7 +203,6 @@ object EtlQueries {
           count(lit(1)).as("score"),
           max(col("visible")).as("visible"))
         .withColumn("low", col("score") <= 1)
-        .orderBy(col("phrase"))
     },
 
     // q19: merge-duplicate-entities (to_dp.py:237 merge_duplicate_branches):
@@ -228,7 +219,7 @@ object EtlQueries {
         |    COUNT(*) AS n_merged,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM orders GROUP BY 1, 2, 3
-        |) ORDER BY custkey, status""".stripMargin) { (s, dir) =>
+        |)""".stripMargin) { (s, dir) =>
       val grouped = Tables.orders(s, dir)
         .groupBy(
           col("o_custkey").as("custkey"),
@@ -240,7 +231,6 @@ object EtlQueries {
           sum(F.money(col("o_totalprice"))).cast("double").as("total"))
       grouped
         .withColumn("groups_per_cust", count(lit(1)).over(Window.partitionBy(col("custkey"))).cast("long"))
-        .orderBy(col("custkey"), col("status"))
     }
   )
 }

@@ -23,14 +23,13 @@ object EventQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin) { (s, dir) =>
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
         .agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
           sum(F.money(col("value"))).cast("double").as("total_value"))
-        .orderBy(col("hour_start"))
     },
 
     // q21: sessionization with a 30-minute inactivity gap. Classic
@@ -51,7 +50,7 @@ object EventQueries {
         |SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  min(ts) AS start_ts, max(ts) AS end_ts
         |FROM sess GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val micros = unix_micros(col("ts"))
       Tables.events(s, dir)
@@ -64,7 +63,6 @@ object EventQueries {
           count(lit(1)).as("n_events"),
           min(col("ts")).as("start_ts"),
           max(col("ts")).as("end_ts"))
-        .orderBy(col("user_id"), col("session_idx"))
     }
   )
 }

@@ -22,9 +22,8 @@ object LlmQueries {
     "q22_exact_dedup" -> QueryDef.of(
       """SELECT text_hash, min(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM (SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_hash FROM documents)
-        |GROUP BY text_hash ORDER BY keep_id""".stripMargin) { (s, dir) =>
+        |GROUP BY text_hash""".stripMargin) { (s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), col("text"), col("doc_id"))
-        .orderBy(col("keep_id"))
     },
 
     // q23: MinHash+LSH dedup links (star-to-representative: linear in
@@ -35,14 +34,12 @@ object LlmQueries {
     // spec-checked at small scale via minhashNearDups.
     "q23_minhash" -> QueryDef.rowsOnly { (s, dir) =>
       Dedup.minhashDedupLinks(Tables.documents(s, dir), "doc_id", "text", threshold = 0.7)
-        .orderBy(col("id_a"), col("id_b"))
     },
 
     // q24: SimHash dedup links (same star pattern over 16-bit blocks).
     // Rows-only for the same seeded-hash reason.
     "q24_simhash" -> QueryDef.rowsOnly { (s, dir) =>
       Dedup.simhashDedupLinks(Tables.documents(s, dir), "doc_id", "text", maxDist = 16)
-        .orderBy(col("id_a"), col("id_b"))
     },
 
     // q25: token-set Jaccard similarity pairs, blocked on lang (the
@@ -63,9 +60,8 @@ object LlmQueries {
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |    AND len(a.toks) * 10 >= len(b.toks) * 6 AND len(b.toks) * 10 >= len(a.toks) * 6
         |) WHERE jaccard >= 0.6
-        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "lang", "text", threshold = 0.6)
-        .orderBy(col("id_a"), col("id_b"))
     },
 
     // q26: brute-force cosine top-k ANN baseline (query side broadcast;
@@ -83,10 +79,9 @@ object LlmQueries {
         |  SELECT query_id, neighbor_id, cos,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
         |  FROM scored
-        |) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+        |) WHERE rk <= 5""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
-        .orderBy(col("query_id"), col("rk"))
     },
 
     // q27: LSH-bucketed ANN — the 100 TB path (per-bucket top-k instead of
@@ -95,7 +90,6 @@ object LlmQueries {
     "q27_lsh_ann" -> QueryDef.rowsOnly { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.lshAnnTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5)
-        .orderBy(col("query_id"), col("rk"))
     },
 
     // q40: IVF ANN — the billion-scale layout (coarse k-means cells,
@@ -104,7 +98,6 @@ object LlmQueries {
     "q40_ivf_ann" -> QueryDef.rowsOnly { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
-        .orderBy(col("query_id"), col("rk"))
     },
 
     // q28: language-ID heuristic (stopword-hit scoring).
@@ -120,7 +113,7 @@ object LlmQueries {
         |)
         |SELECT doc_id, round(ratio, 4) AS en_ratio,
         |  CASE WHEN ratio > 0.05 THEN 'en' ELSE 'unknown' END AS predicted
-        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM r""".stripMargin) { (s, dir) =>
       val toks = F.tokens(col("text"))
       val ratio = TextAnalysis.stopwordRatio(toks)
       Tables.documents(s, dir)
@@ -128,7 +121,6 @@ object LlmQueries {
           col("doc_id"),
           round(ratio, 4).as("en_ratio"),
           TextAnalysis.langIdPrediction(ratio).as("predicted"))
-        .orderBy(col("doc_id"))
     },
 
     // q29: quality scoring (stopword coverage + length coverage).
@@ -142,14 +134,13 @@ object LlmQueries {
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  round((CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks)) * 0.5
         |        + (CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.5, 4) AS quality
-        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM t""".stripMargin) { (s, dir) =>
       val toks = F.tokens(col("text"))
       Tables.documents(s, dir)
         .select(
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
           TextAnalysis.qualityScore(toks).as("quality"))
-        .orderBy(col("doc_id"))
     },
 
     // q30: token counting — whitespace tokens and a BPE-ish pre-tokenizer.
@@ -158,26 +149,28 @@ object LlmQueries {
         |  CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM documents""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(
           col("doc_id"),
           size(split(F.normalizeWhitespace(col("text")), " ")).cast("long").as("ws_tokens"),
           TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
           length(col("text")).cast("long").as("n_chars"))
-        .orderBy(col("doc_id"))
     },
 
     // q31: rolling-hash fingerprints (whole-doc polynomial hash + min
     // shingle hash). Rows-only: modular arithmetic sketches, ScalaTest
-    // pins exact expected values.
+    // pins exact expected values. The shingle min comes from the
+    // relational explode/groupBy path (codegen'd) — the interpreted
+    // HOF-over-HOF column form measured ~10x slower under a full
+    // materialization sink.
     "q31_fingerprint" -> QueryDef.rowsOnly { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("poly_fp"),
-          TextAnalysis.minShingleFingerprint(F.tokens(col("text"))).as("min_shingle_fp"))
-        .orderBy(col("doc_id"))
+      val docs = Tables.documents(s, dir)
+      val poly = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("poly_fp"))
+      val minSh = TextAnalysis.minShingleFingerprints(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      poly.join(minSh, "doc_id")
+        .select(col("doc_id"), col("poly_fp"), col("min_shingle_fp"))
     },
 
     // q32: multimodal plumbing — binary payload + metadata struct, stubbed
@@ -191,7 +184,6 @@ object LlmQueries {
         .join(frames, "id")
         .select(col("id"), col("n_bytes"), col("n_frames"),
           round(element_at(col("features"), 1).cast("double"), 4).as("feat0"))
-        .orderBy(col("id"))
     }
   )
 }

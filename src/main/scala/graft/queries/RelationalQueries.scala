@@ -30,7 +30,7 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -40,7 +40,6 @@ object RelationalQueries {
           sum(F.money(col("l_extendedprice")) * (lit(BigDecimal(1.00)).cast("decimal(18,2)") - F.money(col("l_discount"))))
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
     // q02: select/rename/cast projection (helpers.py:148-174). The scan
@@ -50,7 +49,7 @@ object RelationalQueries {
       """SELECT p_partkey AS part_id, upper(p_name) AS part_name, p_brand AS brand,
         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS retail_price
         |FROM part WHERE p_size >= 25
-        |ORDER BY part_id""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       Tables.part(s, dir)
         .filter(col("p_size") >= 25)
         .select(
@@ -58,7 +57,6 @@ object RelationalQueries {
           upper(col("p_name")).as("part_name"),
           col("p_brand").as("brand"),
           F.money(col("p_retailprice")).cast("double").as("retail_price"))
-        .orderBy(col("part_id"))
     },
 
     // q03: multi-way join + top-N (DF.join, to_dp.py:329). customer is the
@@ -99,7 +97,7 @@ object RelationalQueries {
         |  COUNT(*) AS order_count
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey
-        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       // Array serialized with '|' in the final projection (both engines):
       // the driver's pandas hasher can't sort raw list columns.
       Tables.customer(s, dir)
@@ -108,7 +106,6 @@ object RelationalQueries {
         .agg(
           array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("priorities"),
           count(lit(1)).as("order_count"))
-        .orderBy(col("custkey"))
     },
 
     // q05: concatenate / union-by-name (dataflows concatenate). No shuffle
@@ -117,14 +114,14 @@ object RelationalQueries {
       """SELECT c_name AS name, c_nationkey AS nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal, 'customer' AS source FROM customer
         |UNION ALL
         |SELECT s_name, s_nationkey, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE), 'supplier' FROM supplier
-        |ORDER BY source, name""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       val c = Tables.customer(s, dir).select(
         col("c_name").as("name"), col("c_nationkey").as("nationkey"),
         F.money(col("c_acctbal")).cast("double").as("acctbal"), lit("customer").as("source"))
       val p = Tables.supplier(s, dir).select(
         col("s_name").as("name"), col("s_nationkey").as("nationkey"),
         F.money(col("s_acctbal")).cast("double").as("acctbal"), lit("supplier").as("source"))
-      Relational.concatenate(Seq(c, p)).orderBy(col("source"), col("name"))
+      Relational.concatenate(Seq(c, p))
     },
 
     // q06: unwind/explode (srm_tools/unwind.py:4). explode stays inside
@@ -132,12 +129,11 @@ object RelationalQueries {
     "q06_unwind" -> QueryDef.of(
       """SELECT word, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
-        |GROUP BY word ORDER BY cnt DESC, word""".stripMargin) { (s, dir) =>
+        |GROUP BY word""".stripMargin) { (s, dir) =>
       Relational.unwind(
         Tables.part(s, dir).select(split(col("p_name"), " ").as("words")),
         "words", "word")
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("word"))
     },
 
     // q07: keep-first dedup (to_dp.py:580). Deterministic ordering replaces
@@ -147,7 +143,7 @@ object RelationalQueries {
       """SELECT o_custkey AS custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
-        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       Relational.dedupKeepFirst(
         Tables.orders(s, dir),
         keys = Seq(col("o_custkey")),
@@ -156,7 +152,6 @@ object RelationalQueries {
           col("o_custkey").as("custkey"),
           col("o_orderkey").as("first_orderkey"),
           col("o_orderdate").as("first_orderdate"))
-        .orderBy(col("custkey"))
     },
 
     // q08: surrogate hash keys (srm_tools/hash.py:4) — md5-based, fully
@@ -164,12 +159,11 @@ object RelationalQueries {
     "q08_hash_key" -> QueryDef.of(
       """SELECT c_custkey AS custkey,
         |  substr(md5(concat_ws('', c_name, CAST(c_nationkey AS VARCHAR))), 1, 8) AS entity_key
-        |FROM customer ORDER BY custkey""".stripMargin) { (s, dir) =>
+        |FROM customer""".stripMargin) { (s, dir) =>
       Tables.customer(s, dir)
         .select(
           col("c_custkey").as("custkey"),
           F.hashKey(col("c_name"), col("c_nationkey")).as("entity_key"))
-        .orderBy(col("custkey"))
     },
 
     // q09: ordered windows (dataflows sort_rows + the reference's ordered
@@ -179,7 +173,7 @@ object RelationalQueries {
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_orderdate AS orderdate,
         |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total
-        |FROM orders ORDER BY custkey, rk""".stripMargin) { (s, dir) =>
+        |FROM orders""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
       Tables.orders(s, dir)
         .select(
@@ -188,7 +182,6 @@ object RelationalQueries {
           col("o_orderdate").as("orderdate"),
           rank().over(w).cast("long").as("rk"),
           sum(F.money(col("o_totalprice"))).over(w).cast("double").as("running_total"))
-        .orderBy(col("custkey"), col("rk"))
     },
 
     // q10: fuzzy near-match (to_dp.py:264, fuzz.ratio on duplicate
@@ -201,7 +194,7 @@ object RelationalQueries {
         |  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |    AND abs(length(a.p_name) - length(b.p_name)) * 5 <= greatest(length(a.p_name), length(b.p_name))
         |) WHERE ratio >= 80
-        |ORDER BY key_a, key_b""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       // Exact length prune in the join: ratio >= 80 needs lev <= 0.2*maxlen,
       // and lev >= |len_a - len_b| always, so 5*|len diff| <= maxlen is a
       // lossless pre-filter evaluated before any Levenshtein work.
@@ -216,17 +209,19 @@ object RelationalQueries {
       // Banded levenshtein with early exit: ratio>=80 needs lev <= 0.205*maxlen,
       // which is <= 7 for any name under 35 chars (p_name is ~8-15), so the
       // k=7 threshold is lossless and the DP early-exits on distant pairs.
+      // The whole predicate lives in the JOIN condition: short-circuit
+      // order (brand/key/length prune, then the banded DP) evaluates the
+      // expensive levenshtein once per candidate pair; a post-filter form
+      // re-evaluates it through predicate substitution (measured ~2x).
+      // Survivors (a tiny fraction) recompute ratio in the projection.
       val lev = levenshtein(col("name_a"), col("name_b"), 7)
       val maxLen = greatest(length(col("name_a")), length(col("name_b")))
+      def ratioOf(l: org.apache.spark.sql.Column) =
+        round(lit(100.0) * (lit(1.0) - l.cast("double") / maxLen.cast("double"))).cast("long")
       a.join(b, col("brand_a") === col("brand_b") && col("key_a") < col("key_b")
-          && abs(length(col("name_a")) - length(col("name_b"))) * 5 <= greatest(length(col("name_a")), length(col("name_b"))))
-        .withColumn("lev", lev)
-        .filter(col("lev") >= 0)
-        .withColumn("ratio",
-          round(lit(100.0) * (lit(1.0) - col("lev").cast("double") / maxLen.cast("double"))).cast("long"))
-        .filter(col("ratio") >= 80)
-        .select(col("key_a"), col("key_b"), col("ratio"))
-        .orderBy(col("key_a"), col("key_b"))
+          && abs(length(col("name_a")) - length(col("name_b"))) * 5 <= greatest(length(col("name_a")), length(col("name_b")))
+          && lev >= 0 && ratioOf(lev) >= 80)
+        .select(col("key_a"), col("key_b"), ratioOf(lev).as("ratio"))
     }
   )
 }

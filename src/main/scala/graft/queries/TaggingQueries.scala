@@ -27,7 +27,7 @@ object TaggingQueries {
         |FROM part p JOIN rules r
         |  ON (p.p_name LIKE '%' || r.query OR position(r.query || ' ' IN p.p_name) > 0)
         |GROUP BY p.p_partkey
-        |ORDER BY part_id""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       val part = Tables.part(s, dir)
       val rules = part
         .select(element_at(split(col("p_name"), " "), 2).as("query"))
@@ -38,7 +38,6 @@ object TaggingQueries {
             col("p_name").contains(concat(col("query"), lit(" "))))
         .groupBy(col("p_partkey").as("part_id"))
         .agg(array_join(sort_array(collect_set(col("tag"))), "|").as("auto_tagged"))
-        .orderBy(col("part_id"))
     },
 
     // q39: entity-name cleanup (data_cleaning.py clean_org_name): chained
@@ -47,14 +46,13 @@ object TaggingQueries {
     "q39_clean_name" -> QueryDef.of(
       """SELECT c_custkey AS custkey,
         |  trim(regexp_replace(replace(replace(c_name, 'Customer#', ''), '#', ''), '^0+', '')) AS clean_name
-        |FROM customer ORDER BY custkey""".stripMargin) { (s, dir) =>
+        |FROM customer""".stripMargin) { (s, dir) =>
       Tables.customer(s, dir)
         .select(
           col("c_custkey").as("custkey"),
           trim(regexp_replace(
             regexp_replace(regexp_replace(col("c_name"), "Customer#", ""), "#", ""),
             "^0+", "")).as("clean_name"))
-        .orderBy(col("custkey"))
     }
   )
 }

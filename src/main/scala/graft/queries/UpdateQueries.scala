@@ -34,7 +34,7 @@ object UpdateQueries {
         |  CASE WHEN f.id IS NOT NULL THEN 'ACTIVE' ELSE 'INACTIVE' END AS status,
         |  (c.id IS NOT NULL AND f.id IS NOT NULL AND f.balance <> c.balance) AS changed
         |FROM current c FULL OUTER JOIN fetched f ON c.id = f.id
-        |ORDER BY id""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       val current = Tables.customer(s, dir).select(
         col("c_custkey").as("c_id"), col("c_name").as("name"), F.money(col("c_acctbal")).as("c_balance"))
       val fetched = Tables.orders(s, dir)
@@ -48,7 +48,6 @@ object UpdateQueries {
           coalesce(col("f_balance"), col("c_balance")).cast("double").as("balance"),
           when(col("f_id").isNotNull, "ACTIVE").otherwise("INACTIVE").as("status"),
           (col("c_id").isNotNull && col("f_id").isNotNull && col("f_balance") =!= col("c_balance")).as("changed"))
-        .orderBy(col("id"))
     },
 
     // q37: manual fixes (manual_fixes.py): a (record, field, value) patch
@@ -63,7 +62,7 @@ object UpdateQueries {
         |  coalesce(f.new_name, c_name) AS name,
         |  (f.fix_id IS NOT NULL) AS was_fixed
         |FROM customer c LEFT JOIN fixes f ON c.c_custkey = f.fix_id
-        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+        |""".stripMargin) { (s, dir) =>
       val customers = Tables.customer(s, dir)
       val fixes = customers.filter(col("c_custkey") % 100 === 0)
         .select(col("c_custkey").as("fix_id"), upper(col("c_name")).as("new_name"))
@@ -72,7 +71,6 @@ object UpdateQueries {
           col("c_custkey").as("custkey"),
           coalesce(col("new_name"), col("c_name")).as("name"),
           col("fix_id").isNotNull.as("was_fixed"))
-        .orderBy(col("custkey"))
     }
   )
 }
