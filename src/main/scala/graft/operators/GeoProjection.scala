@@ -91,10 +91,13 @@ object GeoMath {
       n * (1 - E2) * math.sin(lat))
   }
 
-  /** Geocentric XYZ -> geodetic degrees (iterative, WGS84-scale ellipsoid). */
+  /** Geocentric XYZ -> geodetic degrees (iterative, WGS84-scale ellipsoid).
+    * Plain sqrt(x²+y²) rather than hypot so the arithmetic is expressible
+    * step-for-step in oracle SQL (hypot differs from sqrt at the ulp
+    * level; over Israel's extent the difference is < 1e-9 m). */
   private def toGeodetic(x: Double, y: Double, z: Double): (Double, Double) = {
     val lon = math.atan2(y, x)
-    val p = math.hypot(x, y)
+    val p = math.sqrt(x * x + y * y)
     var lat = math.atan2(z, p * (1 - E2))
     var i = 0
     while (i < 6) {
@@ -112,6 +115,29 @@ object GeoMath {
     val (x, y, z) = toGeocentric(latIsr, lonIsr)
     val (lat, lon) = toGeodetic(x + DX, y + DY, z + DZ)
     Array(lon, lat)
+  }
+
+  /** Constants exposed for oracle-SQL generation: the DuckDB oracle
+    * replays this projection step-for-step, and interpolating the JVM's
+    * own constants (shortest round-trip decimal form) guarantees literal
+    * parity — the only residual divergence is libm-vs-JVM transcendental
+    * rounding (≤1 ulp, far below the 5-decimal point_id granularity). */
+  object Sql {
+    val a: Double = A
+    val e2: Double = E2
+    val ep2: Double = EP2
+    val k0: Double = K0
+    val fe: Double = FE
+    val fn: Double = FN
+    val lon0: Double = Lon0
+    val dx: Double = DX; val dy: Double = DY; val dz: Double = DZ
+    val merLat0: Double = meridianArc(Lat0)
+    val muDen: Double = A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * math.pow(E2, 3) / 256)
+    val e1: Double = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+    val fp2: Double = 3 * e1 / 2 - 27 * math.pow(e1, 3) / 32
+    val fp4: Double = 21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32
+    val fp6: Double = 151 * math.pow(e1, 3) / 96
+    val fp8: Double = 1097 * math.pow(e1, 4) / 512
   }
 }
 
