@@ -53,6 +53,29 @@ object F {
     array_sort(array_distinct(expanded))
   }
 
+  /** Normalize messy taxonomy id lists — the canonicalization half of the
+    * reference's taxonomy handling (to_dp.py:116 `normalize_taxonomy_ids`):
+    * split comma-concatenated values, split multiple full ids smashed
+    * together with spaces, canonicalize the singular root
+    * 'human_situation:' -> 'human_situations:', strip whitespace and
+    * trailing/leading ',;', drop empties and the bare root token, and
+    * dedupe preserving first appearance (array_distinct keeps first
+    * occurrence). Pure array expressions — per-row, no shuffle. */
+  def normalizeTaxonomyIds(ids: Column): Column = {
+    val pat = "human_situations:[A-Za-z0-9_:-]+|human_situation:[A-Za-z0-9_:-]+"
+    val commaSplit = flatten(transform(coalesce(ids, array()), x => split(x, ",")))
+    val nonEmpty = filter(transform(commaSplit, p => trim(p)), p => p =!= "")
+    val smashed = flatten(transform(nonEmpty, p => {
+      val toks = regexp_extract_all(p, lit(pat), lit(0))
+      when(size(toks) > 1, toks).otherwise(array(p))
+    }))
+    val canon = transform(smashed, t =>
+      regexp_replace(t, "^human_situation:", "human_situations:"))
+    val stripped = transform(canon, t =>
+      regexp_replace(regexp_replace(trim(t), "[,;]+$", ""), "^[,;]+", ""))
+    array_distinct(filter(stripped, t => t =!= "" && t =!= "human_situations"))
+  }
+
   /** Merge several array columns: drop nulls, flatten, distinct, sort.
     * Reference: to_dp.py:84 (`merge_array_fields`). */
   def mergeArrayFields(cols: Column*): Column = {

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Pins normalize_taxonomy_ids semantics (to_dp.py:116) on a handcrafted
+  * messy input: comma splits, space-smashed ids, singular-root
+  * canonicalization, strip, bare-root drop, first-appearance dedup. */
+class TaxonomySpec extends SpecBase {
+  import spark.implicits._
+
+  test("normalizeTaxonomyIds reproduces the reference's emit rules in order") {
+    val input = Seq(
+      "human_situation:age_group:adults",                     // singular -> canonical
+      "human_situations:a,human_situations:b",                // comma concat
+      "human_situations:x_1:deep human_situations:y_2",       // space-smashed
+      "human_situations",                                     // bare root -> dropped
+      " human_situations:pad; ",                              // strip both ends
+      "human_situations:a",                                   // duplicate -> deduped
+      ""                                                      // empty -> dropped
+    )
+    val got = Seq(Tuple1(input)).toDF("ids")
+      .select(F.normalizeTaxonomyIds(col("ids")).as("norm"))
+      .head().getSeq[String](0)
+    assert(got == Seq(
+      "human_situations:age_group:adults",
+      "human_situations:a",
+      "human_situations:b",
+      "human_situations:x_1:deep",
+      "human_situations:y_2",
+      "human_situations:pad"))
+  }
+
+  test("null and empty arrays normalize to empty") {
+    val df = Seq(Tuple1(Option.empty[Seq[String]]), Tuple1(Some(Seq.empty[String]))).toDF("ids")
+    val got = df.select(F.normalizeTaxonomyIds(col("ids")).as("n")).collect()
+    assert(got.forall(_.getSeq[String](0).isEmpty))
+  }
+}
