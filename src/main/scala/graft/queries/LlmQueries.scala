@@ -158,24 +158,51 @@ object LlmQueries {
           length(col("text")).cast("long").as("n_chars"))
     },
 
-    // q31: rolling-hash fingerprints (whole-doc polynomial hash + min
-    // shingle hash). Rows-only: modular arithmetic sketches, ScalaTest
-    // pins exact expected values. The shingle min comes from the
-    // relational explode/groupBy path (codegen'd) — the interpreted
-    // HOF-over-HOF column form measured ~10x slower under a full
-    // materialization sink.
-    "q31_fingerprint" -> QueryDef.rowsOnly { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val poly = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("poly_fp"))
-      val minSh = TextAnalysis.minShingleFingerprints(docs, "doc_id", "text")
+    // q31: whole-doc polynomial rolling-hash fingerprint — the native
+    // codegen'd PolyHash Expression, now ORACLE-VERIFIED: the DuckDB side
+    // replays the fold as list_reduce over codepoints (the corpus is
+    // ASCII, so UTF-16 units == codepoints; acc < 2^30 so BIGINT
+    // arithmetic never overflows before the mod).
+    "q31_fingerprint" -> QueryDef.of(
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(norm) + 1), i -> CAST(unicode(norm[i:i]) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS poly_fp
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents)
+        |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("poly_fp"))
+    },
+
+    // q48: min-shingle ("winnowing") fingerprint via the relational
+    // explode/groupBy path. Rows-only (xxhash64-seeded); exact values
+    // pinned against the column form in TextAnalysisSpec.
+    "q48_winnow_fingerprint" -> QueryDef.rowsOnly { (s, dir) =>
+      TextAnalysis.minShingleFingerprints(Tables.documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-      poly.join(minSh, "doc_id")
-        .select(col("doc_id"), col("poly_fp"), col("min_shingle_fp"))
     },
 
     // q32: multimodal plumbing — binary payload + metadata struct, stubbed
-    // partition-batched feature extraction, frame sampling counts.
-    "q32_multimodal" -> QueryDef.rowsOnly { (s, dir) =>
+    // partition-batched feature extraction, frame sampling counts. Now
+    // ORACLE-VERIFIED: the stub's deterministic byte-fold (64-bit wrapping
+    // multiply-add) is replayed in DuckDB as a HUGEINT fold mod 2^64
+    // (ASCII corpus -> payload bytes == codepoints), and the frame count
+    // replays the chunking arithmetic.
+    "q32_multimodal" -> QueryDef.of(
+      """WITH f AS (
+        |  SELECT doc_id AS id, CAST(len(text) AS BIGINT) AS n_bytes,
+        |    CAST(len(list_filter(range(0, 4), i -> i * greatest(len(text) // 4, 1) + 1 <= len(text))) AS BIGINT) AS n_frames,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(1, len(text) + 1), i -> CAST(unicode(text[i:i]) AS HUGEINT))),
+        |      (a, b) -> (a * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS acc
+        |  FROM documents
+        |)
+        |SELECT id, n_bytes, n_frames,
+        |  round(CAST(CAST(CAST(acc % 65536 AS BIGINT) AS FLOAT) / CAST(65535 AS FLOAT) AS DOUBLE), 4) AS feat0
+        |FROM f
+        |""".stripMargin) { (s, dir) =>
       val media = Multimodal.asMediaTable(Tables.documents(s, dir))
       val feats = Multimodal.extractFeatures(s, media).toDF()
       val frames = Multimodal.sampleFrames(media, n = 4)
