@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
 
 import graft.functions.expressions.PolyHash
 
@@ -27,10 +28,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => children match {
-        case Seq(c) => PolyHash(c)
-        case Seq(c, b, m) => PolyHash(c,
-          b.eval().asInstanceOf[Number].longValue(),
-          m.eval().asInstanceOf[Number].longValue())
+        // PolyHash consumes UTF8String — cast any SQL input (analysis-time
+        // error on non-castable types instead of a codegen ClassCastException)
+        case Seq(c) => PolyHash(Cast(c, StringType))
+        case Seq(c, b, m) =>
+          def constLong(e: Expression, name: String): Long = {
+            if (!e.foldable) throw new IllegalArgumentException(
+              s"poly_hash: $name must be a literal, got ${e.sql}")
+            e.eval() match {
+              case n: Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"poly_hash: $name must be numeric, got $other")
+            }
+          }
+          PolyHash(Cast(c, StringType), constLong(b, "base"), constLong(m, "mod"))
         case _ => throw new IllegalArgumentException(
           "poly_hash(str[, base, mod]) takes 1 or 3 arguments")
       }))

@@ -206,15 +206,18 @@ object RelationalQueries {
       val a = p.repartition(s.sparkContext.defaultParallelism)
         .select(col("p_partkey").as("key_a"), col("p_brand").as("brand_a"), col("p_name").as("name_a"))
       val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand_b"), col("p_name").as("name_b"))
-      // Banded levenshtein with early exit: ratio>=80 needs lev <= 0.205*maxlen,
-      // which is <= 7 for any name under 35 chars (p_name is ~8-15), so the
-      // k=7 threshold is lossless and the DP early-exits on distant pairs.
-      // The whole predicate lives in the JOIN condition: short-circuit
-      // order (brand/key/length prune, then the banded DP) evaluates the
-      // expensive levenshtein once per candidate pair; a post-filter form
-      // re-evaluates it through predicate substitution (measured ~2x).
-      // Survivors (a tiny fraction) recompute ratio in the projection.
-      val lev = levenshtein(col("name_a"), col("name_b"), 7)
+      // Banded levenshtein with early exit: ratio>=80 admits lev up to
+      // 0.205*maxlen, so the band threshold derives from the CORPUS's
+      // actual max name length (one scalar aggregate, computed once per
+      // plan build) — lossless on any input, not just short synthetic
+      // names. The whole predicate lives in the JOIN condition:
+      // short-circuit order (brand/key/length prune, then the banded DP)
+      // evaluates the expensive levenshtein once per candidate pair; a
+      // post-filter form re-evaluates it through predicate substitution
+      // (measured ~2x). Survivors recompute ratio in the projection.
+      val maxNameLen = p.agg(max(length(col("p_name")))).head().getInt(0)
+      val band = math.max(math.ceil(0.205 * maxNameLen).toInt, 1)
+      val lev = levenshtein(col("name_a"), col("name_b"), band)
       val maxLen = greatest(length(col("name_a")), length(col("name_b")))
       def ratioOf(l: org.apache.spark.sql.Column) =
         round(lit(100.0) * (lit(1.0) - l.cast("double") / maxLen.cast("double"))).cast("long")

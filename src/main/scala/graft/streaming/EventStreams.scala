@@ -49,46 +49,106 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"), col("n_events"))
 
-  /** Custom-state sessionization with flatMapGroupsWithState — the shape
-    * for session logic the built-in window can't express (per-session
-    * ordinals, custom emission rules). Emits closed sessions when the
-    * event-time watermark passes the 30-minute gap.
-    *
-    * Works identically in batch mode (single group pass), which is how the
-    * spec cross-checks it against oracle-verified q21.
-    */
   /** foreachBatch upsert sink: maintains a keyed parquet table where each
     * micro-batch's rows overwrite existing rows with the same key — the
     * streaming twin of the q36 upsert semantics (update_table.py), and the
     * standard pattern for keeping a serving table current from a stream.
     *
     * Merge = union + keep-first with batch rows ranked above existing
-    * (one window pass); the new snapshot is staged and swapped in via
-    * directory rename so readers never see a half-written table.
+    * (one window pass). Snapshot publication goes through a POINTER FILE:
+    * each batch writes a fresh `snapshot_N` directory, then atomically
+    * replaces the `_current` manifest naming the live snapshot
+    * (ATOMIC_MOVE + REPLACE_EXISTING of a one-line file). Readers resolve
+    * via [[readCurrent]], so there is never a moment with no live table,
+    * and a crash mid-publish leaves the previous snapshot live. Local-FS
+    * semantics; on object stores the manifest maps to a conditional-put.
+    *
+    * Note: each batch rewrites the FULL table — O(table) per batch. The
+    * scale path is [[parquetUpsertSinkBucketed]], which rewrites only the
+    * key-buckets the batch touches.
     */
   def parquetUpsertSink(keyCol: String, outDir: String)(batch: DataFrame, batchId: Long): Unit = {
-    import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.functions.{col, lit}
     val spark = batch.sparkSession
-    val current = Paths.get(outDir, "current")
-    val staged = Paths.get(outDir, s"staging_$batchId")
+    val staged = java.nio.file.Paths.get(outDir, s"snapshot_$batchId")
     val incoming = batch.withColumn("__src", lit(1))
-    val merged =
-      if (Files.exists(current)) {
-        val existing = spark.read.parquet(current.toString).withColumn("__src", lit(0))
+    val merged = currentSnapshotDir(outDir) match {
+      case Some(live) =>
+        val existing = spark.read.parquet(live).withColumn("__src", lit(0))
         graft.operators.Relational.dedupKeepFirst(
           existing.unionByName(incoming),
           keys = Seq(col(keyCol)),
           order = Seq(col("__src").desc))
-      } else incoming
+      case None => incoming
+    }
     merged.drop("__src").write.mode("overwrite").parquet(staged.toString)
-    // swap: retire the old snapshot, promote the staged one
-    if (Files.exists(current)) {
-      val retired = Paths.get(outDir, s"retired_$batchId")
-      Files.move(current, retired)
-      Files.move(staged, current)
-      org.apache.commons.io.FileUtils.deleteDirectory(retired.toFile)
-    } else Files.move(staged, current)
+    val retired = currentSnapshotDir(outDir)
+    publishSnapshot(outDir, staged.getFileName.toString)
+    // old snapshot is dead only after the pointer swap — safe to reclaim
+    retired.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  /** Atomically point `_current` at `snapshotName` (write-temp + rename). */
+  private def publishSnapshot(outDir: String, snapshotName: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(outDir, s"_current.tmp")
+    Files.write(tmp, snapshotName.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(outDir, "_current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The live snapshot directory named by the `_current` manifest. */
+  def currentSnapshotDir(outDir: String): Option[String] = {
+    import java.nio.file.{Files, Paths}
+    val ptr = Paths.get(outDir, "_current")
+    if (Files.exists(ptr))
+      Some(Paths.get(outDir, new String(Files.readAllBytes(ptr), "UTF-8").trim).toString)
+    else None
+  }
+
+  /** Read the live upsert table (resolves the `_current` manifest). */
+  def readCurrent(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(currentSnapshotDir(outDir).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $outDir")))
+
+  /** Bucketed upsert sink — the 100 TB path: the table is hash-partitioned
+    * on the key into `nBuckets` directories, and a micro-batch rewrites
+    * ONLY the buckets its keys touch (dynamic partition overwrite). The
+    * touched-bucket list is bounded by nBuckets, never by data volume.
+    * Trade-off vs [[parquetUpsertSink]]: no snapshot atomicity across
+    * buckets (readers can see bucket A new + bucket B old mid-publish);
+    * per-key rows are still atomic per bucket directory.
+    */
+  def parquetUpsertSinkBucketed(keyCol: String, outDir: String, nBuckets: Int = 16)
+                               (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val spark = batch.sparkSession
+    val dir = s"$outDir/table"
+    val incoming = batch
+      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
+      .withColumn("__src", lit(1))
+    val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
+    val merged = if (exists) {
+      // touched buckets: bounded by nBuckets (a driver-side list of ints,
+      // NOT data-proportional)
+      val touched = incoming.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val existing = spark.read.parquet(dir)
+        .filter(col("__bucket").isin(touched: _*)) // partition-pruned scan
+        .withColumn("__src", lit(0))
+      graft.operators.Relational.dedupKeepFirst(
+        existing.unionByName(incoming),
+        keys = Seq(col(keyCol)),
+        order = Seq(col("__src").desc))
+    } else incoming
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      merged.drop("__src").write.mode("overwrite").partitionBy("__bucket").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** Timestamp <-> microseconds, preserving full parquet precision
@@ -101,37 +161,74 @@ object EventStreams {
     t
   }
 
-  def sessionizeWithState(spark: SparkSession, events: Dataset[Event]): Dataset[SessionSummary] = {
+  /** Custom-state sessionization with flatMapGroupsWithState — the shape
+    * for session logic the built-in window can't express (per-session
+    * ordinals, custom emission rules).
+    *
+    * Two modes:
+    *  - `emitOpen = true` (batch): one pass per group, the still-open
+    *    session is emitted at the end — this is what the spec cross-checks
+    *    against oracle-verified q21.
+    *  - `emitOpen = false` (streaming): a session is emitted EXACTLY ONCE,
+    *    when it closes — either a later event exceeds the 30-minute gap,
+    *    or the event-time watermark passes end+gap and the
+    *    EventTimeTimeout fires (state is then removed, so state size is
+    *    bounded by open sessions only). Callers must put
+    *    `withWatermark("ts", ...)` on the stream before this operator.
+    */
+  def sessionizeWithState(spark: SparkSession, events: Dataset[Event],
+                          emitOpen: Boolean = true): Dataset[SessionSummary] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000000L
+    val gapMs = gapUs / 1000L
 
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[OpenSession], SessionSummary](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append,
+        if (emitOpen) GroupStateTimeout.NoTimeout() else GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[List[OpenSession]]) =>
-          // Sort this micro-batch's events; merge into the open session.
-          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
-          var sessions = state.getOption.getOrElse(Nil)
-          var closed = List.empty[SessionSummary]
-          for (e <- sorted) {
-            val t = toMicros(e.ts)
-            sessions match {
-              case open :: rest if t - open.end <= gapUs =>
-                sessions = open.copy(n = open.n + 1, end = t) :: rest
-              case open :: rest =>
-                closed ::= SessionSummary(userId, open.idx, open.n,
-                  fromMicros(open.start), fromMicros(open.end))
-                sessions = OpenSession(open.idx + 1, 1, t, t) :: rest
-              case Nil =>
-                sessions = OpenSession(0, 1, t, t) :: Nil
+          if (!emitOpen && state.hasTimedOut) {
+            // Watermark passed end+gap: every open session is final. Emit
+            // and clear — no state survives for an idle key.
+            val finals = state.getOption.getOrElse(Nil).map(open =>
+              SessionSummary(userId, open.idx, open.n, fromMicros(open.start), fromMicros(open.end)))
+            state.remove()
+            finals.iterator
+          } else {
+            // Sort this micro-batch's events; merge into the open session.
+            val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+            var sessions = state.getOption.getOrElse(Nil)
+            var closed = List.empty[SessionSummary]
+            for (e <- sorted) {
+              val t = toMicros(e.ts)
+              sessions match {
+                case open :: rest if t - open.end <= gapUs =>
+                  sessions = open.copy(n = open.n + 1, end = t) :: rest
+                case open :: rest =>
+                  closed ::= SessionSummary(userId, open.idx, open.n,
+                    fromMicros(open.start), fromMicros(open.end))
+                  sessions = OpenSession(open.idx + 1, 1, t, t) :: rest
+                case Nil =>
+                  sessions = OpenSession(0, 1, t, t) :: Nil
+              }
+            }
+            state.update(sessions)
+            if (emitOpen) {
+              // Batch mode: also emit the still-open session (final by
+              // definition — there is no next micro-batch).
+              val openEmit = sessions.map(open =>
+                SessionSummary(userId, open.idx, open.n, fromMicros(open.start), fromMicros(open.end)))
+              (closed.reverse ++ openEmit).iterator
+            } else {
+              // Streaming: arm the timeout for the open session's close.
+              sessions.headOption.foreach { open =>
+                state.setTimeoutTimestamp(
+                  math.max(open.end / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
+              }
+              closed.reverse.iterator
             }
           }
-          state.update(sessions)
-          // In batch mode (and at end-of-stream) emit the still-open session.
-          val openEmit = sessions.map(open =>
-            SessionSummary(userId, open.idx, open.n, fromMicros(open.start), fromMicros(open.end)))
-          (closed.reverse ++ openEmit).iterator
       }
   }
 }

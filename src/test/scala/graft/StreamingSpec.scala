@@ -103,12 +103,83 @@ class StreamingSpec extends SpecBase {
         Event(3L, Timestamp.valueOf("2024-01-01 00:03:00"), 12L, "view", 3.0))
       query.processAllAvailable()
 
-      val table = spark.read.parquet(s"$dir/current")
+      val table = EventStreams.readCurrent(spark, dir)
         .select($"event_id", $"event_type", $"value")
         .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
       assert(table.keySet == Set(1L, 2L, 3L))
       assert(table(2L) == (("purchase", 9.0)), "second batch must overwrite key 2")
       assert(table(1L) == (("view", 1.0)))
+    } finally query.stop()
+  }
+
+  test("bucketed upsert sink rewrites only touched buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_b").toString
+    val stream = MemoryStream[Event]
+    val query = stream.toDF().writeStream
+      .foreachBatch(EventStreams.parquetUpsertSinkBucketed("event_id", dir, nBuckets = 4) _)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      // keys 0..7 spread across buckets
+      stream.addData((0L until 8L).map(k =>
+        Event(k, Timestamp.valueOf("2024-01-01 00:00:00"), k, "view", k.toDouble)): _*)
+      query.processAllAvailable()
+      val table = s"$dir/table"
+      def bucketFiles(): Map[String, Set[String]] = {
+        val root = new java.io.File(table)
+        root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+          .map(d => d.getName -> d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+          .toMap
+      }
+      val before = bucketFiles()
+      assert(before.size > 1, "keys must spread across buckets")
+
+      // second batch: update ONE key -> only that key's bucket rewrites
+      stream.addData(Event(3L, Timestamp.valueOf("2024-01-01 00:01:00"), 3L, "purchase", 99.0))
+      query.processAllAvailable()
+      val after = bucketFiles()
+      val touchedBucket = {
+        import org.apache.spark.sql.functions.{hash, lit, pmod}
+        spark.range(1).select(pmod(hash(lit(3L)), lit(4)).cast("int")).head().getInt(0)
+      }
+      val changed = after.keySet.filter(b => before.get(b) != after.get(b))
+      assert(changed == Set(s"__bucket=$touchedBucket"),
+        s"only key 3's bucket may change, got $changed")
+      val row3 = spark.read.parquet(table).filter($"event_id" === 3L)
+        .select($"event_type", $"value").head()
+      assert((row3.getString(0), row3.getDouble(1)) == (("purchase", 99.0)))
+    } finally query.stop()
+  }
+
+  test("streaming sessionizeWithState emits each session exactly once on close") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val watermarked = stream.toDF()
+      .withWatermark("ts", "0 seconds")
+      .as[Event]
+    val out = EventStreams.sessionizeWithState(spark, watermarked, emitOpen = false)
+    val query = out.writeStream.format("memory").queryName("state_session_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 1.0),
+        Event(2L, Timestamp.valueOf("2024-01-01 00:10:00"), 7L, "view", 1.0))
+      query.processAllAvailable()
+      // gap-breaking event for the same user -> closes session 0 inline
+      stream.addData(Event(3L, Timestamp.valueOf("2024-01-01 01:00:00"), 7L, "view", 1.0))
+      query.processAllAvailable()
+      // watermark-advancing event on another user -> times out session 1
+      stream.addData(Event(4L, Timestamp.valueOf("2024-06-01 00:00:00"), 999L, "view", 1.0))
+      query.processAllAvailable()
+      stream.addData(Event(5L, Timestamp.valueOf("2024-12-01 00:00:00"), 999L, "view", 1.0))
+      query.processAllAvailable()
+
+      val got = spark.table("state_session_test")
+        .filter($"user_id" === 7L)
+        .collect().map(r => (r.getAs[Long]("session_idx"), r.getAs[Long]("n_events"))).toSet
+      assert(got == Set((0L, 2L), (1L, 1L)),
+        s"user 7 must emit session 0 (2 events) once and session 1 (1 event) once, got $got")
     } finally query.stop()
   }
 
