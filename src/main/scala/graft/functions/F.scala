@@ -53,6 +53,32 @@ object F {
     array_sort(array_distinct(expanded))
   }
 
+  /** Israeli phone-number formatting (helpers.py:17-55
+    * `transform_phone_numbers`): split the newline-separated value, keep
+    * the digits of each entry, strip a +972 country prefix (restoring the
+    * leading 0), then group 9-digit 0x numbers as xx-xxx-xxxx, 10-digit 0x
+    * as xxx-xxx-xxxx and 10-digit 1-800-style as x-xxx-xxxxxx; entries
+    * that fit no pattern keep their original (trimmed) text. Pure array
+    * expressions — per-row, no shuffle. */
+  def formatPhoneNumbers(raw: Column): Column = {
+    val entries = filter(transform(split(coalesce(raw, lit("")), "\n"), n => trim(n)), n => n =!= "")
+    transform(entries, n => {
+      val d0 = regexp_replace(n, "[^0-9]", "")
+      val after972 = substring(d0, 4, 32)
+      val d = when(length(d0) > 10 && d0.startsWith("972"),
+        when(length(after972) < 10 && !after972.startsWith("0"),
+          concat(lit("0"), after972)).otherwise(after972))
+        .otherwise(d0)
+      val grouped = when(length(d) === 9 && d.startsWith("0"),
+        concat_ws("-", substring(d, 1, 2), substring(d, 3, 3), substring(d, 6, 4)))
+        .when(length(d) === 10 && d.startsWith("0"),
+          concat_ws("-", substring(d, 1, 3), substring(d, 4, 3), substring(d, 7, 4)))
+        .when(length(d) === 10 && d.startsWith("1"),
+          concat_ws("-", substring(d, 1, 1), substring(d, 2, 3), substring(d, 5, 6)))
+      coalesce(grouped, n)
+    })
+  }
+
   /** Normalize messy taxonomy id lists — the canonicalization half of the
     * reference's taxonomy handling (to_dp.py:116 `normalize_taxonomy_ids`):
     * split comma-concatenated values, split multiple full ids smashed

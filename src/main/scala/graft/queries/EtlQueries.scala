@@ -71,6 +71,57 @@ object EtlQueries {
         .select(col("doc_id"), norm.as("norm_text"), length(norm).cast("long").as("norm_len"))
     },
 
+    // q49: phone-number formatting (helpers.py:17-55
+    // transform_phone_numbers): digit extraction, +972 prefix strip with
+    // leading-0 restore, and the reference's xx-xxx-xxxx / xxx-xxx-xxxx /
+    // 1-800-style groupings; non-matching entries keep their trimmed
+    // text. Raw values synthesize per-customer (mobile, +972 intl form,
+    // and either a 1-800 number or free text) so every branch executes.
+    "q49_phone_format" -> QueryDef.of(
+      """WITH src AS (
+        |  SELECT c_custkey AS custkey,
+        |    '05' || CAST(c_custkey % 4 AS VARCHAR) || '-' || lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0')
+        |      || chr(10) || '+972 5' || CAST(c_custkey % 4 AS VARCHAR) || ' ' || lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0')
+        |      || chr(10) || CASE WHEN c_custkey % 3 = 0 THEN '1800' || lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0') ELSE 'call the office' END AS raw
+        |  FROM customer
+        |), staged AS (
+        |  SELECT custkey,
+        |    list_transform(
+        |      list_filter(list_transform(string_split(raw, chr(10)), n -> trim(n)), n -> n <> ''),
+        |      n -> {'n': n, 'd':
+        |        CASE WHEN length(regexp_replace(n, '[^0-9]', '', 'g')) > 10 AND starts_with(regexp_replace(n, '[^0-9]', '', 'g'), '972')
+        |             THEN CASE WHEN length(substring(regexp_replace(n, '[^0-9]', '', 'g'), 4)) < 10
+        |                        AND NOT starts_with(substring(regexp_replace(n, '[^0-9]', '', 'g'), 4), '0')
+        |                       THEN '0' || substring(regexp_replace(n, '[^0-9]', '', 'g'), 4)
+        |                       ELSE substring(regexp_replace(n, '[^0-9]', '', 'g'), 4) END
+        |             ELSE regexp_replace(n, '[^0-9]', '', 'g') END}) AS entries
+        |  FROM src
+        |)
+        |SELECT custkey,
+        |  array_to_string(list_transform(entries, s -> CASE
+        |    WHEN length(s.d) = 9 AND starts_with(s.d, '0')
+        |      THEN substring(s.d, 1, 2) || '-' || substring(s.d, 3, 3) || '-' || substring(s.d, 6, 4)
+        |    WHEN length(s.d) = 10 AND starts_with(s.d, '0')
+        |      THEN substring(s.d, 1, 3) || '-' || substring(s.d, 4, 3) || '-' || substring(s.d, 7, 4)
+        |    WHEN length(s.d) = 10 AND starts_with(s.d, '1')
+        |      THEN substring(s.d, 1, 1) || '-' || substring(s.d, 2, 3) || '-' || substring(s.d, 5, 6)
+        |    ELSE s.n END), '|') AS phones
+        |FROM staged
+        |""".stripMargin) { (s, dir) =>
+      val raw = concat(
+        lit("05"), (col("c_custkey") % 4).cast("string"), lit("-"),
+        lpad((col("c_custkey") % 10000000).cast("string"), 7, "0"),
+        lit("\n+972 5"), (col("c_custkey") % 4).cast("string"), lit(" "),
+        lpad((col("c_custkey") % 10000000).cast("string"), 7, "0"),
+        lit("\n"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lit("1800"), lpad((col("c_custkey") % 1000000).cast("string"), 6, "0")))
+          .otherwise(lit("call the office")))
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"),
+          array_join(F.formatPhoneNumbers(raw), "|").as("phones"))
+    },
+
     // q15: per-key mode (helpers.py:306 most_common_category) with
     // deterministic ties. Two-phase aggregate + window over the partial
     // counts — the window reuses the groupBy's hash partitioning on the key.

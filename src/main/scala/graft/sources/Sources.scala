@@ -40,8 +40,39 @@ object Sources {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
-  /** Register a DataFrame as a SQL view — the reference's to_sql.py dump
-    * becomes "make it queryable with spark.sql". */
+  /** Register a DataFrame as a SQL view — the lightweight end of the
+    * to_sql.py publish surface. */
   def registerView(df: DataFrame, name: String): Unit =
     df.createOrReplaceTempView(name)
+
+  /** SQL dump (to_sql.py:26 `dump_to_sql`): persist a parquet-backed
+    * TABLE in the session catalog (CREATE TABLE AS semantics — real DDL +
+    * data, queryable by name from any spark.sql client on the catalog).
+    *
+    * The reference's `indexes_fields` map to BUCKETING on those columns:
+    * Spark's storage-level analog of a secondary index — equality lookups
+    * prune to one bucket file-set, and two tables bucketed the same way
+    * join WITHOUT a shuffle (see SourcesSpec's co-located join plan
+    * assertion). `sortBy` within buckets gives index-like ordered scans.
+    */
+  def dumpToTable(df: DataFrame, name: String,
+                  indexFields: Seq[String] = Nil, nBuckets: Int = 16): Unit = {
+    val spark = df.sparkSession
+    // Idempotent DDL: drop any previous table, and clear an orphaned
+    // local managed location (the in-memory catalog forgets tables across
+    // sessions while their warehouse directories survive).
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    if (warehouse.getScheme == null || warehouse.getScheme == "file") {
+      val loc = java.nio.file.Paths.get(warehouse.getPath, name).toFile
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    val bucketed =
+      if (indexFields.nonEmpty)
+        w.bucketBy(nBuckets, indexFields.head, indexFields.tail: _*)
+          .sortBy(indexFields.head, indexFields.tail: _*)
+      else w
+    bucketed.saveAsTable(name)
+  }
 }

@@ -44,4 +44,29 @@ class SourcesSpec extends SpecBase {
     Sources.registerView(Tables.region(spark, SfDir), "region_view")
     assert(spark.sql("SELECT count(*) AS c FROM region_view").head().getLong(0) == 5)
   }
+
+  test("dumpToTable creates a catalog table queryable by SQL") {
+    Sources.dumpToTable(Tables.nation(spark, SfDir), "dump_nation")
+    assert(spark.sql("SELECT count(*) FROM dump_nation").head().getLong(0) == 25)
+    assert(spark.catalog.tableExists("dump_nation"))
+  }
+
+  test("tables bucketed on the join key join WITHOUT a shuffle (co-located join)") {
+    Sources.dumpToTable(
+      Tables.customer(spark, SfDir), "bt_customer", indexFields = Seq("c_custkey"), nBuckets = 8)
+    Sources.dumpToTable(
+      Tables.orders(spark, SfDir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "bt_orders", indexFields = Seq("o_custkey"), nBuckets = 8)
+    // merge hint: at test scale Spark would broadcast instead; the point
+    // here is the big-big case, where co-located buckets avoid the shuffle
+    val joined = spark.table("bt_customer").hint("merge")
+      .join(spark.table("bt_orders"), col("c_custkey") === col("o_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join; plan:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"bucketed-by-key tables must sort-merge join with zero shuffle; plan:\n$plan")
+    assert(joined.count() ==
+      Tables.customer(spark, SfDir)
+        .join(Tables.orders(spark, SfDir), col("c_custkey") === col("o_custkey")).count())
+  }
 }
