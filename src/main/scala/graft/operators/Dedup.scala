@@ -30,20 +30,22 @@ object Dedup {
         i => array_join(slice(tokens, i, lit(w)), " ")))
 
   /** MinHash signatures, relationally: explode shingles to rows, hash each
-    * shingle string ONCE with codegen'd xxhash64, then take k column-wise
-    * `min` aggregates of slot-salted rehashes of that 8-byte value
-    * (fixed-width input -> cheap, and no ANSI overflow like a
-    * multiply-add mix would hit).
+    * shingle string ONCE with codegen'd xxhash64, then compute all k slot
+    * minima in ONE custom aggregate ([[graft.functions.expressions.
+    * MinHashSketch]] — a TypedImperativeAggregate with a long[k] buffer)
+    * alongside the shingle-set collection: one aggregation pass, one
+    * shuffle, no join. The sketch's mixing is bit-identical to
+    * `min(xxhash64(lit(i), h))` (asserted in DedupSpec), and map-side
+    * partial merge means the shuffle carries one k-long buffer per
+    * (doc × partition), never per shingle.
     *
     * Why not array lambdas: Spark's higher-order functions are
     * CodegenFallback (interpreted), and projection collapse would inline
     * the shingle construction into every one of the k lambda bodies —
-    * measured 1000x slower. The explode+groupBy form is all
-    * whole-stage-codegen with map-side partial aggregation, and the
-    * shuffle carries k longs + the shingle set per doc. Returns
-    * (id, sh_set, sig). */
+    * measured 1000x slower. Returns (id, sh_set, sig). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleWidth: Int): DataFrame = {
+    import graft.functions.expressions.MinHashSketch
     // Small corpora arrive as one parquet split but shingling+hashing is
     // compute-bound — spread rows across all cores first (at real scale
     // the scan has many splits and AQE keeps this exchange cheap).
@@ -54,18 +56,11 @@ object Dedup {
       .select(col(idCol).as("id"), F.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(shingles(col("toks"), shingleWidth)).as("sh"))
       .select(col("id"), col("sh"), xxhash64(col("sh")).as("h"))
-    // Two aggregations on purpose: collect_set forces ObjectHashAggregate
-    // (no codegen), which would drag the 64 min-slots into interpreted
-    // evaluation. Separated, the slot mins stay in whole-stage codegen and
-    // only the set collection pays the object-hash cost.
-    val slotAggs = (0 until k).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i")
-    }
-    val sigs = exploded.groupBy(col("id"))
-      .agg(slotAggs.head, slotAggs.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    val sets = exploded.groupBy(col("id")).agg(collect_set(col("sh")).as("sh_set"))
-    sigs.join(sets, "id").select(col("id"), col("sh_set"), col("sig"))
+    exploded.groupBy(col("id"))
+      .agg(
+        collect_set(col("sh")).as("sh_set"),
+        MinHashSketch(col("h"), k).as("sig"))
+      .select(col("id"), col("sh_set"), col("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
@@ -214,21 +209,16 @@ object Dedup {
   }
 
   /** 64-bit SimHash signatures, relationally: explode tokens, hash once
-    * (codegen'd), then 64 conditional-sum aggregates vote per bit — same
-    * rationale as [[minhashSignatures]] (array lambdas are interpreted).
-    * Returns (id, sim). */
+    * (codegen'd), then one packed vote aggregate ([[graft.functions.
+    * expressions.SimHashSketch]] — an int[64] buffer per group in place of
+    * 64 conditional-sum columns; bit-vote and pack identical to the
+    * column form, asserted in DedupSpec). Returns (id, sim). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.expressions.SimHashSketch
     val exploded = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), explode(F.tokens(col(textCol))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")
-    }
-    val agged = exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64)
-      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agged.select(col("id"), sim.as("sim"))
+    exploded.groupBy(col("id")).agg(SimHashSketch(col("h")).as("sim"))
   }
 
   /** 64-bit SimHash over a token array: per-bit majority vote of token

@@ -64,4 +64,40 @@ class DedupSpec extends SpecBase {
     assert(out.length == 2)
     assert(out.head.getAs[Long]("keep_id") == 1L && out.head.getAs[Long]("n_dups") == 2L)
   }
+
+  test("MinHashSketch aggregate is bit-identical to the k-column min(xxhash64) form") {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, min, xxhash64}
+    import graft.functions.expressions.MinHashSketch
+    val k = 16
+    val exploded = docs.limit(50)
+      .select($"doc_id".as("id"), explode(Dedup.shingles(graft.functions.F.tokens($"text"), 3)).as("sh"))
+      .select($"id", xxhash64($"sh").as("h"))
+    val slotAggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val columnForm = exploded.groupBy($"id").agg(slotAggs.head, slotAggs.tail: _*)
+      .select($"id", array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sketchForm = exploded.groupBy($"id").agg(MinHashSketch($"h", k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sketchForm == columnForm)
+  }
+
+  test("SimHashSketch aggregate is bit-identical to the 64-column vote form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.SimHashSketch
+    val exploded = docs.limit(50)
+      .select($"doc_id".as("id"), explode(graft.functions.F.tokens($"text")).as("t"))
+      .select($"id", xxhash64($"t").as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val sim = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val columnForm = exploded.groupBy($"id").agg(votes.head, votes.tail: _*)
+      .select($"id", sim.as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sketchForm = exploded.groupBy($"id").agg(SimHashSketch($"h").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sketchForm == columnForm)
+  }
 }
