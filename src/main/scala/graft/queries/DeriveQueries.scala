@@ -68,6 +68,91 @@ object DeriveQueries {
             "|").as("orders"))
     },
 
+    // q52: possible_autocomplete (to_dp.py:180) + collapse_key
+    // (to_dp.py:890): the per-card responses × situations conditional
+    // cross-product — bare response names, situation names gated by
+    // IGNORE_SITUATIONS (autocomplete.py:35) and the age_group/language
+    // category exclusion, the Hebrew phrase templates, city variants —
+    // then sorted-set dedup. All nested array expressions (transform-in-
+    // transform + flatten), one row in one row out, no explode/shuffle.
+    "q52_possible_autocomplete" -> QueryDef.of(
+      """WITH cards AS (
+        |  SELECT c_custkey AS card_id, c_name, c_mktsegment,
+        |    list_sort(list_distinct(list(o_orderpriority))) AS resp_names,
+        |    CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE max(n_name) END AS branch_city
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3
+        |), sits AS (
+        |  SELECT card_id, c_name, c_mktsegment, resp_names, branch_city,
+        |    [
+        |      {'id': 'human_situations:age_group:adults', 'name': 'מבוגרים'},
+        |      {'id': 'human_situations:benefits:' || lower(c_mktsegment), 'name': lower(c_mktsegment)}
+        |    ] AS situations
+        |  FROM cards
+        |), phrases AS (
+        |  SELECT card_id,
+        |    trim(c_name || ' ' || coalesce(c_mktsegment, '')) AS collapse_key,
+        |    flatten(list_transform(resp_names, r ->
+        |      [r]
+        |      || flatten(list_transform(situations, s ->
+        |           (CASE WHEN s.id NOT IN ('human_situations:language:hebrew_speaking', 'human_situations:age_group:adults')
+        |                  AND string_split(s.id, ':')[2] NOT IN ('age_group', 'language')
+        |                 THEN [s.name] ELSE [] END)
+        |           || (CASE WHEN s.id NOT IN ('human_situations:language:hebrew_speaking', 'human_situations:age_group:adults')
+        |                 THEN [r || ' עבור ' || s.name] ELSE [] END)
+        |           || (CASE WHEN branch_city IS NOT NULL
+        |                 THEN ['שירותים עבור ' || s.name || ' ב' || branch_city,
+        |                       r || ' עבור ' || s.name || ' ב' || branch_city] ELSE [] END)))
+        |      || (CASE WHEN branch_city IS NOT NULL THEN [r || ' ב' || branch_city] ELSE [] END)
+        |    )) AS ph
+        |  FROM sits
+        |)
+        |SELECT card_id, collapse_key,
+        |  array_to_string(list_sort(list_distinct(list_filter(ph, x -> x IS NOT NULL AND x <> ''))), '|') AS autocompletes
+        |FROM phrases
+        |""".stripMargin) { (s, dir) =>
+      val ignore = Seq("human_situations:language:hebrew_speaking", "human_situations:age_group:adults")
+      val cards = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey").as("card_id"), col("c_name"), col("c_mktsegment"))
+        .agg(
+          sort_array(array_distinct(collect_list(col("o_orderpriority")))).as("resp_names"),
+          when(col("c_custkey") % 4 === 0, lit(null)).otherwise(max(col("n_name"))).as("branch_city"))
+      val situations = array(
+        struct(lit("human_situations:age_group:adults").as("id"), lit("מבוגרים").as("name")),
+        struct(concat(lit("human_situations:benefits:"), lower(col("c_mktsegment"))).as("id"),
+          lower(col("c_mktsegment")).as("name")))
+      val city = col("branch_city")
+      def sitPhrases(r: org.apache.spark.sql.Column) =
+        flatten(transform(situations, sC => {
+          val notIgnored = !sC.getField("id").isin(ignore: _*)
+          val catOk = !element_at(split(sC.getField("id"), ":"), 2).isin("age_group", "language")
+          concat(
+            when(notIgnored && catOk, array(sC.getField("name"))).otherwise(array().cast("array<string>")),
+            when(notIgnored, array(concat(r, lit(" עבור "), sC.getField("name"))))
+              .otherwise(array().cast("array<string>")),
+            when(city.isNotNull, array(
+              concat(lit("שירותים עבור "), sC.getField("name"), lit(" ב"), city),
+              concat(r, lit(" עבור "), sC.getField("name"), lit(" ב"), city)))
+              .otherwise(array().cast("array<string>")))
+        }))
+      val phrases = flatten(transform(col("resp_names"), r =>
+        concat(
+          array(r),
+          sitPhrases(r),
+          when(city.isNotNull, array(concat(r, lit(" ב"), city)))
+            .otherwise(array().cast("array<string>")))))
+      cards.select(
+        col("card_id"),
+        trim(concat(col("c_name"), lit(" "), coalesce(col("c_mktsegment"), lit("")))).as("collapse_key"),
+        array_join(
+          array_sort(array_distinct(filter(phrases, x => x.isNotNull && x =!= ""))),
+          "|").as("autocompletes"))
+    },
+
     // q35: sitemap paths (to_sitemap.py:47 — '/c/{id}' with XML escaping).
     "q35_sitemap" -> QueryDef.of(
       """SELECT concat('/c/', replace(replace(entity_key, '''', '&apos;'), '"', '&quot;')) AS path
