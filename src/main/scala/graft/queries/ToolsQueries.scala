@@ -13,6 +13,100 @@ object ToolsQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // q53: skew-salted join (operators/Relational.saltedJoin) under a
+    // deliberately power-law key: ~70% of orders land on key 1. The salt
+    // spreads the hot key over 8 virtual keys so no task owns 70% of the
+    // shuffle; results are byte-identical to the plain join (that IS the
+    // oracle). At 100 TB this is the explicit-salting posture for known
+    // extreme skew where AQE's skew-join can't apply (hash joins,
+    // pre-partitioned layouts).
+    "q53_salted_join" -> QueryDef.of(
+      """WITH fact AS (
+        |  SELECT CASE WHEN o_custkey % 10 < 7 THEN 1 ELSE o_custkey % 100 END AS k,
+        |    o_totalprice
+        |  FROM orders
+        |), dim AS (
+        |  SELECT DISTINCT c_custkey % 100 AS dk, 'grp_' || CAST(c_custkey % 100 AS VARCHAR) AS label
+        |  FROM customer
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM fact JOIN dim ON k = dk
+        |GROUP BY label
+        |""".stripMargin) { (s, dir) =>
+      val fact = Tables.orders(s, dir).select(
+        when(col("o_custkey") % 10 < 7, 1L).otherwise(col("o_custkey") % 100).as("k"),
+        col("o_totalprice"), col("o_orderkey"))
+      val dim = Tables.customer(s, dir)
+        .select((col("c_custkey") % 100).as("dk"))
+        .distinct()
+        .withColumn("label", concat(lit("grp_"), col("dk").cast("string")))
+      graft.operators.Relational
+        .saltedJoin(fact, dim, "k", "dk", saltCol = col("o_orderkey"), saltFactor = 8)
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(graft.functions.F.money(col("o_totalprice"))).cast("double").as("total"))
+    },
+
+    // q54: org_name_parts (helpers.py:354): strip the short name's
+    // parenthetical, find it inside the full name, and split into
+    // (primary=short, secondary=prefix+suffix with ' -,\n\t' stripped);
+    // fall back to (primary=name, secondary=null). The reference's fuzzy
+    // `{e<2}` search is realized as exact locate — the e<2 tolerance only
+    // absorbs typos between two curated fields; a fuzzy variant would ride
+    // q10's banded-levenshtein machinery.
+    "q54_org_name_parts" -> QueryDef.of(
+      """WITH src AS (
+        |  SELECT c_custkey AS custkey,
+        |    'The ' || n_name || ' Council of ' || c_mktsegment AS name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN n_name || ' (reg)'
+        |         WHEN c_custkey % 3 = 1 THEN NULL
+        |         ELSE 'Bureau ' || CAST(c_custkey % 7 AS VARCHAR) END AS short_raw
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |), cleaned AS (
+        |  SELECT custkey, name,
+        |    nullif(trim(replace(string_split(short_raw, '(')[1], ')', '')), '') AS short_name
+        |  FROM src
+        |), located AS (
+        |  SELECT custkey, name, short_name,
+        |    CASE WHEN short_name IS NOT NULL THEN position(short_name IN name) ELSE 0 END AS pos
+        |  FROM cleaned
+        |)
+        |SELECT custkey,
+        |  CASE WHEN pos > 0 THEN short_name ELSE name END AS primary_name,
+        |  CASE WHEN pos > 0 THEN nullif(trim(
+        |         trim(substring(name, 1, pos - 1), ' -,' || chr(10) || chr(9))
+        |         || ' ' ||
+        |         trim(substring(name, pos + length(short_name)), ' -,' || chr(10) || chr(9))
+        |       ), '') ELSE NULL END AS secondary_name
+        |FROM located
+        |""".stripMargin) { (s, dir) =>
+      val stripChars = "^[ \\-,\\n\\t]+|[ \\-,\\n\\t]+$"
+      val src = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("c_custkey").as("custkey"),
+          concat(lit("The "), col("n_name"), lit(" Council of "), col("c_mktsegment")).as("name"),
+          when(col("c_custkey") % 3 === 0, concat(col("n_name"), lit(" (reg)")))
+            .when(col("c_custkey") % 3 === 1, lit(null))
+            .otherwise(concat(lit("Bureau "), (col("c_custkey") % 7).cast("string"))).as("short_raw"))
+      val shortName = nullif(trim(regexp_replace(
+        element_at(split(col("short_raw"), "\\("), 1), "\\)", "")), lit(""))
+      val located = src
+        .withColumn("short_name", shortName)
+        .withColumn("pos",
+          when(col("short_name").isNotNull, expr("locate(short_name, name)")).otherwise(lit(0)))
+      located.select(
+        col("custkey"),
+        when(col("pos") > 0, col("short_name")).otherwise(col("name")).as("primary_name"),
+        when(col("pos") > 0, nullif(trim(concat(
+          regexp_replace(col("name").substr(lit(1), col("pos") - 1), stripChars, ""),
+          lit(" "),
+          regexp_replace(col("name").substr(col("pos") + length(col("short_name")), lit(10000)), stripChars, ""))), lit("")))
+          .otherwise(lit(null)).as("secondary_name"))
+    },
+
     // q50: situations_for_age_range — overlap tests against the six age
     // bands IN THE REFERENCE'S APPEND ORDER, null ages defaulting to
     // 0/120, and the all-six-match -> empty rule. Ages derive from

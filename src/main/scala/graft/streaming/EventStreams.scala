@@ -88,6 +88,17 @@ object EventStreams {
     retired.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  /** Streaming exact-dedup twin (of the q22 batch semantics): keep the
+    * first row per key, with dedup state BOUNDED by the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) instead of growing with all
+    * history — the only dedup shape that survives an unbounded stream.
+    * Late duplicates beyond the watermark can reappear; that is the
+    * documented trade-off vs the exact batch pass. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Atomically point `_current` at `snapshotName` (write-temp + rename). */
   private def publishSnapshot(outDir: String, snapshotName: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}

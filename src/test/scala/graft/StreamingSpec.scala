@@ -112,6 +112,29 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps first row per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStreams.dedupStream(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10L, "view", 1.0),
+        Event(2L, Timestamp.valueOf("2024-01-01 00:01:00"), 11L, "view", 2.0),
+        Event(1L, Timestamp.valueOf("2024-01-01 00:02:00"), 10L, "dup", 9.0))
+      query.processAllAvailable()
+      stream.addData( // duplicate of key 2 in a later micro-batch, inside watermark
+        Event(2L, Timestamp.valueOf("2024-01-01 00:03:00"), 11L, "dup", 9.0),
+        Event(3L, Timestamp.valueOf("2024-01-01 00:04:00"), 12L, "view", 3.0))
+      query.processAllAvailable()
+      val got = spark.table("dedup_stream_test")
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("event_type")).toMap
+      assert(got == Map(1L -> "view", 2L -> "view", 3L -> "view"),
+        s"each key must emit exactly once with its first row, got $got")
+    } finally query.stop()
+  }
+
   test("bucketed upsert sink rewrites only touched buckets") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_b").toString
