@@ -193,12 +193,11 @@ object Dedup {
         col("m0").as("m0_a"), col("rest").as("rest_a"), col("sz").as("sz_a"))
     val b = masks.select(col("id").as("id_b"), col("blk").as("blk_b"),
       col("m0").as("m0_b"), col("rest").as("rest_b"), col("sz").as("sz_b"))
+    // Native merge-scan intersect of the sorted overflow maps (codegen'd
+    // SortedMapBitIntersect) — the interpreted HOF form allocated per map
+    // entry on every candidate pair, and the pair loop is the hot path.
     val inter = bit_count(col("m0_a").bitwiseAND(col("m0_b"))).cast("int") +
-      aggregate(
-        map_entries(col("rest_a")),
-        lit(0),
-        (acc, e) => acc + bit_count(e.getField("value").bitwiseAND(
-          coalesce(element_at(col("rest_b"), e.getField("key")), lit(0L)))).cast("int"))
+      graft.functions.expressions.SortedMapBitIntersect(col("rest_a"), col("rest_b"))
     a.join(b, col("blk_a") === col("blk_b") && col("id_a") < col("id_b")
         && col("sz_a") * 10 >= col("sz_b") * num && col("sz_b") * 10 >= col("sz_a") * num)
       .withColumn("inter", inter)
