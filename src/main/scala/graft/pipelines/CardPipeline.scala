@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.F
-import graft.operators.Relational
+import graft.operators.{GeoProjection, Relational}
 
 /** Flagship end-to-end pipeline — the reference's derive flow
   * (operators/derive/to_dp.py `operator`: srm_data_pull -> flat_branches
@@ -71,11 +71,38 @@ object CardPipeline {
       keys = Seq(col("card_id")),
       order = Seq(col("service_date"), col("service_seq")))
 
-    unique
+    // Geo step (to_dp.py:875 + helpers.py:57): project branch coordinates
+    // and derive the fixed-format point_id; national services collapse to
+    // the sentinel key like the reference.
+    val withCoords = unique
+      .withColumn("easting",
+        lit(150000.0) + (col("organization_id") % 20).cast("double") * 5000.0)
+      .withColumn("northing",
+        lit(450000.0) + (col("branch_id") % 25).cast("double") * 10000.0)
+    val withGeo = GeoProjection.withWgs84(spark, withCoords, "easting", "northing", "branch_geometry")
+    val pointId = concat(
+      translate(format_string("%08.5f", element_at(col("branch_geometry"), 1)), ".", ""),
+      translate(format_string("%08.5f", element_at(col("branch_geometry"), 2)), ".", ""))
+
+    withGeo
+      .withColumn("national_service", col("organization_id") % 10 === 0)
+      .withColumn("point_id",
+        when(col("national_service"), lit("national_service")).otherwise(pointId))
+      // clean_org_name (data_cleaning.py) + collapse_key (to_dp.py:890)
+      .withColumn("organization_name",
+        trim(regexp_replace(regexp_replace(col("organization_name"), "Customer#0*", ""), "#", "")))
+      .withColumn("collapse_key",
+        trim(concat_ws(" ", col("organization_name"), col("service_flag"))))
+      // normalize_taxonomy_ids (to_dp.py:116) over the merged id list
       .withColumn("situation_ids",
-        F.mergeArrayFields(
+        F.normalizeTaxonomyIds(F.mergeArrayFields(
           array(col("service_flag"), col("service_status")),
-          array(col("branch_status"))))
+          array(col("branch_status")))))
+      // transform_phone_numbers (helpers.py:17) over a derived raw value
+      .withColumn("organization_phone_numbers",
+        F.formatPhoneNumbers(concat(
+          lit("05"), (col("organization_id") % 4).cast("string"), lit("-"),
+          lpad((col("organization_id") % 10000000).cast("string"), 7, "0"))))
       .withColumn("card_score",
         when(col("organization_balance") > 0, 10.0).otherwise(1.0)
           * sqrt(col("organization_branch_count"))
@@ -88,6 +115,8 @@ object CardPipeline {
         col("card_id"), col("service_id"), col("branch_key"), col("branch_id"),
         col("organization_id"), col("organization_name"), col("organization_kind"),
         col("organization_branch_count"), col("situation_ids"),
+        col("national_service"), col("point_id"), col("collapse_key"),
+        col("organization_phone_numbers"),
         col("card_score"), col("possible_autocomplete"))
   }
 }

@@ -32,4 +32,19 @@ class CardPipelineSpec extends SpecBase {
     val urgent = cards.filter($"branch_id".isNotNull && $"card_score" === 0.0).count()
     assert(urgent == 0)
   }
+
+  test("cards carry geo point ids, collapse keys and formatted phones") {
+    val cards = SparkEntry.entry(spark).cache()
+    // national services collapse to the sentinel point key
+    assert(cards.filter($"national_service" && $"point_id" =!= "national_service").count() == 0)
+    // non-national points carry the 14-digit fixed-format id (7 digits per coordinate)
+    val badPoint = cards.filter(!$"national_service" && !$"point_id".rlike("^[0-9]{14}$")).count()
+    assert(badPoint == 0, "point_id must be the dot-stripped %08.5f pair")
+    // phones follow the xx-xxx-xxxx grouping
+    val badPhone = cards
+      .filter(!element_at($"organization_phone_numbers", 1).rlike("^[0-9]{3}-[0-9]{3}-[0-9]{4}$"))
+      .count()
+    assert(badPhone == 0)
+    assert(cards.filter(length($"collapse_key") === 0).count() == 0)
+  }
 }
