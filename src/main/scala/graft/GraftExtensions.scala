@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.expressions.PolyHash
+import graft.functions.expressions.{MinHashSketch, PolyHash, SimHashSketch, SortedMapBitIntersect}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry so `spark.sql` users get
@@ -44,6 +44,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           PolyHash(Cast(c, StringType), constLong(b, "base"), constLong(m, "mod"))
         case _ => throw new IllegalArgumentException(
           "poly_hash(str[, base, mod]) takes 1 or 3 arguments")
+      }))
+
+    // Sketch aggregates + the sorted-map intersect, for spark.sql users.
+    // Aggregate builders return the AggregateFunction; the analyzer wraps
+    // it into an AggregateExpression during function resolution.
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, k) =>
+          if (!k.foldable) throw new IllegalArgumentException(
+            "minhash_sketch: k must be a literal")
+          MinHashSketch(h, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash_sketch(hash_col, k) takes 2 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sketch"),
+      new ExpressionInfo(classOf[SimHashSketch].getName, "simhash_sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h) => SimHashSketch(h)
+        case _ => throw new IllegalArgumentException(
+          "simhash_sketch(hash_col) takes 1 argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_map_bit_intersect"),
+      new ExpressionInfo(classOf[SortedMapBitIntersect].getName, "sorted_map_bit_intersect"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => SortedMapBitIntersect(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_map_bit_intersect(a, b) takes 2 arguments")
       }))
   }
 }

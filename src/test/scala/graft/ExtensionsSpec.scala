@@ -24,6 +24,24 @@ class ExtensionsSpec extends AnyFunSuite {
       val r = spark.sql("SELECT poly_hash('ab') AS h, poly_hash('ab', 31, 1000000007) AS h3").head()
       assert(r.getLong(0) == 3105L)
       assert(r.getLong(1) == 3105L)
+      // non-string input casts at analysis instead of crashing codegen
+      assert(spark.sql("SELECT poly_hash(12) AS h").head().getLong(0) ==
+        spark.sql("SELECT poly_hash('12') AS h").head().getLong(0))
+      // sketch aggregates resolve and agree with their typed forms
+      val agg = spark.sql(
+        """SELECT minhash_sketch(h, 4) AS mh, simhash_sketch(h) AS sh
+          |FROM (SELECT xxhash64(x) AS h FROM (VALUES ('a'), ('b'), ('c')) t(x))""".stripMargin).head()
+      assert(agg.getSeq[Long](0).length == 4)
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      import spark.implicits._
+      val typed = Seq("a", "b", "c").toDF("x").select(xxhash64(col("x")).as("h"))
+        .agg(graft.functions.expressions.MinHashSketch(col("h"), 4).as("mh"),
+          graft.functions.expressions.SimHashSketch(col("h")).as("sh")).head()
+      assert(agg.getSeq[Long](0) == typed.getSeq[Long](0) && agg.getLong(1) == typed.getLong(1))
+      // sorted-map intersect: blocks {0: 0b1011} ∩ {0: 0b0011, 1: 0b1} = 2 bits
+      val bits = spark.sql(
+        "SELECT sorted_map_bit_intersect(map(0, 11L), map(0, 3L, 1, 1L)) AS n").head()
+      assert(bits.getInt(0) == 2)
     } finally {
       // Don't stop(): the SparkContext is JVM-global and shared with the
       // other suites' session; just restore the session handles.
