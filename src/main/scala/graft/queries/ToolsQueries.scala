@@ -107,6 +107,88 @@ object ToolsQueries {
           .otherwise(lit(null)).as("secondary_name"))
     },
 
+    // q55: address_parts (helpers.py:314): national sentinel, accurate/
+    // orig address selection, city located in the '-'-normalized address
+    // (positions transfer to the original — the replace is char-for-char),
+    // prefix/suffix strip-join with the short-suffix rule and the
+    // inaccuracy marker. Exact-locate realization of the `{e<2}` fuzzy
+    // city search, like q54. Address variants derive per customer to hit
+    // every branch: found+short-suffix, found+suffix, not-found accurate,
+    // not-found inaccurate, national.
+    "q55_address_parts" -> QueryDef.of(
+      """WITH src AS (
+        |  SELECT c_custkey AS custkey, n_name AS city,
+        |    c_custkey % 10 = 0 AS national,
+        |    c_custkey % 3 <> 0 AS accurate,
+        |    'Herzl 10, ' || n_name || (CASE WHEN c_custkey % 7 = 0 THEN ' X' ELSE ' district 9' END) AS resolved,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'no city here' ELSE 'Old ' || n_name END AS orig
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |), sel AS (
+        |  SELECT *, replace(city, '-', ' ') AS city_n,
+        |    coalesce(CASE WHEN accurate THEN resolved ELSE orig END, orig) AS address
+        |  FROM src
+        |), loc AS (
+        |  SELECT *, position(city_n IN replace(address, '-', ' ')) AS pos FROM sel
+        |), parts AS (
+        |  SELECT *,
+        |    trim(substring(address, 1, pos - 1), ' -,' || chr(10) || chr(9)) AS pre,
+        |    trim(substring(address, pos + length(city_n)), ' -,' || chr(10) || chr(9)) AS suf
+        |  FROM loc
+        |), street AS (
+        |  SELECT *,
+        |    trim((CASE WHEN length(suf) < 4 THEN pre ELSE pre || ', ' || suf END)
+        |      || (CASE WHEN NOT accurate THEN ' (במיקום לא מדויק)' ELSE '' END),
+        |      ' -,' || chr(10) || chr(9)) AS street_address
+        |  FROM parts
+        |)
+        |SELECT custkey,
+        |  CASE WHEN national THEN 'שירות ארצי'
+        |       WHEN pos > 0 THEN city
+        |       ELSE address END AS primary_part,
+        |  CASE WHEN national THEN NULL
+        |       WHEN pos > 0 THEN street_address
+        |       WHEN accurate THEN NULL
+        |       ELSE '(במיקום לא מדויק)' END AS secondary_part,
+        |  national
+        |FROM street
+        |""".stripMargin) { (s, dir) =>
+      val strip = "^[ \\-,\\n\\t]+|[ \\-,\\n\\t]+$"
+      val src = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("c_custkey").as("custkey"), col("n_name").as("city"),
+          (col("c_custkey") % 10 === 0).as("national"),
+          (col("c_custkey") % 3 =!= 0).as("accurate"),
+          concat(lit("Herzl 10, "), col("n_name"),
+            when(col("c_custkey") % 7 === 0, " X").otherwise(" district 9")).as("resolved"),
+          when(col("c_custkey") % 5 === 0, "no city here")
+            .otherwise(concat(lit("Old "), col("n_name"))).as("orig"))
+        .withColumn("city_n", regexp_replace(col("city"), "-", " "))
+        .withColumn("address",
+          coalesce(when(col("accurate"), col("resolved")).otherwise(col("orig")), col("orig")))
+        .withColumn("searchable", regexp_replace(col("address"), "-", " "))
+        .withColumn("pos", expr("locate(city_n, searchable)"))
+        .withColumn("pre",
+          regexp_replace(col("address").substr(lit(1), col("pos") - 1), strip, ""))
+        .withColumn("suf",
+          regexp_replace(col("address").substr(col("pos") + length(col("city_n")), lit(10000)), strip, ""))
+        .withColumn("street_address",
+          regexp_replace(concat(
+            when(length(col("suf")) < 4, col("pre"))
+              .otherwise(concat(col("pre"), lit(", "), col("suf"))),
+            when(!col("accurate"), lit(" (במיקום לא מדויק)")).otherwise(lit(""))), strip, ""))
+      src.select(
+        col("custkey"),
+        when(col("national"), lit("שירות ארצי"))
+          .when(col("pos") > 0, col("city"))
+          .otherwise(col("address")).as("primary_part"),
+        when(col("national"), lit(null))
+          .when(col("pos") > 0, col("street_address"))
+          .when(col("accurate"), lit(null))
+          .otherwise(lit("(במיקום לא מדויק)")).as("secondary_part"),
+        col("national"))
+    },
+
     // q50: situations_for_age_range — overlap tests against the six age
     // bands IN THE REFERENCE'S APPEND ORDER, null ages defaulting to
     // 0/120, and the all-six-match -> empty rule. Ages derive from
