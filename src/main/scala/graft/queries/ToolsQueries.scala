@@ -13,6 +13,95 @@ object ToolsQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // q56: stable reorder-by-category (to_dp.py:50
+    // safe_reorder_responses_by_category + :69 safe_get_response_
+    // categories): matching entries first, others after, relative order
+    // preserved — concat of two stable filters. Malformed ids (no colon)
+    // fall into 'others' and are skipped by the category extraction, like
+    // the reference's safe path. Categories per card are the extracted
+    // sorted-distinct list.
+    "q56_reorder_by_category" -> QueryDef.of(
+      """WITH cards AS (
+        |  SELECT c_custkey AS card_id, c_mktsegment,
+        |    list_sort(list_distinct(list(
+        |      CASE WHEN o_orderkey % 11 = 0 THEN 'malformed'
+        |           ELSE 'responses:' || lower(split_part(o_orderpriority, '-', 2)) || ':' || CAST(o_orderkey % 3 AS VARCHAR) END
+        |    ))) AS resp_ids
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2
+        |), cat AS (
+        |  SELECT *, 'low' AS category FROM cards
+        |)
+        |SELECT card_id,
+        |  array_to_string(
+        |    list_filter(resp_ids, r -> len(string_split(r, ':')) > 1 AND string_split(r, ':')[2] = category)
+        |    || list_filter(resp_ids, r -> NOT (len(string_split(r, ':')) > 1 AND string_split(r, ':')[2] = category)),
+        |    '|') AS reordered,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(list_transform(resp_ids, r -> CASE WHEN len(string_split(r, ':')) > 1 THEN string_split(r, ':')[2] END), x -> x IS NOT NULL)
+        |  )), '|'), '') AS categories
+        |FROM cat
+        |""".stripMargin) { (s, dir) =>
+      val respId = when(col("o_orderkey") % 11 === 0, lit("malformed"))
+        .otherwise(concat(lit("responses:"),
+          lower(element_at(split(col("o_orderpriority"), "-"), 2)),
+          lit(":"), (col("o_orderkey") % 3).cast("string")))
+      val cards = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey").as("card_id"), col("c_mktsegment"))
+        .agg(sort_array(array_distinct(collect_list(respId))).as("resp_ids"))
+        .withColumn("category", lit("low"))
+      def isMatch(r: org.apache.spark.sql.Column) =
+        size(split(r, ":")) > 1 && element_at(split(r, ":"), 2) === col("category")
+      cards.select(
+        col("card_id"),
+        array_join(
+          concat(
+            filter(col("resp_ids"), r => isMatch(r)),
+            filter(col("resp_ids"), r => !isMatch(r))),
+          "|").as("reordered"),
+        array_join(
+          array_sort(array_distinct(filter(
+            transform(col("resp_ids"), r =>
+              when(size(split(r, ":")) > 1, element_at(split(r, ":"), 2))),
+            x => x.isNotNull))),
+          "|").as("categories"))
+    },
+
+    // q57: sibling point offsets (helpers.py:272-304 point_offset_table +
+    // generate_offset): items sharing a map point get '{count}-{index}'
+    // offsets (1-based index within the sorted sibling list) when the
+    // cluster holds <= 7 items, null otherwise — the key the frontend's
+    // geometric offset table consumes. One groupBy to build siblings, one
+    // posexplode back out; both shuffles on the point key.
+    "q57_point_offsets" -> QueryDef.of(
+      """WITH pts AS (
+        |  SELECT CAST(c_custkey % 97 AS BIGINT) AS point_key, c_custkey AS item
+        |  FROM customer
+        |), sib AS (
+        |  SELECT point_key, list_sort(list(item)) AS siblings FROM pts GROUP BY point_key
+        |), ex AS (
+        |  SELECT point_key, CAST(len(siblings) AS BIGINT) AS n, u.i AS idx, u.item
+        |  FROM sib, LATERAL (SELECT unnest(siblings) AS item, generate_subscripts(siblings, 1) AS i) u
+        |)
+        |SELECT item, point_key, n AS n_siblings,
+        |  CASE WHEN n <= 7 THEN CAST(n AS VARCHAR) || '-' || CAST(idx AS VARCHAR) END AS offset_key
+        |FROM ex
+        |""".stripMargin) { (s, dir) =>
+      val sib = Tables.customer(s, dir)
+        .select((col("c_custkey") % 97).as("point_key"), col("c_custkey").as("item"))
+        .groupBy(col("point_key"))
+        .agg(sort_array(collect_list(col("item"))).as("siblings"))
+      sib
+        .select(col("point_key"), size(col("siblings")).cast("long").as("n_siblings"),
+          posexplode(col("siblings")).as(Seq("pos", "item")))
+        .select(
+          col("item"), col("point_key"), col("n_siblings"),
+          when(col("n_siblings") <= 7,
+            concat(col("n_siblings").cast("string"), lit("-"), (col("pos") + 1).cast("string")))
+            .otherwise(lit(null)).as("offset_key"))
+    },
+
     // q53: skew-salted join (operators/Relational.saltedJoin) under a
     // deliberately power-law key: ~70% of orders land on key 1. The salt
     // spreads the hot key over 8 virtual keys so no task owns 70% of the
