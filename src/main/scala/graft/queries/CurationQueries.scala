@@ -66,6 +66,54 @@ object CurationQueries {
         hasServices = col("n_services") > 0)
     },
 
+    // q58: merge-duplicate-services (to_dp.py:409): orgs whose
+    // "implementing" services cover other service ids drop the covered
+    // rows (substring containment against any implements entry), and
+    // soproc-sourced services drop entirely for orgs that implement
+    // anything. The reference sorts implementing-first and folds a driver
+    // dict; here both drop rules are anti-joins within the org block —
+    // order-independent and fully distributed.
+    "q58_merge_services" -> QueryDef.of(
+      """WITH svc AS (
+        |  SELECT o_custkey AS org_id,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'soproc:' ELSE 'svc:' END
+        |      || CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey % 20 AS VARCHAR) AS service_id,
+        |    CASE WHEN o_orderkey % 5 = 0
+        |         THEN 'covers svc:' || CAST(o_custkey AS VARCHAR) || ':' || CAST((o_orderkey + 1) % 20 AS VARCHAR)
+        |         END AS implements
+        |  FROM orders
+        |), impl AS (
+        |  SELECT org_id, implements FROM svc WHERE implements IS NOT NULL
+        |)
+        |SELECT DISTINCT s.org_id, s.service_id, s.implements
+        |FROM svc s
+        |WHERE s.implements IS NOT NULL
+        |   OR (NOT EXISTS (SELECT 1 FROM impl i WHERE i.org_id = s.org_id
+        |                    AND position(s.service_id IN i.implements) > 0)
+        |       AND NOT (starts_with(s.service_id, 'soproc:')
+        |                AND EXISTS (SELECT 1 FROM impl i WHERE i.org_id = s.org_id)))
+        |""".stripMargin) { (s, dir) =>
+      val svc = Tables.orders(s, dir).select(
+        col("o_custkey").as("org_id"),
+        concat(
+          when(col("o_orderkey") % 7 === 0, "soproc:").otherwise("svc:"),
+          col("o_custkey").cast("string"), lit(":"), (col("o_orderkey") % 20).cast("string")).as("service_id"),
+        when(col("o_orderkey") % 5 === 0,
+          concat(lit("covers svc:"), col("o_custkey").cast("string"), lit(":"),
+            ((col("o_orderkey") + 1) % 20).cast("string"))).as("implements"))
+      val impl = svc.filter(col("implements").isNotNull)
+      val implForJoin = impl.select(col("org_id").as("i_org"), col("implements").as("i_impl"))
+      val implOrgs = implForJoin.select(col("i_org")).distinct()
+      val cands = svc.filter(col("implements").isNull)
+      val afterCovered = cands.join(implForJoin,
+        col("org_id") === col("i_org") && col("i_impl").contains(col("service_id")),
+        "left_anti")
+      val afterSoproc = afterCovered.join(implOrgs,
+        col("org_id") === col("i_org") && col("service_id").startsWith("soproc:"),
+        "left_anti")
+      graft.operators.Relational.concatenate(Seq(impl, afterSoproc)).distinct()
+    },
+
     // q47: taxonomy canonicalization + parent expansion — the reference's
     // normalize-then-expand chain (to_dp.py:116 normalize_taxonomy_ids,
     // then helpers.py:100 update_taxonomy_with_parents). The messy input
