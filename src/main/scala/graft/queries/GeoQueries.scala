@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.operators.{GeoMath, GeoProjection, Relational}
+import graft.operators.{GeoMath, GeoProjection}
 
 /** SURVEY.md §2 — real geo clustering (to_mapbox.py:97 `geo_data_flow`):
   * project ITM coordinates to WGS84 (operators/geocode/__init__.py:21,
@@ -114,21 +114,33 @@ object GeoQueries {
       val pts = projected.select(
         pointId.as("point_id"),
         col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_nationkey"), col("c_acctbal"))
-      val agg = pts.groupBy(col("point_id"))
+      // ONE pass over the projected rows: partial aggregates per
+      // (point, category), then per point — the category mode falls out
+      // as min(struct(-cnt, category)) with q15's deterministic ties
+      // (count desc, category asc), replacing a second scan + join.
+      val lvl1 = pts.groupBy(col("point_id"), col("c_mktsegment"))
         .agg(
-          count(lit(1)).as("service_count"),
-          countDistinct(col("c_nationkey")).as("branch_count"),
-          array_join(sort_array(collect_list(
-            concat(col("c_custkey").cast("string"), lit(":"), col("c_name")))), "|").as("records"),
-          min(col("c_name")).as("bn"),
-          countDistinct(col("c_name")).as("n_names"),
-          max(col("c_acctbal") > 0).as("branch_location_accurate"),
-          min(col("c_custkey")).as("min_key"))
-      val mode = Relational.modePerKey(pts, col("point_id"), col("c_mktsegment"))
-        .select(col("key").as("point_id"), col("mode").as("response_category"))
+          count(lit(1)).as("cnt"),
+          collect_list(concat(col("c_custkey").cast("string"), lit(":"), col("c_name"))).as("recs"),
+          collect_set(col("c_nationkey")).as("nset"),
+          collect_set(col("c_name")).as("names"),
+          max(col("c_acctbal") > 0).as("acc"),
+          min(col("c_custkey")).as("mk"),
+          min(col("c_name")).as("seg_bn"))
+      val agg = lvl1.groupBy(col("point_id"))
+        .agg(
+          sum(col("cnt")).as("service_count"),
+          size(array_distinct(flatten(collect_list(col("nset"))))).cast("long").as("branch_count"),
+          array_join(sort_array(flatten(collect_list(col("recs")))), "|").as("records"),
+          min(col("seg_bn")).as("bn"),
+          size(array_distinct(flatten(collect_list(col("names"))))).cast("long").as("n_names"),
+          max(col("acc")).as("branch_location_accurate"),
+          min(col("mk")).as("min_key"),
+          min(struct((-col("cnt")).as("neg"), col("c_mktsegment").as("cat"))).as("md"))
+        .withColumn("response_category", col("md.cat"))
       val bnT = when(length(col("bn")) > 20, concat(substring(col("bn"), 1, 20), lit("…")))
         .otherwise(col("bn"))
-      agg.join(mode, "point_id")
+      agg
         .select(
           col("point_id"), col("service_count"), col("branch_count"), col("response_category"),
           when(col("n_names") > 1,
