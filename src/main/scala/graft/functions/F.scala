@@ -61,7 +61,12 @@ object F {
     * that fit no pattern keep their original (trimmed) text. Pure array
     * expressions — per-row, no shuffle. */
   def formatPhoneNumbers(raw: Column): Column = {
-    val entries = filter(transform(split(coalesce(raw, lit("")), "\n"), n => trim(n)), n => n =!= "")
+    // Python str.strip() removes ALL whitespace; Spark's trim() only
+    // strips spaces — regexp strip for fidelity (found by PropertySpec).
+    val entries = filter(
+      transform(split(coalesce(raw, lit("")), "\n"),
+        n => regexp_replace(n, "^\\s+|\\s+$", "")),
+      n => n =!= "")
     transform(entries, n => {
       val d0 = regexp_replace(n, "[^0-9]", "")
       val after972 = substring(d0, 4, 32)

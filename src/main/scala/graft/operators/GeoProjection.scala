@@ -117,6 +117,14 @@ object GeoMath {
     Array(lon, lat)
   }
 
+  /** Full EPSG:4326 -> EPSG:2039: datum shift back + TM forward — the
+    * other direction pyproj's Transformer provides. */
+  def wgs84ToItm(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val (x, y, z) = toGeocentric(latDeg, lonDeg)
+    val (latIsr, lonIsr) = toGeodetic(x - DX, y - DY, z - DZ)
+    forward(latIsr, lonIsr)
+  }
+
   /** Constants exposed for oracle-SQL generation: the DuckDB oracle
     * replays this projection step-for-step, and interpolating the JVM's
     * own constants (shortest round-trip decimal form) guarantees literal

@@ -87,7 +87,7 @@ object EtlQueries {
         |), staged AS (
         |  SELECT custkey,
         |    list_transform(
-        |      list_filter(list_transform(string_split(raw, chr(10)), n -> trim(n)), n -> n <> ''),
+        |      list_filter(list_transform(string_split(raw, chr(10)), n -> regexp_replace(n, '^\s+|\s+$', '', 'g')), n -> n <> ''),
         |      n -> {'n': n, 'd':
         |        CASE WHEN length(regexp_replace(n, '[^0-9]', '', 'g')) > 10 AND starts_with(regexp_replace(n, '[^0-9]', '', 'g'), '972')
         |             THEN CASE WHEN length(substring(regexp_replace(n, '[^0-9]', '', 'g'), 4)) < 10

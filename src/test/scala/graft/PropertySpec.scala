@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.F
+import graft.functions.expressions.PolyHash
+import graft.operators.GeoMath
+
+/** Property-based checks for the pure-function kernels: laws that must
+  * hold on ANY input, not just the synthetic tables — idempotence,
+  * round-trips, and native-vs-reference-form equivalence on random data.
+  * (Spark evaluation is batched: each property collects its generated
+  * cases and runs them through one DataFrame pass.)
+  */
+class PropertySpec extends SpecBase {
+  import spark.implicits._
+
+  // Deterministic sampling: same cases every run (no flaky CI), still
+  // structurally random inputs rather than hand-picked examples.
+  private def cases[A](g: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L))
+      .getOrElse(sys.error("generator failed"))
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('\t'),
+      1 -> Gen.const(','), 1 -> Gen.const(':'))).map(_.mkString)
+
+  test("normalizeTaxonomyIds is idempotent and never emits empties or the bare root") {
+    val rawId: Gen[String] = Gen.oneOf(
+      Gen.const("human_situations"),
+      Gen.const(""),
+      asciiText.map(s => "human_situation:" + s.replace(" ", "_")),
+      asciiText.map(s => "human_situations:" + s.replace(" ", "_")),
+      Gen.zip(asciiText, asciiText).map { case (a, b) =>
+        s"human_situations:${a.replace(" ", "_")},human_situations:${b.replace(" ", "_")}" },
+      Gen.zip(asciiText, asciiText).map { case (a, b) =>
+        s"human_situations:${a.replace(" ", "_")} human_situations:${b.replace(" ", "_")}" })
+    val inputs = cases(Gen.listOfN(4, rawId), 60)
+    val df = inputs.map(Tuple1(_)).toDF("ids")
+      .select(F.normalizeTaxonomyIds(col("ids")).as("once"))
+      .select(col("once"), F.normalizeTaxonomyIds(col("once")).as("twice"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val once = r.getSeq[String](0); val twice = r.getSeq[String](1)
+      assert(once == twice, s"not idempotent: $once vs $twice")
+      assert(!once.contains("") && !once.contains("human_situations"))
+      assert(once.distinct == once, "dedup must hold")
+    }
+  }
+
+  test("formatPhoneNumbers output entries are grouped digits or the trimmed original") {
+    val entry: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(100000000L, 999999999L).map(n => "0" + n.toString.drop(1)),
+      Gen.chooseNum(1000000L, 9999999L).map(n => s"+972 52 $n"),
+      Gen.chooseNum(0L, 999999L).map(n => f"1800$n%06d"),
+      asciiText)
+    val raws = cases(Gen.listOfN(3, entry).map(_.mkString("\n")), 80)
+    val rows = raws.map(Tuple1(_)).toDF("raw")
+      .select(col("raw"), F.formatPhoneNumbers(col("raw")).as("phones"))
+      .collect()
+    val grouped = "^(\\d{2}-\\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}|\\d-\\d{3}-\\d{6})$".r
+    rows.foreach { r =>
+      val entries = r.getString(0).split("\n").map(_.trim).filter(_.nonEmpty)
+      val out = r.getSeq[String](1)
+      assert(out.length == entries.length, "one output per non-empty entry")
+      out.zip(entries).foreach { case (o, in) =>
+        assert(grouped.findFirstIn(o).isDefined || o == in,
+          s"'$o' is neither a grouping nor the trimmed original '$in'")
+      }
+    }
+  }
+
+  test("native PolyHash equals the fold on random ASCII strings") {
+    val strs = cases(asciiText, 200).distinct
+    val got = strs.toDF("s")
+      .select(PolyHash(col("s")).as("h"), col("s"))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    strs.foreach { s =>
+      assert(got(s) == PolyHash.eval(s, 31L, 1000000007L))
+    }
+  }
+
+  test("ITM->WGS84->ITM round-trips within a millimetre over Israel's extent") {
+    val coord = for {
+      e <- Gen.chooseNum(130000.0, 260000.0)
+      n <- Gen.chooseNum(400000.0, 770000.0)
+    } yield (e, n)
+    cases(coord, 300).foreach { case (e, n) =>
+      val Array(lon, lat) = GeoMath.itmToWgs84(e, n)
+      // undo the datum shift by inverting through the public API:
+      // project the WGS84 point back with the forward chain
+      val (e2, n2) = GeoMath.wgs84ToItm(lon, lat)
+      assert(math.abs(e2 - e) < 1e-3 && math.abs(n2 - n) < 1e-3,
+        s"round-trip drifted: ($e,$n) -> ($e2,$n2)")
+    }
+  }
+}
