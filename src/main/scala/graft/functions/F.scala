@@ -95,7 +95,9 @@ object F {
   def normalizeTaxonomyIds(ids: Column): Column = {
     val pat = "human_situations:[A-Za-z0-9_:-]+|human_situation:[A-Za-z0-9_:-]+"
     val commaSplit = flatten(transform(coalesce(ids, array()), x => split(x, ",")))
-    val nonEmpty = filter(transform(commaSplit, p => trim(p)), p => p =!= "")
+    // regexp strip, not trim(): Python str.strip() removes all whitespace
+    val nonEmpty = filter(
+      transform(commaSplit, p => regexp_replace(p, "^\\s+|\\s+$", "")), p => p =!= "")
     val smashed = flatten(transform(nonEmpty, p => {
       val toks = regexp_extract_all(p, lit(pat), lit(0))
       when(size(toks) > 1, toks).otherwise(array(p))
@@ -103,7 +105,8 @@ object F {
     val canon = transform(smashed, t =>
       regexp_replace(t, "^human_situation:", "human_situations:"))
     val stripped = transform(canon, t =>
-      regexp_replace(regexp_replace(trim(t), "[,;]+$", ""), "^[,;]+", ""))
+      regexp_replace(regexp_replace(
+        regexp_replace(t, "^\\s+|\\s+$", ""), "[,;]+$", ""), "^[,;]+", ""))
     array_distinct(filter(stripped, t => t =!= "" && t =!= "human_situations"))
   }
 

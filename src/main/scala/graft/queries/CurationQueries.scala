@@ -133,7 +133,7 @@ object CurationQueries {
         |  ] AS ids FROM part
         |), st1 AS (
         |  SELECT part_id,
-        |    list_filter(list_transform(flatten(list_transform(ids, x -> string_split(x, ','))), p -> trim(p)), p -> p <> '') AS ne
+        |    list_filter(list_transform(flatten(list_transform(ids, x -> string_split(x, ','))), p -> regexp_replace(p, '^\s+|\s+$', '', 'g')), p -> p <> '') AS ne
         |  FROM src
         |), st2 AS (
         |  SELECT part_id,
@@ -145,7 +145,7 @@ object CurationQueries {
         |), st3 AS (
         |  SELECT part_id,
         |    list_filter(
-        |      list_transform(sm, t -> trim(trim(regexp_replace(t, '^human_situation:', 'human_situations:')), ',;')),
+        |      list_transform(sm, t -> trim(regexp_replace(regexp_replace(t, '^human_situation:', 'human_situations:'), '^\s+|\s+$', '', 'g'), ',;')),
         |      t -> t <> '' AND t <> 'human_situations') AS kept
         |  FROM st2
         |), st4 AS (

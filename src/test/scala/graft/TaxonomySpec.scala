@@ -16,6 +16,7 @@ class TaxonomySpec extends SpecBase {
       "human_situations:x_1:deep human_situations:y_2",       // space-smashed
       "human_situations",                                     // bare root -> dropped
       " human_situations:pad; ",                              // strip both ends
+      "\thuman_situations:tabbed\t",                          // Python strip() removes tabs too
       "human_situations:a",                                   // duplicate -> deduped
       ""                                                      // empty -> dropped
     )
@@ -28,7 +29,8 @@ class TaxonomySpec extends SpecBase {
       "human_situations:b",
       "human_situations:x_1:deep",
       "human_situations:y_2",
-      "human_situations:pad"))
+      "human_situations:pad",
+      "human_situations:tabbed"))
   }
 
   test("null and empty arrays normalize to empty") {
