@@ -36,10 +36,15 @@ object Similarity {
     * near-duplicate candidates; per-bucket top-k approximates ANN with a
     * shuffle bounded by bucket size instead of a cross join.
     */
-  def hyperplaneBucket(emb: org.apache.spark.sql.Column, dim: Int, nPlanes: Int, seed: Long = 42L): org.apache.spark.sql.Column = {
+  /** The seeded pseudo-random hyperplanes themselves — exposed so oracle
+    * SQL can interpolate the same literals (the RNG is deterministic). */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes, dim)(rng.nextGaussian())
-    val bits = planes.zipWithIndex.map { case (plane, i) =>
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  def hyperplaneBucket(emb: org.apache.spark.sql.Column, dim: Int, nPlanes: Int, seed: Long = 42L): org.apache.spark.sql.Column = {
+    val bits = hyperplanes(dim, nPlanes, seed).zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(v => lit(v)): _*)
       when(F.dot(emb, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }

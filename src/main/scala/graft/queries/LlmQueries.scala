@@ -15,6 +15,35 @@ object LlmQueries {
   private val stop = TextAnalysis.EnglishStopwords
   private def stopList = stop.map(s => s"'$s'").mkString(", ")
 
+  /** q59's oracle: replay the hyperplane blocking + cosine scoring with
+    * the SAME seeded plane literals and left-fold order as the Spark side
+    * (F.dot is a left fold over index order; list_reduce over a prepended
+    * 0.0 matches it term for term). */
+  private lazy val cosineNearDupOracle: String = {
+    def fold(products: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $products), (x, y) -> x + y)"
+    def planeDot(plane: Array[Double]) =
+      fold(s"list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([${plane.mkString(", ")}])[i])")
+    val planes = graft.operators.Similarity.hyperplanes(64, 4)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${planeDot(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val selfDot = fold(
+      "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val pairDot = fold(
+      "list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))")
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket, $selfDot AS n2
+       |  FROM embeddings
+       |)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round($pairDot / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cos
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |) WHERE cos >= 0.2
+       |""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // q22: exact dedup via content hash (hash-groupBy; the shuffle carries
@@ -98,6 +127,26 @@ object LlmQueries {
     "q40_ivf_ann" -> QueryDef.rowsOnly { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+
+    // q59: embedding-cosine near-dup PAIRS — the threshold-dedup shape
+    // (q26/q27/q40 are top-k). Hyperplane-sign blocking bounds the join
+    // (never an unblocked cross product); pairs within a bucket score
+    // exact cosine and keep >= threshold. ORACLE-VERIFIED: the seeded
+    // hyperplanes interpolate into the SQL as literals and every dot/norm
+    // replays the same left-fold order, so the 4-dp rounded cosines are
+    // bit-identical (same technique as the q43 projection replay).
+    "q59_cosine_neardup" -> QueryDef.of(cosineNearDupOracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val bucketed = emb.select(
+        col("vec_id"), col("embedding"),
+        Similarity.hyperplaneBucket(col("embedding"), dim = 64, nPlanes = 4).as("bucket"))
+      val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+        .withColumn("cos", round(F.cosine(col("emb_a"), col("emb_b")), 4))
+        .filter(col("cos") >= 0.2)
+        .select(col("id_a"), col("id_b"), col("cos"))
     },
 
     // q28: language-ID heuristic (stopword-hit scoring).
