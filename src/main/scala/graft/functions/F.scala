@@ -117,12 +117,12 @@ object F {
     array_sort(array_distinct(flatten(array(nonNull: _*))))
   }
 
-  /** Dot product of two equal-length numeric arrays, computed in double. */
+  /** Dot product of two equal-length numeric arrays, computed in double.
+    * Native codegen'd expression (graft.functions.expressions.ArrayDot) —
+    * the HOF composition it replaces is CodegenFallback; fold order and
+    * null behavior are identical bit-for-bit. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.expressions.ArrayDot(a, b)
 
   /** L2 norm of a numeric array. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

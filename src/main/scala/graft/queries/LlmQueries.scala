@@ -138,13 +138,19 @@ object LlmQueries {
     // bit-identical (same technique as the q43 projection replay).
     "q59_cosine_neardup" -> QueryDef.of(cosineNearDupOracle) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      // norms precompute per VECTOR (like the oracle's n2) so the pair
+      // loop evaluates one native dot, not three folds
       val bucketed = emb.select(
         col("vec_id"), col("embedding"),
-        Similarity.hyperplaneBucket(col("embedding"), dim = 64, nPlanes = 4).as("bucket"))
-      val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+        Similarity.hyperplaneBucket(col("embedding"), dim = 64, nPlanes = 4).as("bucket"),
+        F.dot(col("embedding"), col("embedding")).as("n2"))
+      val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("n2").as("n2_a"))
+      val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("n2").as("n2_b"))
       a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-        .withColumn("cos", round(F.cosine(col("emb_a"), col("emb_b")), 4))
+        .withColumn("cos", round(
+          F.dot(col("emb_a"), col("emb_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))), 4))
         .filter(col("cos") >= 0.2)
         .select(col("id_a"), col("id_b"), col("cos"))
     },
