@@ -57,6 +57,33 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: shrink the payload by an integer factor (every k-th
+    * byte — a real implementation decodes, scales with a codec, and
+    * re-encodes; the partition-batched contract and the metadata update
+    * are exactly what that swap needs). Output rows carry the new payload
+    * plus recomputed n_bytes so downstream operators see a consistent
+    * media table. */
+  def resize(spark: SparkSession, media: DataFrame, factor: Int): DataFrame = {
+    import spark.implicits._
+    require(factor >= 1, "resize factor must be >= 1")
+    val rows = media.select(
+      col("id"), col("media"),
+      col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        // per-partition init would go here (codec handles)
+        it.map { r =>
+          val out = new Array[Byte]((r.media.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = r.media(i * factor); i += 1 }
+          MediaRow(r.id, out, r.format, out.length.toLong)
+        }
+      }
+    rows.select(
+      col("id"), col("media"),
+      struct(col("format"), col("n_bytes")).as("meta"))
+  }
+
   /** Frame sampling: cut the payload into `n` fixed-size chunks ("frames")
     * — explode-based, so each frame is its own row downstream (the shape
     * video frame extraction produces). Pure column expressions. */

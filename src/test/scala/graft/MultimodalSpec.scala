@@ -34,4 +34,21 @@ class MultimodalSpec extends SpecBase {
     val joined = frames.flatMap(_.getAs[Array[Byte]]("frame_bytes"))
     assert(joined.sameElements(payload.take(joined.length)))
   }
+
+  test("resize shrinks payloads by the factor and keeps metadata consistent") {
+    val resized = Multimodal.resize(spark, media, factor = 4)
+    assert(resized.schema.fieldNames.toSeq == media.schema.fieldNames.toSeq, "schema preserved")
+    val joined = media.select($"id", org.apache.spark.sql.functions.octet_length($"media").as("orig"))
+      .join(resized.select($"id",
+        org.apache.spark.sql.functions.octet_length($"media").as("small"),
+        $"meta.n_bytes".as("n_bytes")), "id")
+    val bad = joined.filter(
+      $"small" =!= org.apache.spark.sql.functions.expr("(orig + 3) div 4") ||
+        $"n_bytes" =!= $"small").count()
+    assert(bad == 0, "every payload must shrink to ceil(n/4) with matching metadata")
+    // deterministic: same bytes on re-run
+    val a = Multimodal.resize(spark, media, 4).orderBy("id").head().getAs[Array[Byte]]("media").toSeq
+    val b = resized.orderBy("id").head().getAs[Array[Byte]]("media").toSeq
+    assert(a == b)
+  }
 }
