@@ -33,14 +33,18 @@ object Bench {
     }
 
     // Steady-state seconds: best of two timed runs (local runs share the
-    // box with other work; min is the honest throughput estimate).
+    // box with other work; min is the honest throughput estimate). A
+    // failing query records -1, never a fake near-zero "fast" time.
     val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { run(fn); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
