@@ -22,8 +22,15 @@ object Dedup {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** w-token shingles of a token array (falls back to the whole token list
-    * as one shingle for short docs). Pure array expression — no explode. */
+    * as one shingle for short docs). Native codegen'd expression — the
+    * HOF form it replaces (kept below for cross-checking) allocated a
+    * slice copy per window. */
   def shingles(tokens: Column, w: Int = 3): Column =
+    graft.functions.expressions.Shingles(tokens, w)
+
+  /** Reference HOF form of [[shingles]] — interpreted; PropertySpec
+    * asserts equality with the native expression. */
+  def shinglesHof(tokens: Column, w: Int = 3): Column =
     when(size(tokens) < w, array(array_join(tokens, " ")))
       .otherwise(transform(
         sequence(lit(1), size(tokens) - (w - 1)),

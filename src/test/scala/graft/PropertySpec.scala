@@ -97,4 +97,19 @@ class PropertySpec extends SpecBase {
         s"round-trip drifted: ($e,$n) -> ($e2,$n2)")
     }
   }
+
+  test("native Shingles equals the HOF form on random token arrays") {
+    val tokens = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+    val inputs = cases(tokens, 150)
+    for (w <- Seq(1, 3, 8)) {
+      val df = inputs.map(Tuple1(_)).toDF("toks")
+        .select(
+          graft.operators.Dedup.shingles(col("toks"), w).as("native"),
+          graft.operators.Dedup.shinglesHof(col("toks"), w).as("hof"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"w=$w: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
 }
