@@ -110,6 +110,67 @@ object F {
     array_distinct(filter(stripped, t => t =!= "" && t =!= "human_situations"))
   }
 
+  /** Situation-list fixups (to_dp.py:99 `fix_situations`), order-preserving:
+    *  1. if BOTH gender ids are present, drop both (a service for everyone
+    *     is not gender-specific);
+    *  2. hebrew_speaking is always dropped (removal of an absent element
+    *     is a no-op, so the reference's presence check folds away);
+    *  3. arabs/bedouin sector membership appends arabic_speaking at the
+    *     END unless already present.
+    * Null/empty lists pass through unchanged. Built from array_contains /
+    * array_remove / concat only — fully codegen'd, no HOF lambdas. */
+  def fixSituations(ids: Column): Column = {
+    val women = "human_situations:gender:women"
+    val men = "human_situations:gender:men"
+    val hebrew = "human_situations:language:hebrew_speaking"
+    val arabs = "human_situations:sectors:arabs"
+    val bedouin = "human_situations:sectors:bedouin"
+    val arabic = "human_situations:language:arabic_speaking"
+    val afterGender = when(array_contains(ids, women) && array_contains(ids, men),
+      array_remove(array_remove(ids, women), men)).otherwise(ids)
+    val afterHebrew = array_remove(afterGender, hebrew)
+    when((array_contains(afterHebrew, arabs) || array_contains(afterHebrew, bedouin))
+        && !array_contains(afterHebrew, arabic),
+      concat(afterHebrew, array(lit(arabic))))
+      .otherwise(afterHebrew)
+  }
+
+  /** A "valid" address contains no English letters (helpers.py:79
+    * `validate_address` — the curated Hebrew fields are authoritative;
+    * Latin characters mark machine-resolved junk). */
+  def validAddress(c: Column): Column =
+    c.isNotNull && !c.rlike("[A-Za-z]")
+
+  /** First valid address in preference order (to_dp.py:231
+    * `select_address` over ['address','orig_address','resolved_city']);
+    * null when none validates. Codegen'd coalesce-of-guards. */
+  def selectAddress(cols: Column*): Column =
+    coalesce(cols.map(c => when(validAddress(c), c)): _*)
+
+  /** Israel bounding-box sanity gate for a [lon, lat] geometry
+    * (helpers.py:69 `validate_geometry`: 33 < x < 37, 29.3 < y < 33.3);
+    * false for null / wrong-arity geometries. */
+  def validGeometry(geometry: Column): Column =
+    coalesce(
+      // try_element_at: And doesn't short-circuit under ANSI, so a plain
+      // element_at would throw on wrong-arity geometries before the size
+      // check can reject them
+      size(geometry) === 2 &&
+        try_element_at(geometry, lit(1)) > 33.0 && try_element_at(geometry, lit(1)) < 37.0 &&
+        try_element_at(geometry, lit(2)) > 29.3 && try_element_at(geometry, lit(2)) < 33.3,
+      lit(false))
+
+  /** Strip the reference's autocomplete stop words (autocomplete.py:29
+    * STOP_WORDS via :58 `remove_stop_words`): split on single spaces,
+    * drop exact stop-word tokens, rejoin. */
+  def removeStopWords(s: Column, stopWords: Seq[String]): Column =
+    array_join(filter(split(s, " "), w => !w.isin(stopWords.map(lit): _*)), " ")
+
+  /** Branch display name: the organization's short name when curated,
+    * else the full name (helpers.py:61 `calculate_branch_short_name`). */
+  def branchShortName(orgName: Column, orgShortName: Column): Column =
+    coalesce(nullif(orgShortName, lit("")), orgName)
+
   /** Merge several array columns: drop nulls, flatten, distinct, sort.
     * Reference: to_dp.py:84 (`merge_array_fields`). */
   def mergeArrayFields(cols: Column*): Column = {

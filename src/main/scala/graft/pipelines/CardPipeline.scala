@@ -30,7 +30,10 @@ object CardPipeline {
       col("c_custkey").as("organization_id"),
       col("c_name").as("organization_name"),
       col("c_mktsegment").as("organization_kind"),
-      col("c_acctbal").as("organization_balance"))
+      col("c_acctbal").as("organization_balance"),
+      // curated short names exist for a subset of organizations
+      when(col("c_custkey") % 3 === 0, concat(lit("Org"), (col("c_custkey") % 100).cast("string")))
+        .as("organization_short_name"))
     val branches = Tables.orders(spark, dir).select(
       col("o_orderkey").as("branch_id"),
       col("o_custkey").as("organization_id"),
@@ -40,6 +43,10 @@ object CardPipeline {
     val flat = branches.join(broadcast(orgs), "organization_id")
       .withColumn("branch_key",
         F.hashKey(col("organization_id"), col("branch_status"), col("branch_priority")))
+      // calculate_branch_short_name (helpers.py:61): curated short name
+      // wins, full organization name otherwise
+      .withColumn("branch_short_name",
+        F.branchShortName(col("organization_name"), col("organization_short_name")))
     // merge duplicate branches per content key; keep earliest as the
     // representative and count branches per organization
     val merged = Relational.dedupKeepFirst(flat,
@@ -86,18 +93,31 @@ object CardPipeline {
 
     withGeo
       .withColumn("national_service", col("organization_id") % 10 === 0)
+      // validate_geometry (helpers.py:69): only in-Israel [lon, lat] pairs
+      // may produce a point id; invalid geometries get no point (the
+      // reference's bbox sanity gate before point derivation)
       .withColumn("point_id",
-        when(col("national_service"), lit("national_service")).otherwise(pointId))
+        when(col("national_service"), lit("national_service"))
+          .when(F.validGeometry(col("branch_geometry")), pointId))
+      // select_address (to_dp.py:231): first preference-ordered field
+      // passing the no-English validation (helpers.py:79)
+      .withColumn("branch_address",
+        F.selectAddress(
+          concat(lit("כתובת "), col("branch_priority")),
+          concat(lit("סניף "), col("branch_short_name")),
+          col("organization_kind")))
       // clean_org_name (data_cleaning.py) + collapse_key (to_dp.py:890)
       .withColumn("organization_name",
         trim(regexp_replace(regexp_replace(col("organization_name"), "Customer#0*", ""), "#", "")))
       .withColumn("collapse_key",
         trim(concat_ws(" ", col("organization_name"), col("service_flag"))))
-      // normalize_taxonomy_ids (to_dp.py:116) over the merged id list
+      // normalize_taxonomy_ids (to_dp.py:116) then fix_situations
+      // (to_dp.py:99) over the merged id list — the same normalize→fix
+      // chain the reference's card derive applies
       .withColumn("situation_ids",
-        F.normalizeTaxonomyIds(F.mergeArrayFields(
+        F.fixSituations(F.normalizeTaxonomyIds(F.mergeArrayFields(
           array(col("service_flag"), col("service_status")),
-          array(col("branch_status")))))
+          array(col("branch_status"))))))
       // transform_phone_numbers (helpers.py:17) over a derived raw value
       .withColumn("organization_phone_numbers",
         F.formatPhoneNumbers(concat(
@@ -114,7 +134,8 @@ object CardPipeline {
       .select(
         col("card_id"), col("service_id"), col("branch_key"), col("branch_id"),
         col("organization_id"), col("organization_name"), col("organization_kind"),
-        col("organization_branch_count"), col("situation_ids"),
+        col("organization_branch_count"), col("branch_short_name"),
+        col("branch_address"), col("situation_ids"),
         col("national_service"), col("point_id"), col("collapse_key"),
         col("organization_phone_numbers"),
         col("card_score"), col("possible_autocomplete"))

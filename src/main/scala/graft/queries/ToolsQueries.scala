@@ -13,6 +13,176 @@ object ToolsQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // q60: fix_situations (to_dp.py:99) — the last uncovered to_dp.py row
+    // transform: drop BOTH gender ids when both present (keep a lone one),
+    // always drop hebrew_speaking, and append arabic_speaking when an
+    // arabs/bedouin sector id is present without it. Order-preserving,
+    // pure codegen array ops (F.fixSituations) — per-row, no shuffle.
+    // Input lists derive from customer with every membership combination
+    // (including the possible-empty case at custkey % 19 = 0).
+    "q60_fix_situations" -> QueryDef.of(
+      """WITH src AS (
+        |  SELECT c_custkey AS custkey, flatten([
+        |    CASE WHEN c_custkey % 19 <> 0 THEN ['human_situations:benefits:b' || CAST(c_custkey % 4 AS VARCHAR)] ELSE [] END,
+        |    CASE WHEN c_custkey % 2 = 0 THEN ['human_situations:gender:women'] ELSE [] END,
+        |    CASE WHEN c_custkey % 3 = 0 THEN ['human_situations:gender:men'] ELSE [] END,
+        |    CASE WHEN c_custkey % 5 = 0 THEN ['human_situations:language:hebrew_speaking'] ELSE [] END,
+        |    CASE WHEN c_custkey % 7 = 0 THEN ['human_situations:sectors:arabs'] ELSE [] END,
+        |    CASE WHEN c_custkey % 11 = 0 THEN ['human_situations:sectors:bedouin'] ELSE [] END,
+        |    CASE WHEN c_custkey % 13 = 0 THEN ['human_situations:language:arabic_speaking'] ELSE [] END
+        |  ]) AS ids FROM customer
+        |), g AS (
+        |  SELECT custkey,
+        |    CASE WHEN list_contains(ids, 'human_situations:gender:women')
+        |          AND list_contains(ids, 'human_situations:gender:men')
+        |         THEN list_filter(ids, x -> x NOT IN ('human_situations:gender:women', 'human_situations:gender:men'))
+        |         ELSE ids END AS ids
+        |  FROM src
+        |), h AS (
+        |  SELECT custkey, list_filter(ids, x -> x <> 'human_situations:language:hebrew_speaking') AS ids FROM g
+        |)
+        |SELECT custkey, coalesce(array_to_string(
+        |  CASE WHEN (list_contains(ids, 'human_situations:sectors:arabs')
+        |             OR list_contains(ids, 'human_situations:sectors:bedouin'))
+        |            AND NOT list_contains(ids, 'human_situations:language:arabic_speaking')
+        |       THEN ids || ['human_situations:language:arabic_speaking'] ELSE ids END,
+        |  '|'), '') AS situations
+        |FROM h
+        |""".stripMargin) { (s, dir) =>
+      def memberIf(cond: org.apache.spark.sql.Column, id: String) =
+        when(cond, array(lit(id))).otherwise(array().cast("array<string>"))
+      val ids = concat(
+        when(col("c_custkey") % 19 =!= 0,
+          array(concat(lit("human_situations:benefits:b"), (col("c_custkey") % 4).cast("string"))))
+          .otherwise(array().cast("array<string>")),
+        memberIf(col("c_custkey") % 2 === 0, "human_situations:gender:women"),
+        memberIf(col("c_custkey") % 3 === 0, "human_situations:gender:men"),
+        memberIf(col("c_custkey") % 5 === 0, "human_situations:language:hebrew_speaking"),
+        memberIf(col("c_custkey") % 7 === 0, "human_situations:sectors:arabs"),
+        memberIf(col("c_custkey") % 11 === 0, "human_situations:sectors:bedouin"),
+        memberIf(col("c_custkey") % 13 === 0, "human_situations:language:arabic_speaking"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"),
+          array_join(graft.functions.F.fixSituations(ids), "|").as("situations"))
+    },
+
+    // q61: select_address + validate_address + validate_geometry
+    // (to_dp.py:231, helpers.py:79, helpers.py:69): first address field in
+    // preference order containing no English letters; geometry passes only
+    // as a 2-element [lon, lat] inside the Israel bbox. The gated
+    // coordinates are what q43's point-id projection consumes. All
+    // codegen'd guards — per-row, no shuffle.
+    "q61_select_address" -> QueryDef.of(
+      """WITH src AS (
+        |  SELECT c_custkey AS custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'Main St 5'
+        |         WHEN c_custkey % 3 = 1 THEN 'רחוב הרצל ' || CAST(c_custkey % 50 AS VARCHAR)
+        |         ELSE NULL END AS address,
+        |    CASE WHEN c_custkey % 4 = 0 THEN NULL
+        |         WHEN c_custkey % 4 = 1 THEN 'PO Box 12'
+        |         ELSE 'שדרות בן גוריון ' || CAST(c_custkey % 30 AS VARCHAR) END AS orig_address,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'Tel Aviv' ELSE 'חיפה' END AS resolved_city,
+        |    CASE WHEN c_custkey % 23 = 0 THEN NULL
+        |         WHEN c_custkey % 17 = 0 THEN [CAST(33.0 AS DOUBLE) + (c_custkey % 80) * CAST(0.1 AS DOUBLE)]
+        |         ELSE [CAST(33.0 AS DOUBLE) + (c_custkey % 80) * CAST(0.1 AS DOUBLE),
+        |               CAST(29.0 AS DOUBLE) + (c_custkey % 60) * CAST(0.1 AS DOUBLE)] END AS geometry
+        |  FROM customer
+        |), va AS (
+        |  SELECT custkey,
+        |    coalesce(
+        |      CASE WHEN address IS NOT NULL AND NOT regexp_matches(address, '[A-Za-z]') THEN address END,
+        |      CASE WHEN orig_address IS NOT NULL AND NOT regexp_matches(orig_address, '[A-Za-z]') THEN orig_address END,
+        |      CASE WHEN resolved_city IS NOT NULL AND NOT regexp_matches(resolved_city, '[A-Za-z]') THEN resolved_city END
+        |    ) AS address,
+        |    coalesce(len(geometry) = 2
+        |      AND geometry[1] > 33.0 AND geometry[1] < 37.0
+        |      AND geometry[2] > 29.3 AND geometry[2] < 33.3, false) AS geo_valid,
+        |    geometry
+        |  FROM src
+        |)
+        |SELECT custkey, address, geo_valid,
+        |  CASE WHEN geo_valid THEN round(geometry[1], 5) END AS lon,
+        |  CASE WHEN geo_valid THEN round(geometry[2], 5) END AS lat
+        |FROM va
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.F
+      val src = Tables.customer(s, dir).select(
+        col("c_custkey").as("custkey"),
+        when(col("c_custkey") % 3 === 0, "Main St 5")
+          .when(col("c_custkey") % 3 === 1,
+            concat(lit("רחוב הרצל "), (col("c_custkey") % 50).cast("string"))).as("address"),
+        when(col("c_custkey") % 4 === 0, lit(null))
+          .when(col("c_custkey") % 4 === 1, lit("PO Box 12"))
+          .otherwise(concat(lit("שדרות בן גוריון "), (col("c_custkey") % 30).cast("string"))).as("orig_address"),
+        when(col("c_custkey") % 5 === 0, "Tel Aviv").otherwise("חיפה").as("resolved_city"),
+        when(col("c_custkey") % 23 === 0, lit(null))
+          .when(col("c_custkey") % 17 === 0,
+            array(lit(33.0) + (col("c_custkey") % 80).cast("double") * 0.1))
+          .otherwise(array(
+            lit(33.0) + (col("c_custkey") % 80).cast("double") * 0.1,
+            lit(29.0) + (col("c_custkey") % 60).cast("double") * 0.1)).as("geometry"))
+      src
+        .withColumn("geo_valid", F.validGeometry(col("geometry")))
+        .select(
+          col("custkey"),
+          F.selectAddress(col("address"), col("orig_address"), col("resolved_city")).as("address"),
+          col("geo_valid"),
+          when(col("geo_valid"), round(try_element_at(col("geometry"), lit(1)), 5)).as("lon"),
+          when(col("geo_valid"), round(try_element_at(col("geometry"), lit(2)), 5)).as("lat"))
+    },
+
+    // q63: convert_situation_list (srm_tools/situations.py:32): external
+    // situation ids map to taxonomy record ids through the situations
+    // table — the reference's driver-side dict lookup becomes a BROADCAST
+    // join; unknown ids are dropped AND counted (the reference prints
+    // them), riding the q12 stats posture as a per-entity miss count.
+    // List order is preserved through posexplode + sorted re-collect.
+    "q63_convert_situations" -> QueryDef.of(
+      """WITH mapping AS (
+        |  SELECT 'ext:s' || CAST(n_nationkey AS VARCHAR) AS ext,
+        |    'rec:' || CAST(n_nationkey AS VARCHAR) AS rid
+        |  FROM nation
+        |), src AS (
+        |  SELECT c_custkey AS custkey, [
+        |    'ext:s' || CAST(c_custkey % 30 AS VARCHAR),
+        |    'ext:s' || CAST((c_custkey * 7) % 40 AS VARCHAR),
+        |    'ext:s' || CAST(c_custkey % 25 AS VARCHAR)
+        |  ] AS sits FROM customer
+        |), ex AS (
+        |  SELECT custkey, u.sit, u.pos
+        |  FROM src, LATERAL (SELECT unnest(sits) AS sit, generate_subscripts(sits, 1) AS pos) u
+        |), j AS (
+        |  SELECT custkey, pos, m.rid FROM ex LEFT JOIN mapping m ON sit = m.ext
+        |)
+        |SELECT custkey,
+        |  coalesce(array_to_string(list_transform(
+        |    list_sort(list({'pos': pos, 'rid': rid}) FILTER (WHERE rid IS NOT NULL)),
+        |    x -> x.rid), '|'), '') AS converted,
+        |  CAST(COUNT(*) FILTER (WHERE rid IS NULL) AS BIGINT) AS n_unknown
+        |FROM j GROUP BY custkey
+        |""".stripMargin) { (s, dir) =>
+      val mapping = Tables.nation(s, dir).select(
+        concat(lit("ext:s"), col("n_nationkey").cast("string")).as("ext"),
+        concat(lit("rec:"), col("n_nationkey").cast("string")).as("rid"))
+      val src = Tables.customer(s, dir).select(
+        col("c_custkey").as("custkey"),
+        array(
+          concat(lit("ext:s"), (col("c_custkey") % 30).cast("string")),
+          concat(lit("ext:s"), ((col("c_custkey") * 7) % 40).cast("string")),
+          concat(lit("ext:s"), (col("c_custkey") % 25).cast("string"))).as("sits"))
+      src
+        .select(col("custkey"), posexplode(col("sits")).as(Seq("pos", "sit")))
+        .join(broadcast(mapping), col("sit") === col("ext"), "left")
+        .groupBy(col("custkey"))
+        .agg(
+          array_join(
+            transform(
+              sort_array(collect_list(when(col("rid").isNotNull, struct(col("pos"), col("rid"))))),
+              x => x.getField("rid")),
+            "|").as("converted"),
+          sum(when(col("rid").isNull, 1L).otherwise(0L)).as("n_unknown"))
+    },
+
     // q56: stable reorder-by-category (to_dp.py:50
     // safe_reorder_responses_by_category + :69 safe_get_response_
     // categories): matching entries first, others after, relative order
