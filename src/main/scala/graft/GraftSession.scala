@@ -24,6 +24,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // ObjectHashAggregate (collect_list/collect_set and the sketch
+      // aggregates) falls back to SORT-based aggregation once a task sees
+      // this many groups — the default (128) silently turns every
+      // collect-shaped groupBy into a per-partition sort. Group payloads
+      // here are small arrays; keep hashing. On a memory-tight cluster
+      // this is the first knob to revisit.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       // catalog tables (Sources.dumpToTable) land outside the repo; a real
       // deployment points this at shared storage
       .config("spark.sql.warehouse.dir",

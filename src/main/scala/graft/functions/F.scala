@@ -45,7 +45,12 @@ object F {
     * Pure array expression: for each id, slice its parts at every depth
     * from 2..n and rejoin — no explode needed, no shuffle.
     */
-  def taxonomyParents(ids: Column): Column = {
+  def taxonomyParents(ids: Column): Column =
+    graft.functions.expressions.TaxonomyParents(ids)
+
+  /** The original HOF composition of [[taxonomyParents]] — kept as the
+    * property-test reference for the native expression. */
+  private[graft] def taxonomyParentsHof(ids: Column): Column = {
     val expanded = flatten(transform(ids, id => {
       val parts = split(id, ":")
       transform(sequence(lit(2), size(parts)), i => array_join(slice(parts, lit(1), i), ":"))
@@ -91,8 +96,16 @@ object F {
     * 'human_situation:' -> 'human_situations:', strip whitespace and
     * trailing/leading ',;', drop empties and the bare root token, and
     * dedupe preserving first appearance (array_distinct keeps first
-    * occurrence). Pure array expressions — per-row, no shuffle. */
-  def normalizeTaxonomyIds(ids: Column): Column = {
+    * occurrence). Native single-pass expression (graft.functions.
+    * expressions.NormalizeTaxonomyIds) — the five chained HOF stages it
+    * replaces were all CodegenFallback (round-2 bench profile top);
+    * equality is property-tested in TaxonomySpec. Per-row, no shuffle. */
+  def normalizeTaxonomyIds(ids: Column): Column =
+    graft.functions.expressions.NormalizeTaxonomyIds(coalesce(ids, array()))
+
+  /** The original HOF composition of [[normalizeTaxonomyIds]] — kept as
+    * the property-test reference for the native expression. */
+  private[graft] def normalizeTaxonomyIdsHof(ids: Column): Column = {
     val pat = "human_situations:[A-Za-z0-9_:-]+|human_situation:[A-Za-z0-9_:-]+"
     val commaSplit = flatten(transform(coalesce(ids, array()), x => split(x, ",")))
     // regexp strip, not trim(): Python str.strip() removes all whitespace

@@ -114,43 +114,61 @@ object DeriveQueries {
         |FROM phrases
         |""".stripMargin) { (s, dir) =>
       val ignore = Seq("human_situations:language:hebrew_speaking", "human_situations:age_group:adults")
+      // Relational de-HOF (round-2 VERDICT finding #2): the old form ran a
+      // nested transform-in-transform (interpreted, a lambda frame per
+      // response x situation) over each card's collected response list.
+      // The cross-product is instead built ONE SOURCE ROW at a time — each
+      // orders row IS one response candidate, so its phrase block is a
+      // plain codegen'd concat of conditional literal arrays (the two
+      // situations unroll statically: s1 sits in IGNORE_SITUATIONS and
+      // contributes only city phrases; s2 is a benefits:* id so both its
+      // gates pass) — then ONE groupBy flatten/distinct/sorts the blocks.
+      // Duplicate o_orderpriority values produce duplicate phrase blocks
+      // that the same final array_distinct already removes, so the result
+      // is bit-identical to the collected-list form and the oracle.
+      val empty = array().cast("array<string>")
       val cards = Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey").as("card_id"), col("c_name"), col("c_mktsegment"))
         .agg(
-          sort_array(array_distinct(collect_list(col("o_orderpriority")))).as("resp_names"),
+          array_distinct(collect_list(col("o_orderpriority"))).as("resp_names"),
           when(col("c_custkey") % 4 === 0, lit(null)).otherwise(max(col("n_name"))).as("branch_city"))
-      val situations = array(
-        struct(lit("human_situations:age_group:adults").as("id"), lit("מבוגרים").as("name")),
-        struct(concat(lit("human_situations:benefits:"), lower(col("c_mktsegment"))).as("id"),
-          lower(col("c_mktsegment")).as("name")))
+      // Explode the per-card response list and build each response's
+      // phrase block as a codegen'd concat of conditional literal arrays
+      // (the two situations unroll statically: s1 sits in
+      // IGNORE_SITUATIONS and contributes only city phrases; s2 is a
+      // benefits:* id so both its gates pass). The re-aggregation groups
+      // by the SAME keys as the first, so it reuses its hash partitioning
+      // — explode + rebuild run entirely within the partition, and the
+      // only exchange in the plan is the first groupBy's (this is what
+      // replaced the round-2 interpreted transform-in-transform, VERDICT
+      // finding #2 — per-element work belongs in a Generate stage, not a
+      // lambda).
+      val r = col("r")
       val city = col("branch_city")
-      def sitPhrases(r: org.apache.spark.sql.Column) =
-        flatten(transform(situations, sC => {
-          val notIgnored = !sC.getField("id").isin(ignore: _*)
-          val catOk = !element_at(split(sC.getField("id"), ":"), 2).isin("age_group", "language")
-          concat(
-            when(notIgnored && catOk, array(sC.getField("name"))).otherwise(array().cast("array<string>")),
-            when(notIgnored, array(concat(r, lit(" עבור "), sC.getField("name"))))
-              .otherwise(array().cast("array<string>")),
-            when(city.isNotNull, array(
-              concat(lit("שירותים עבור "), sC.getField("name"), lit(" ב"), city),
-              concat(r, lit(" עבור "), sC.getField("name"), lit(" ב"), city)))
-              .otherwise(array().cast("array<string>")))
-        }))
-      val phrases = flatten(transform(col("resp_names"), r =>
-        concat(
-          array(r),
-          sitPhrases(r),
-          when(city.isNotNull, array(concat(r, lit(" ב"), city)))
-            .otherwise(array().cast("array<string>")))))
-      cards.select(
-        col("card_id"),
-        trim(concat(col("c_name"), lit(" "), coalesce(col("c_mktsegment"), lit("")))).as("collapse_key"),
-        array_join(
-          array_sort(array_distinct(filter(phrases, x => x.isNotNull && x =!= ""))),
-          "|").as("autocompletes"))
+      val s1Name = lit("מבוגרים")
+      val s2Name = lower(col("c_mktsegment"))
+      val phraseBlock = concat(
+        array(r),
+        when(city.isNotNull, array(
+          concat(lit("שירותים עבור "), s1Name, lit(" ב"), city),
+          concat(r, lit(" עבור "), s1Name, lit(" ב"), city))).otherwise(empty),
+        array(s2Name, concat(r, lit(" עבור "), s2Name)),
+        when(city.isNotNull, array(
+          concat(lit("שירותים עבור "), s2Name, lit(" ב"), city),
+          concat(r, lit(" עבור "), s2Name, lit(" ב"), city))).otherwise(empty),
+        when(city.isNotNull, array(concat(r, lit(" ב"), city))).otherwise(empty))
+      cards
+        .select(col("card_id"), col("c_name"), col("c_mktsegment"), col("branch_city"),
+          explode(col("resp_names")).as("r"))
+        .select(col("card_id"), col("c_name"), col("c_mktsegment"), phraseBlock.as("ph"))
+        .groupBy(col("card_id"), col("c_name"), col("c_mktsegment"))
+        .agg(collect_list(col("ph")).as("blocks"))
+        .select(
+          col("card_id"),
+          trim(concat(col("c_name"), lit(" "), coalesce(col("c_mktsegment"), lit("")))).as("collapse_key"),
+          array_join(sort_array(array_distinct(flatten(col("blocks")))), "|").as("autocompletes"))
     },
 
     // q35: sitemap paths (to_sitemap.py:47 — '/c/{id}' with XML escaping).

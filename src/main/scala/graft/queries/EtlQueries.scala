@@ -256,6 +256,60 @@ object EtlQueries {
         .withColumn("low", col("score") <= 1)
     },
 
+    // q62: autocomplete corpus gates (autocomplete.py:58 remove_stop_words,
+    // :44 prepare_locations, :141 get_bounds): the corpus query loses its
+    // stop words (exact-token strip on the reference's STOP_WORDS list),
+    // and city rows resolve a bounding box through the locations table —
+    // the reference's driver-side name->bounds dict becomes a BROADCAST
+    // join; unknown cities drop exactly like get_bounds' no-match branch,
+    // while city-less rows pass through without bounds.
+    "q62_autocomplete_bounds" -> QueryDef.of(
+      """WITH locations AS (
+        |  SELECT n_name AS loc_name,
+        |    CAST(34.0 AS DOUBLE) + n_nationkey * CAST(0.05 AS DOUBLE) AS min_lon,
+        |    CAST(29.5 AS DOUBLE) + n_nationkey * CAST(0.05 AS DOUBLE) AS min_lat,
+        |    CAST(34.5 AS DOUBLE) + n_nationkey * CAST(0.05 AS DOUBLE) AS max_lon,
+        |    CAST(30.0 AS DOUBLE) + n_nationkey * CAST(0.05 AS DOUBLE) AS max_lat
+        |  FROM nation WHERE n_nationkey % 5 <> 0
+        |), corpus AS (
+        |  SELECT c_custkey AS custkey,
+        |    'שירותים עבור ' || c_mktsegment || ' של הארגון באיזור המרכז' AS raw_query,
+        |    CASE WHEN c_custkey % 4 <> 0 THEN n_name END AS city_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |)
+        |SELECT custkey,
+        |  array_to_string(list_filter(string_split(raw_query, ' '),
+        |    w -> w NOT IN ('עבור', 'של', 'באיזור')), ' ') AS query,
+        |  city_name, min_lon, min_lat, max_lon, max_lat
+        |FROM corpus LEFT JOIN locations ON city_name = loc_name
+        |WHERE city_name IS NULL OR min_lon IS NOT NULL
+        |""".stripMargin) { (s, dir) =>
+      val stopWords = Seq("עבור", "של", "באיזור")
+      val locations = Tables.nation(s, dir)
+        .filter(col("n_nationkey") % 5 =!= 0)
+        .select(
+          col("n_name").as("loc_name"),
+          (lit(34.0) + col("n_nationkey").cast("double") * 0.05).as("min_lon"),
+          (lit(29.5) + col("n_nationkey").cast("double") * 0.05).as("min_lat"),
+          (lit(34.5) + col("n_nationkey").cast("double") * 0.05).as("max_lon"),
+          (lit(30.0) + col("n_nationkey").cast("double") * 0.05).as("max_lat"))
+      val corpus = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("c_custkey").as("custkey"),
+          concat(lit("שירותים עבור "), col("c_mktsegment"),
+            lit(" של הארגון באיזור המרכז")).as("raw_query"),
+          when(col("c_custkey") % 4 =!= 0, col("n_name")).as("city_name"))
+      corpus
+        .join(broadcast(locations), col("city_name") === col("loc_name"), "left")
+        .filter(col("city_name").isNull || col("min_lon").isNotNull)
+        .select(
+          col("custkey"),
+          F.removeStopWords(col("raw_query"), stopWords).as("query"),
+          col("city_name"),
+          col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+    },
+
     // q19: merge-duplicate-entities (to_dp.py:237 merge_duplicate_branches):
     // re-key by content hash, merge each group to one row, and count groups
     // per parent entity. The reference's driver-side dict becomes a groupBy

@@ -216,26 +216,43 @@ object ToolsQueries {
         .otherwise(concat(lit("responses:"),
           lower(element_at(split(col("o_orderpriority"), "-"), 2)),
           lit(":"), (col("o_orderkey") % 3).cast("string")))
+      // Relational de-HOF (round-2 VERDICT finding #2): the old form
+      // re-split every element 3x through two interpreted array filters
+      // and a transform. Instead: collect the sorted-distinct id list
+      // (the plan's ONLY exchange), explode it back out, compute the
+      // match flag and extracted category once per element in the
+      // codegen'd Generate stage, and re-aggregate on the SAME grouping
+      // keys — the second aggregate reuses the first's hash partitioning,
+      // so the rebuild never leaves the partition. A stable filter of a
+      // sorted-distinct list equals the concat of its two sorted
+      // partitions, which is exactly what the two conditional collects
+      // rebuild.
       val cards = Tables.customer(s, dir)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey").as("card_id"), col("c_mktsegment"))
         .agg(sort_array(array_distinct(collect_list(respId))).as("resp_ids"))
-        .withColumn("category", lit("low"))
-      def isMatch(r: org.apache.spark.sql.Column) =
-        size(split(r, ":")) > 1 && element_at(split(r, ":"), 2) === col("category")
-      cards.select(
-        col("card_id"),
-        array_join(
-          concat(
-            filter(col("resp_ids"), r => isMatch(r)),
-            filter(col("resp_ids"), r => !isMatch(r))),
-          "|").as("reordered"),
-        array_join(
-          array_sort(array_distinct(filter(
-            transform(col("resp_ids"), r =>
-              when(size(split(r, ":")) > 1, element_at(split(r, ":"), 2))),
-            x => x.isNotNull))),
-          "|").as("categories"))
+      val category = lit("low")
+      val parts = split(col("r"), ":")
+      // try_element_at: codegen subexpression elimination hoists the
+      // shared element_at above the size guard, so the ANSI throwing form
+      // would fire on 1-part (malformed) ids
+      val isMatch = size(parts) > 1 && try_element_at(parts, lit(2)) === category
+      val catVal = when(size(parts) > 1, try_element_at(parts, lit(2)))
+      cards
+        .select(col("card_id"), col("c_mktsegment"), explode(col("resp_ids")).as("r"))
+        .select(col("card_id"), col("c_mktsegment"),
+          when(isMatch, col("r")).as("m_val"),
+          when(!isMatch, col("r")).as("o_val"),
+          catVal.as("c_val"))
+        .groupBy(col("card_id"), col("c_mktsegment"))
+        .agg(
+          sort_array(collect_list(col("m_val"))).as("matched"),
+          sort_array(collect_list(col("o_val"))).as("others"),
+          sort_array(array_distinct(collect_list(col("c_val")))).as("cats"))
+        .select(
+          col("card_id"),
+          array_join(concat(col("matched"), col("others")), "|").as("reordered"),
+          array_join(col("cats"), "|").as("categories"))
     },
 
     // q57: sibling point offsets (helpers.py:272-304 point_offset_table +

@@ -38,4 +38,34 @@ class TaxonomySpec extends SpecBase {
     val got = df.select(F.normalizeTaxonomyIds(col("ids")).as("n")).collect()
     assert(got.forall(_.getSeq[String](0).isEmpty))
   }
+
+  test("native expression equals the HOF composition on randomized messy inputs") {
+    val rnd = new scala.util.Random(20260812L)
+    val frags = Seq(
+      "human_situations:a", "human_situation:b:c", "human_situations", "",
+      " human_situations:pad ;", "human_situations:x human_situations:y",
+      "human_situation:z", ",,", "plain_token", "  ", "\thuman_situations:t\t",
+      "human_situations:a,human_situation:q", ";human_situations:semi",
+      "human_situations:deep:er:est", "human_situations:x,", "צירוף חופשי")
+    val rows = Seq.fill(300) {
+      Tuple1(Seq.fill(1 + rnd.nextInt(6)) {
+        // random fragments, sometimes comma-joined into one element
+        if (rnd.nextBoolean()) frags(rnd.nextInt(frags.size))
+        else s"${frags(rnd.nextInt(frags.size))},${frags(rnd.nextInt(frags.size))}"
+      })
+    }
+    val df = rows.toDF("ids")
+    val diff = df.select(
+      F.normalizeTaxonomyIds(col("ids")).as("native"),
+      F.normalizeTaxonomyIdsHof(col("ids")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+    // parents expansion: native TreeSet pass vs HOF slice/join chain,
+    // downstream of the (native) normalizer like the q11/q47 call sites
+    val pdiff = df.select(
+      F.taxonomyParents(F.normalizeTaxonomyIds(col("ids"))).as("native"),
+      F.taxonomyParentsHof(F.normalizeTaxonomyIds(col("ids"))).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(pdiff.count() == 0)
+  }
 }
