@@ -192,20 +192,38 @@ object Dedup {
           when(col("w") =!= 0, struct(col("w"), col("bits")))))).as("rest"),
         sum(bit_count(col("bits"))).cast("int").as("sz"))
     val num = math.round(threshold * 10).toInt // threshold with one decimal -> exact int prune
+    // COMPOSITE BLOCK (round-2 VERDICT finding #1): `blk` alone (lang, ~10
+    // values) makes candidate generation quadratic inside a block at
+    // corpus scale. Add a geometric size band derived from the same
+    // threshold algebra as the prune: any surviving pair has
+    // sz_small >= t * sz_big, so log_{1/t}(sz) differs by at most 1 — a
+    // record joined against its own band and both neighbors (the b side
+    // triple-emits) sees EVERY admissible partner exactly once (the three
+    // bucket values are distinct, so a pair can match only one). The
+    // banding is therefore lossless: results are byte-identical to
+    // lang-only blocking, and the oracle stays the plain lang-blocked
+    // form. Candidate pairs are now bounded per (lang, band) group —
+    // bands hold ~|corpus|/band-count same-sized docs, not a whole
+    // language.
+    val logInvT = math.log(1.0 / threshold)
+    val band = floor(log(greatest(col("sz"), lit(1)).cast("double")) / lit(logInvT)).cast("int")
     // Pair evaluation is the compute bottleneck, and AQE would coalesce the
     // tiny mask exchange down to one partition — pin the probe side's
     // parallelism so the O(pairs) work uses every core.
     val a = masks.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id").as("id_a"), col("blk").as("blk_a"),
+      .select(col("id").as("id_a"), col("blk").as("blk_a"), band.as("band_a"),
         col("m0").as("m0_a"), col("rest").as("rest_a"), col("sz").as("sz_a"))
-    val b = masks.select(col("id").as("id_b"), col("blk").as("blk_b"),
-      col("m0").as("m0_b"), col("rest").as("rest_b"), col("sz").as("sz_b"))
+    val b = masks
+      .select(col("id").as("id_b"), col("blk").as("blk_b"),
+        explode(array(band - 1, band, band + 1)).as("band_b"),
+        col("m0").as("m0_b"), col("rest").as("rest_b"), col("sz").as("sz_b"))
     // Native merge-scan intersect of the sorted overflow maps (codegen'd
     // SortedMapBitIntersect) — the interpreted HOF form allocated per map
     // entry on every candidate pair, and the pair loop is the hot path.
     val inter = bit_count(col("m0_a").bitwiseAND(col("m0_b"))).cast("int") +
       graft.functions.expressions.SortedMapBitIntersect(col("rest_a"), col("rest_b"))
-    a.join(b, col("blk_a") === col("blk_b") && col("id_a") < col("id_b")
+    a.join(b, col("blk_a") === col("blk_b") && col("band_a") === col("band_b")
+        && col("id_a") < col("id_b")
         && col("sz_a") * 10 >= col("sz_b") * num && col("sz_b") * 10 >= col("sz_a") * num)
       .withColumn("inter", inter)
       .withColumn("jaccard",

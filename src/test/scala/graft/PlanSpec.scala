@@ -27,6 +27,22 @@ class PlanSpec extends SpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q10's builder runs no data-scan job (lazy construction)") {
+    // q10 used to run an eager max(length) aggregate inside its builder
+    // (round-2 VERDICT finding #3). spark.read.parquet launches small
+    // footer/schema jobs for ANY builder, so compare against q02 (same
+    // single-table read, known lazy): equal job counts = no extra
+    // aggregate pass.
+    def jobsFor(name: String): Int = {
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      SparkEntry.queries(name)(spark, SfDir)
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+    }
+    val baseline = jobsFor("q02_project")
+    val q10 = jobsFor("q10_fuzzy")
+    assert(q10 <= baseline, s"q10 build ran $q10 jobs vs lazy baseline $baseline")
+  }
+
   test("nested-loop joins appear only where semantics require them") {
     // q26: brute-force ANN baseline (the point of the query); q38: rule
     // matching is non-equi (ends-with/contains) over a tiny broadcast rule
