@@ -73,10 +73,15 @@ object CardPipeline {
       .withColumn("service_id", F.hashKey(col("branch_id"), col("service_seq")))
       .withColumn("card_id", F.hashKey(col("branch_key"), col("service_id")))
 
-    // unique (service, branch) — the reference's flat-table dedup
+    // unique (service, branch) — the reference's flat-table dedup.
+    // (service_date, service_seq) alone is NOT a total order — the test
+    // lineitem data repeats line numbers within an order — so the flag/
+    // status columns break the tie; fully identical rows merge to
+    // identical cards either way.
     val unique = Relational.dedupKeepFirst(flat,
       keys = Seq(col("card_id")),
-      order = Seq(col("service_date"), col("service_seq")))
+      order = Seq(col("service_date"), col("service_seq"),
+        col("service_flag"), col("service_status")))
 
     // Geo step (to_dp.py:875 + helpers.py:57): project branch coordinates
     // and derive the fixed-format point_id; national services collapse to
@@ -100,12 +105,17 @@ object CardPipeline {
         when(col("national_service"), lit("national_service"))
           .when(F.validGeometry(col("branch_geometry")), pointId))
       // select_address (to_dp.py:231): first preference-ordered field
-      // passing the no-English validation (helpers.py:79)
+      // passing the no-English validation (helpers.py:79). The candidates
+      // derive so every branch executes: a curated Hebrew address for
+      // organization_id % 3 = 0, an invalid (Latin priority text) resolved
+      // address for % 3 = 1, and a Hebrew fallback city for the rest.
       .withColumn("branch_address",
         F.selectAddress(
-          concat(lit("כתובת "), col("branch_priority")),
-          concat(lit("סניף "), col("branch_short_name")),
-          col("organization_kind")))
+          when(col("organization_id") % 3 === 0,
+            concat(lit("כתובת "), (col("branch_id") % 100).cast("string"))),
+          when(col("organization_id") % 3 === 1,
+            concat(lit("רחוב "), col("branch_priority"))),
+          concat(lit("סניף "), (col("organization_id") % 50).cast("string"))))
       // clean_org_name (data_cleaning.py) + collapse_key (to_dp.py:890)
       .withColumn("organization_name",
         trim(regexp_replace(regexp_replace(col("organization_name"), "Customer#0*", ""), "#", "")))

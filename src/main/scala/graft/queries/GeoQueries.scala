@@ -27,8 +27,9 @@ object GeoQueries {
 
   /** The projection chain as DuckDB CTEs over (e, n) columns: Redfearn TM
     * inverse -> geodetic Israel93 -> geocentric + datum shift -> WGS84
-    * geodetic (6 unrolled fixed-point iterations, matching GeoMath). */
-  private def projectionCtes: String = {
+    * geodetic (6 unrolled fixed-point iterations, matching GeoMath).
+    * Shared with q64's full-pipeline oracle (PipelineQueries). */
+  private[queries] def projectionCtes: String = {
     val iter = (1 to 6).map { i =>
       val prev = if (i == 1) "lat0" else s"lat${i - 1}"
       s"""g$i AS (SELECT *, atan2(z + ${g.e2} * (${g.a} / sqrt(1 - ${g.e2} * sin($prev) * sin($prev))) * sin($prev), p) AS lat$i FROM g${if (i == 1) "0" else (i - 1).toString})"""
