@@ -28,6 +28,18 @@ object Multimodal {
         lit("txt").as("format"),
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
+  /** Columnar feature extraction — the fake fold as a native codegen'd
+    * expression ([[graft.functions.expressions.MediaFeatureFold]]), so
+    * the stub costs q32 no whole-stage-codegen break. A REAL decoder
+    * cannot run columnar (codec/model init is per partition) and swaps in
+    * through [[extractFeaturesPartitioned]]; MultimodalSpec pins the two
+    * paths bit-equal so the swap is behavior-preserving by construction. */
+  def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame =
+    media.select(
+      col("id"),
+      col("meta.n_bytes").as("n_bytes"),
+      graft.functions.expressions.MediaFeatureFold(col("media"), dim).as("features"))
+
   /** STUB decode + feature extraction — deterministic fake features from
     * the payload bytes (a real implementation decodes the media and runs a
     * feature net here; the `mapPartitions` batch shape is identical).
@@ -35,7 +47,7 @@ object Multimodal {
     * Runs partition-at-a-time so a codec/model would amortize init cost
     * per partition, the same contract as `mapInPandas` batches.
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+  def extractFeaturesPartitioned(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(
       col("id"), col("media"),

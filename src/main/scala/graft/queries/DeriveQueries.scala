@@ -42,17 +42,31 @@ object DeriveQueries {
     // es_schemas.py): entity root + sorted nested array of child structs —
     // the document shape Elasticsearch indexing consumes. Children sorted
     // for determinism (collect_list order is partition-dependent).
+    // `last_modified` is to_es.py:61 parse_date + the :84
+    // airtable_last_modified max-of-parsable-dates: tolerant parsing is
+    // try_to_timestamp (null on junk, like the reference's except ->
+    // None), and max() skips the nulls exactly like max(filter(None, ..)).
+    // Raw values derive with a valid date, a datetime, and junk so every
+    // parse branch runs.
     "q34_es_docs" -> QueryDef.of(
       """SELECT c_custkey AS custkey, max(c_name) AS name,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  array_to_string(list_transform(
         |    list_sort(list({'orderkey': o_orderkey, 'status': o_orderstatus})),
-        |    o -> CAST(o.orderkey AS VARCHAR) || ':' || o.status), '|') AS orders
+        |    o -> CAST(o.orderkey AS VARCHAR) || ':' || o.status), '|') AS orders,
+        |  CAST(max(try_cast(
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+        |         WHEN o_orderkey % 3 = 0 THEN CAST(o_orderdate AS VARCHAR) || ' 12:30:45'
+        |         ELSE CAST(o_orderdate AS VARCHAR) END AS TIMESTAMP)) AS VARCHAR) AS last_modified
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey
         |""".stripMargin) { (s, dir) =>
       // Nested child array serialized 'orderkey:status|…' in the final
       // projection (both engines) so the driver can sort/hash the column.
+      val rawDate = when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
+        .when(col("o_orderkey") % 3 === 0,
+          concat(col("o_orderdate").cast("string"), lit(" 12:30:45")))
+        .otherwise(col("o_orderdate").cast("string"))
       Tables.customer(s, dir)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey").as("custkey"))
@@ -65,7 +79,8 @@ object DeriveQueries {
                 col("o_orderkey").as("orderkey"),
                 col("o_orderstatus").as("status")))),
               o => concat(o.getField("orderkey").cast("string"), lit(":"), o.getField("status"))),
-            "|").as("orders"))
+            "|").as("orders"),
+          max(try_to_timestamp(rawDate)).cast("string").as("last_modified"))
     },
 
     // q52: possible_autocomplete (to_dp.py:180) + collapse_key

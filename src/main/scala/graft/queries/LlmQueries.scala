@@ -259,7 +259,7 @@ object LlmQueries {
         |FROM f
         |""".stripMargin) { (s, dir) =>
       val media = Multimodal.asMediaTable(Tables.documents(s, dir))
-      val feats = Multimodal.extractFeatures(s, media).toDF()
+      val feats = Multimodal.extractFeatures(media)
       val frames = Multimodal.sampleFrames(media, n = 4)
         .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
       feats

@@ -18,12 +18,24 @@ class MultimodalSpec extends SpecBase {
   }
 
   test("feature extraction is deterministic with the declared dimension") {
-    val f1 = Multimodal.extractFeatures(spark, media, dim = 8).collect().sortBy(_.id)
-    val f2 = Multimodal.extractFeatures(spark, media, dim = 8).collect().sortBy(_.id)
+    val f1 = Multimodal.extractFeaturesPartitioned(spark, media, dim = 8).collect().sortBy(_.id)
+    val f2 = Multimodal.extractFeaturesPartitioned(spark, media, dim = 8).collect().sortBy(_.id)
     assert(f1.length == media.count())
     assert(f1.forall(_.features.length == 8))
     assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
     assert(f1.forall(_.features.forall(v => v >= 0f && v <= 1f)))
+  }
+
+  test("columnar MediaFeatureFold is bit-equal to the mapPartitions codec contract") {
+    // The codec swap (a real decoder replacing the stub inside
+    // extractFeaturesPartitioned) must be behavior-preserving; this pins
+    // the columnar expression q32 runs against the typed partition path,
+    // including the affine one-pass fold vs the per-slot sequential fold.
+    val columnar = Multimodal.extractFeatures(media, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val typed = Multimodal.extractFeaturesPartitioned(spark, media, dim = 8).collect()
+    assert(typed.nonEmpty)
+    assert(typed.forall(t => columnar(t.id).toArray.sameElements(t.features)))
   }
 
   test("frame sampling reconstitutes a prefix of the payload in order") {
