@@ -63,9 +63,16 @@ object F {
     * the digits of each entry, strip a +972 country prefix (restoring the
     * leading 0), then group 9-digit 0x numbers as xx-xxx-xxxx, 10-digit 0x
     * as xxx-xxx-xxxx and 10-digit 1-800-style as x-xxx-xxxxxx; entries
-    * that fit no pattern keep their original (trimmed) text. Pure array
-    * expressions — per-row, no shuffle. */
-  def formatPhoneNumbers(raw: Column): Column = {
+    * that fit no pattern keep their original (trimmed) text. Native
+    * single-pass expression (expressions.FormatPhoneNumbers — the HOF
+    * composition ran an interpreted lambda + three regexes per entry);
+    * equality property-tested in PropertySpec. Per-row, no shuffle. */
+  def formatPhoneNumbers(raw: Column): Column =
+    graft.functions.expressions.FormatPhoneNumbers(coalesce(raw, lit("")))
+
+  /** The original HOF composition of [[formatPhoneNumbers]] — kept as the
+    * property-test reference for the native expression. */
+  private[graft] def formatPhoneNumbersHof(raw: Column): Column = {
     // Python str.strip() removes ALL whitespace; Spark's trim() only
     // strips spaces — regexp strip for fidelity (found by PropertySpec).
     val entries = filter(

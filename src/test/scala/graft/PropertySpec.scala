@@ -73,6 +73,24 @@ class PropertySpec extends SpecBase {
     }
   }
 
+  test("native FormatPhoneNumbers equals the HOF composition on random entries") {
+    val entry: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(100000000L, 999999999L).map(n => "0" + n.toString.drop(1)),
+      Gen.chooseNum(1000000L, 9999999L).map(n => s"+972 52 $n"),
+      Gen.chooseNum(1000000L, 9999999L).map(n => s"+972 2 $n"),
+      Gen.chooseNum(0L, 999999L).map(n => f"1800$n%06d"),
+      Gen.const("  \t "),
+      asciiText)
+    val raws = cases(Gen.listOfN(4, entry).map(_.mkString("\n")), 100)
+    val diff = raws.map(Tuple1(_)).toDF("raw")
+      .select(
+        F.formatPhoneNumbers(col("raw")).as("native"),
+        F.formatPhoneNumbersHof(col("raw")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .collect()
+    assert(diff.isEmpty, s"first divergence: ${diff.headOption}")
+  }
+
   test("native PolyHash equals the fold on random ASCII strings") {
     val strs = cases(asciiText, 200).distinct
     val got = strs.toDF("s")
