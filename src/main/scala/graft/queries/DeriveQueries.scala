@@ -69,6 +69,17 @@ object DeriveQueries {
         .otherwise(col("o_orderdate").cast("string"))
       Tables.customer(s, dir)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        // parse BEFORE the groupBy (collect_list makes the agg an
+        // ObjectHashAggregate with interpreted input expressions), and
+        // DISPATCH ON LENGTH so each row attempts exactly one format:
+        // try_to_timestamp failures are JVM exceptions, and a
+        // coalesce-of-formats threw ~one exception per row (tripled the
+        // query). Junk still parses-and-fails once — that's the tolerant
+        // contract.
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderstatus"),
+          when(length(rawDate) === 19, try_to_timestamp(rawDate, lit("yyyy-MM-dd HH:mm:ss")))
+            .when(length(rawDate) === 10, try_to_timestamp(rawDate, lit("yyyy-MM-dd")))
+            .as("modified_ts"))
         .groupBy(col("c_custkey").as("custkey"))
         .agg(
           max(col("c_name")).as("name"),
@@ -80,7 +91,7 @@ object DeriveQueries {
                 col("o_orderstatus").as("status")))),
               o => concat(o.getField("orderkey").cast("string"), lit(":"), o.getField("status"))),
             "|").as("orders"),
-          max(try_to_timestamp(rawDate)).cast("string").as("last_modified"))
+          max(col("modified_ts")).cast("string").as("last_modified"))
     },
 
     // q52: possible_autocomplete (to_dp.py:180) + collapse_key
