@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.expressions.{MinHashSketch, PolyHash, SimHashSketch, SortedMapBitIntersect}
+import graft.functions.expressions.{FormatPhoneNumbers, MediaFeatureFold, MinHashSketch,
+  NormalizeTaxonomyIds, PolyHash, Shingles, SimHashSketch, SortedMapBitIntersect, TaxonomyParents}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry so `spark.sql` users get
@@ -75,6 +76,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => SortedMapBitIntersect(a, b)
         case _ => throw new IllegalArgumentException(
           "sorted_map_bit_intersect(a, b) takes 2 arguments")
+      }))
+
+    // Round-3 natives: the single-pass string/array kernels.
+    ext.injectFunction((
+      new FunctionIdentifier("normalize_taxonomy_ids"),
+      new ExpressionInfo(classOf[NormalizeTaxonomyIds].getName, "normalize_taxonomy_ids"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => NormalizeTaxonomyIds(c)
+        case _ => throw new IllegalArgumentException(
+          "normalize_taxonomy_ids(string_array) takes 1 argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("taxonomy_parents"),
+      new ExpressionInfo(classOf[TaxonomyParents].getName, "taxonomy_parents"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => TaxonomyParents(c)
+        case _ => throw new IllegalArgumentException(
+          "taxonomy_parents(string_array) takes 1 argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("format_phone_numbers"),
+      new ExpressionInfo(classOf[FormatPhoneNumbers].getName, "format_phone_numbers"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => FormatPhoneNumbers(Cast(c, StringType))
+        case _ => throw new IllegalArgumentException(
+          "format_phone_numbers(str) takes 1 argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, w) =>
+          if (!w.foldable) throw new IllegalArgumentException(
+            "shingles: w must be a literal")
+          Shingles(c, w.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "shingles(token_array, w) takes 2 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("media_feature_fold"),
+      new ExpressionInfo(classOf[MediaFeatureFold].getName, "media_feature_fold"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, d) =>
+          if (!d.foldable) throw new IllegalArgumentException(
+            "media_feature_fold: dim must be a literal")
+          MediaFeatureFold(c, d.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "media_feature_fold(binary, dim) takes 2 arguments")
       }))
   }
 }

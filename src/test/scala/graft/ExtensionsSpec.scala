@@ -42,6 +42,20 @@ class ExtensionsSpec extends AnyFunSuite {
       val bits = spark.sql(
         "SELECT sorted_map_bit_intersect(map(0, 11L), map(0, 3L, 1, 1L)) AS n").head()
       assert(bits.getInt(0) == 2)
+      // round-3 natives resolve through SQL and match their kernels
+      val r3 = spark.sql(
+        """SELECT
+          |  normalize_taxonomy_ids(array('human_situation:a', ' human_situations:b;', 'human_situations')) AS norm,
+          |  taxonomy_parents(array('a:b:c')) AS par,
+          |  format_phone_numbers('0521234567') AS ph,
+          |  shingles(array('x', 'y', 'z'), 2) AS sh,
+          |  media_feature_fold(cast('ab' AS BINARY), 2) AS mf
+          |""".stripMargin).head()
+      assert(r3.getSeq[String](0) == Seq("human_situations:a", "human_situations:b"))
+      assert(r3.getSeq[String](1) == Seq("a:b", "a:b:c"))
+      assert(r3.getSeq[String](2) == Seq("052-123-4567"))
+      assert(r3.getSeq[String](3) == Seq("x y", "y z"))
+      assert(r3.getSeq[Float](4).length == 2)
     } finally {
       // Don't stop(): the SparkContext is JVM-global and shared with the
       // other suites' session; just restore the session handles.
