@@ -19,8 +19,20 @@ object EsDocs {
   /** All regex matches from every string leaf under `c` (schema-directed
     * recursion), in schema order — mirroring select_text_fields' generator
     * order. `exclude` skips struct keys like the reference's
-    * data_sources/service_urls/... exclusion list. */
+    * data_sources/service_urls/... exclusion list.
+    *
+    * Native single-pass walker (expressions.TextFieldsExtract): the
+    * composed form below is plan-time recursion, but arrays of structs
+    * degrade its per-element step to an interpreted transform lambda;
+    * the walker runs the whole document in compiled code. Equality is
+    * property-tested in PropertySpec. */
   def textFields(c: Column, dt: DataType, pattern: String,
+                 exclude: Set[String] = Set.empty): Column =
+    graft.functions.expressions.TextFieldsExtract(c, dt, pattern, exclude)
+
+  /** The original composed form of [[textFields]] — kept as the
+    * property-test reference for the native walker. */
+  private[graft] def textFieldsHof(c: Column, dt: DataType, pattern: String,
                  exclude: Set[String] = Set.empty): Column = dt match {
     case StringType =>
       // regexp_extract_all returns [] on no match; null strings yield null
@@ -29,10 +41,10 @@ object EsDocs {
     case st: StructType =>
       val parts = st.fields.toSeq
         .filterNot(f => exclude.contains(f.name))
-        .map(f => textFields(c.getField(f.name), f.dataType, pattern, exclude))
+        .map(f => textFieldsHof(c.getField(f.name), f.dataType, pattern, exclude))
       if (parts.isEmpty) array() else concat(parts: _*)
     case ArrayType(et, _) =>
-      coalesce(flatten(transform(c, x => textFields(x, et, pattern, exclude))), array())
+      coalesce(flatten(transform(c, x => textFieldsHof(x, et, pattern, exclude))), array())
     case _ => array()
   }
 }

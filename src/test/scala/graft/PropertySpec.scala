@@ -91,6 +91,26 @@ class PropertySpec extends SpecBase {
     assert(diff.isEmpty, s"first divergence: ${diff.headOption}")
   }
 
+  test("native TextFieldsExtract equals the composed schema recursion on nested docs") {
+    val rows = cases(
+      for {
+        name <- asciiText
+        seg <- Gen.option(asciiText)
+        urls <- Gen.listOf(asciiText)
+        kids <- Gen.listOfN(3, Gen.zip(asciiText, Gen.option(asciiText)))
+      } yield (name, seg.orNull, urls, kids.map { case (a, b) => (a, b.orNull) }),
+      60)
+    val df = rows.toDF("name", "segment", "urls", "kids")
+      .select(struct(col("name"), col("urls"), col("segment"), col("kids")).as("doc"))
+    val dt = df.schema("doc").dataType
+    val diff = df.select(
+      graft.operators.EsDocs.textFields(col("doc"), dt, "[A-Za-z]{3,}", Set("urls")).as("native"),
+      graft.operators.EsDocs.textFieldsHof(col("doc"), dt, "[A-Za-z]{3,}", Set("urls")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .collect()
+    assert(diff.isEmpty, s"first divergence: ${diff.headOption}")
+  }
+
   test("native PolyHash equals the fold on random ASCII strings") {
     val strs = cases(asciiText, 200).distinct
     val got = strs.toDF("s")
