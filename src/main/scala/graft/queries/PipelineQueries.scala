@@ -16,10 +16,11 @@ import graft.pipelines.CardPipeline
   */
 object PipelineQueries {
 
-  val defs: Map[String, QueryDef] = Map(
-
-    "q64_card_pipeline" -> QueryDef.of(
-      s"""WITH orgs AS (
+  /** The DuckDB CTE chain replaying CardPipeline.cards stage-for-stage;
+    * ends at the `named` CTE whose rows are the card table (shared by
+    * q64's projection and q65's publish rollup). */
+  private def cardCtes: String =
+    s"""WITH orgs AS (
          |  SELECT c_custkey AS organization_id, c_name AS organization_name,
          |    c_mktsegment AS organization_kind, c_acctbal AS organization_balance,
          |    CASE WHEN c_custkey % 3 = 0 THEN 'Org' || CAST(c_custkey % 100 AS VARCHAR) END AS organization_short_name
@@ -87,8 +88,11 @@ object PipelineQueries {
          |    ) AS branch_address,
          |    '05' || CAST(organization_id % 4 AS VARCHAR) || lpad(CAST(organization_id % 10000000 AS VARCHAR), 7, '0') AS phone_digits
          |  FROM geo
-         |)
-         |SELECT card_id, service_id, branch_key, branch_id, organization_id,
+         |)""".stripMargin
+
+  /** The card-table projection over `named` — q64's output shape. */
+  private def cardSelect: String =
+    s"""SELECT card_id, service_id, branch_key, branch_id, organization_id,
          |  org_clean AS organization_name, organization_kind,
          |  organization_branch_count, branch_short_name, branch_address,
          |  array_to_string(list_sort(list_distinct([service_flag, service_status, branch_status])), '|') AS situation_ids,
@@ -100,8 +104,11 @@ object PipelineQueries {
          |    * (CASE WHEN branch_priority IN ('1-URGENT', '2-HIGH') THEN 5.0 ELSE 1.0 END), 4) AS card_score,
          |  organization_kind || '|' || organization_kind || ' ' || branch_priority
          |    || '|' || 'services for ' || organization_kind AS autocompletes
-         |FROM named
-         |""".stripMargin) { (s, dir) =>
+         |FROM named""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "q64_card_pipeline" -> QueryDef.of(s"$cardCtes\n$cardSelect\n") { (s, dir) =>
       CardPipeline.cards(s, dir).select(
         col("card_id"), col("service_id"), col("branch_key"), col("branch_id"),
         col("organization_id"), col("organization_name"), col("organization_kind"),
@@ -111,6 +118,56 @@ object PipelineQueries {
         array_join(col("organization_phone_numbers"), "|").as("phones"),
         round(col("card_score"), 4).as("card_score"),
         array_join(col("possible_autocomplete"), "|").as("autocompletes"))
+    },
+
+    // q65: the PUBLISH stage composed downstream of the card pipeline —
+    // the reference's to_es.py + to_sitemap.py + autocomplete.py flows
+    // consume card_data; here each organization rolls its cards into one
+    // search document: sorted card children, best score, sitemap paths
+    // (to_sitemap.py:47 '/c/{id}'), and the deduped autocomplete corpus.
+    // Oracle = the SAME card CTE chain as q64 with the rollup on top, so
+    // the derive->publish composition is hash-gated end to end.
+    "q65_publish_docs" -> QueryDef.of(
+      s"""$cardCtes,
+         |cards_out AS (
+         |  SELECT organization_id, organization_name AS raw_org_name, org_clean, card_id, point_id,
+         |    national_service,
+         |    round((CASE WHEN organization_balance > 0 THEN 10.0 ELSE 1.0 END)
+         |      * sqrt(organization_branch_count)
+         |      * (CASE WHEN branch_priority IN ('1-URGENT', '2-HIGH') THEN 5.0 ELSE 1.0 END), 4) AS card_score,
+         |    [organization_kind, organization_kind || ' ' || branch_priority,
+         |     'services for ' || organization_kind] AS autocompletes
+         |  FROM named
+         |)
+         |SELECT organization_id, min(org_clean) AS organization_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cards,
+         |  CAST(SUM(CASE WHEN national_service THEN 1 ELSE 0 END) AS BIGINT) AS n_national,
+         |  round(max(card_score), 4) AS top_score,
+         |  array_to_string(list_sort(list(card_id || ':' || coalesce(point_id, ''))), '|') AS cards,
+         |  array_to_string(list_sort(list_distinct(list('/c/' || card_id))), '|') AS sitemap_paths,
+         |  array_to_string(list_sort(list_distinct(flatten(list(autocompletes)))), '|') AS autocomplete
+         |FROM cards_out GROUP BY organization_id
+         |""".stripMargin) { (s, dir) =>
+      val cards = CardPipeline.cards(s, dir)
+        // project the collect inputs before the groupBy (SURVEY §6
+        // lesson 14: ObjectHashAggregate inputs evaluate interpreted)
+        .select(
+          col("organization_id"), col("organization_name"),
+          col("national_service"), round(col("card_score"), 4).as("card_score"),
+          concat(col("card_id"), lit(":"), coalesce(col("point_id"), lit(""))).as("card_child"),
+          concat(lit("/c/"), col("card_id")).as("sitemap_path"),
+          col("possible_autocomplete"))
+      cards
+        .groupBy(col("organization_id"))
+        .agg(
+          min(col("organization_name")).as("organization_name"),
+          count(lit(1)).as("n_cards"),
+          sum(when(col("national_service"), 1L).otherwise(0L)).as("n_national"),
+          round(max(col("card_score")), 4).as("top_score"),
+          array_join(sort_array(collect_list(col("card_child"))), "|").as("cards"),
+          array_join(sort_array(array_distinct(collect_list(col("sitemap_path")))), "|").as("sitemap_paths"),
+          array_join(sort_array(array_distinct(flatten(collect_list(col("possible_autocomplete"))))), "|")
+            .as("autocomplete"))
     }
   )
 }
