@@ -43,6 +43,18 @@ class PlanSpec extends SpecBase {
     assert(q10 <= baseline, s"q10 build ran $q10 jobs vs lazy baseline $baseline")
   }
 
+  test("q52/q56 re-aggregate within the first groupBy's partitioning (one shuffle)") {
+    // The explode-and-rebuild rewrite only pays off if the second
+    // aggregate reuses the first's hash partitioning; a future edit that
+    // changes the grouping keys would silently add an exchange.
+    for (q <- Seq("q52_possible_autocomplete", "q56_reorder_by_category")) {
+      val p = plan(q)
+      val shuffles = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+      assert(shuffles == 1, s"$q expected exactly 1 shuffle exchange, got $shuffles")
+    }
+  }
+
   test("nested-loop joins appear only where semantics require them") {
     // q26: brute-force ANN baseline (the point of the query); q38: rule
     // matching is non-equi (ends-with/contains) over a tiny broadcast rule
