@@ -308,4 +308,69 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Cluster assignment over verified near-dup pairs: min-label
+    * propagation (BSP connected components). Every id starts as its own
+    * label; each round every node adopts the smallest label among itself
+    * and its neighbors, until a fixpoint — the standard iterate-until-
+    * converged CC that scales as O(diameter) shuffles (near-dup graphs
+    * are clique-ish, so 2-4 rounds in practice). This is the step a real
+    * dedup pipeline runs AFTER pair discovery (q23/q24/q25): the keep-one
+    * decision needs the transitive cluster, not just pairwise links.
+    *
+    * The reference resolves duplicate groups with in-memory dicts
+    * (to_dp.py:237 `merge_duplicate_branches`'s branch_mapping); a
+    * driver-side union-find cannot hold 100 TB of ids, so the iteration
+    * is the distributed equivalent. Lineage is cut per round with an
+    * eager localCheckpoint (a cluster deployment would use
+    * checkpoint() on reliable storage).
+    *
+    * The fixpoint is unique (min label of each connected component), so
+    * results are engine-independent — a recursive-CTE oracle converges to
+    * the same assignment. Returns (id, cluster).
+    */
+  def connectedComponents(ids: DataFrame, links: DataFrame): DataFrame = {
+    // Size the loop's layout to the LABEL table, not the session default:
+    // labels are one row per id (tiny next to the edge list), and each
+    // round runs several jobs — oversized partition counts turn the loop
+    // into scheduler overhead. At corpus scale nPart grows with the id
+    // count; locally it keeps rounds at a handful of tasks.
+    val nPart = math.max(2, math.min(
+      ids.sparkSession.sparkContext.defaultParallelism / 4, 16))
+    val edges = links
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(links.select(col("id_b").as("u"), col("id_a").as("v")))
+      .repartition(nPart, col("v"))
+      .cache()
+    // Smart init = the first BSP round for free: every node starts from
+    // min(own id, min id_a over its incoming links) — one groupBy over
+    // the (already id_a < id_b ordered) pair list, no join.
+    val firstHop = links.groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("nmin"))
+    var labels = ids.select(col("id"))
+      .join(firstHop, Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("nmin"), col("id"))).as("label"))
+      .repartition(nPart, col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    // NOTE pitfalls measured here: a pointer-jump self-join or a
+    // multi-step body on the UNMATERIALIZED frame recomputes the round's
+    // lineage once per reference (the self-join doubles the work and
+    // nesting doubles it again) — every round must checkpoint exactly
+    // once and join only materialized frames.
+    while (changed > 0 && rounds < 50) {
+      val prop = edges
+        .join(labels, col("v") === col("id"))
+        .select(col("u").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -93,6 +93,52 @@ object LlmQueries {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "lang", "text", threshold = 0.6)
     },
 
+    // q66: dedup CLUSTER ASSIGNMENT — connected components over the
+    // oracle-verified q25 jaccard pairs (min-label propagation to the
+    // unique fixpoint; see Dedup.connectedComponents). The keep-one
+    // decision in a dedup pipeline needs the transitive cluster, not just
+    // pairwise links; the reference folds duplicate groups through
+    // driver dicts (to_dp.py:237), which cannot hold corpus-scale ids.
+    // DuckDB replays the fixpoint with a recursive CTE — the component
+    // min is engine-independent, so the iterative and recursive forms
+    // hash-match exactly.
+    "q66_dedup_clusters" -> QueryDef.of(
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |            len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |      AND len(a.toks) * 10 >= len(b.toks) * 9 AND len(b.toks) * 10 >= len(a.toks) * 9
+        |  ) WHERE jaccard >= 0.9
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+        |), lab AS (
+        |  SELECT id, min(label) AS cluster FROM reach GROUP BY id
+        |)
+        |SELECT id, cluster,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+        |FROM lab
+        |""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "lang", "text", threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .withColumn("cluster", col("label")).drop("label")
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+    },
+
     // q26: brute-force cosine top-k ANN baseline (query side broadcast;
     // double-precision dot products summed in array order on both engines).
     "q26_cosine_topk" -> QueryDef.of(
