@@ -343,9 +343,13 @@ object Dedup {
       .repartition(nPart, col("v"))
       .cache()
     // Smart init = the first BSP round for free: every node starts from
-    // min(own id, min id_a over its incoming links) — one groupBy over
-    // the (already id_a < id_b ordered) pair list, no join.
-    val firstHop = links.groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("nmin"))
+    // least(own id, min over ALL its neighbors) — identical to one
+    // min-label round (id_a < id_b in the pair list, so the min over both
+    // directions equals the min over incoming id_a once least() is
+    // applied). Derived from `edges`, NOT the raw link frame: upstream
+    // pair discovery (an expensive blocked self-join) must hit the cache,
+    // not re-run its lineage.
+    val firstHop = edges.groupBy(col("v").as("id")).agg(min(col("u")).as("nmin"))
     var labels = ids.select(col("id"))
       .join(firstHop, Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("nmin"), col("id"))).as("label"))
@@ -371,6 +375,7 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    System.err.println(s"[graft.cc] converged after $rounds rounds")
     labels
   }
 }
