@@ -13,6 +13,8 @@ import graft.functions.F
   */
 object Dedup {
 
+  private val logger = org.apache.logging.log4j.LogManager.getLogger(getClass)
+
   /** Exact dedup: hash the normalized text, keep the lowest id per hash.
     * One map-side-combined aggregation; the hash (not the full text) is the
     * shuffle key, so wide documents don't inflate the exchange. */
@@ -337,9 +339,15 @@ object Dedup {
     // count; locally it keeps rounds at a handful of tasks.
     val nPart = math.max(2, math.min(
       ids.sparkSession.sparkContext.defaultParallelism / 4, 16))
+    // Explode-flip, not union-of-selects: a union references `links` twice,
+    // and when the link frame is an UNCACHED expensive discovery join (q66
+    // feeds jaccardPairs straight in) the whole upstream lineage runs once
+    // per reference inside this cache materialization. One scan, two rows.
     val edges = links
-      .select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(links.select(col("id_b").as("u"), col("id_a").as("v")))
+      .select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(nPart, col("v"))
       .cache()
     // Smart init = the first BSP round for free: every node starts from
@@ -355,27 +363,39 @@ object Dedup {
       .select(col("id"), least(col("id"), coalesce(col("nmin"), col("id"))).as("label"))
       .repartition(nPart, col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    var changed = true
     var rounds = 0
+    val labelType = labels.schema("label").dataType
     // NOTE pitfalls measured here: a pointer-jump self-join or a
     // multi-step body on the UNMATERIALIZED frame recomputes the round's
     // lineage once per reference (the self-join doubles the work and
     // nesting doubles it again) — every round must checkpoint exactly
-    // once and join only materialized frames.
-    while (changed > 0 && rounds < 50) {
+    // once and join only materialized frames. The convergence check rides
+    // IN the round's own aggregate: each id's previous label is carried as
+    // a column (`prev`, non-null only on the labels-side row, so
+    // min-ignoring-nulls recovers it), and `changed` is a limit-1 scan of
+    // the materialized checkpoint — round 4's separate join+count() job
+    // per round was ~half the loop's wall time.
+    while (changed && rounds < 50) {
       val prop = edges
-        .join(labels, col("v") === col("id"))
-        .select(col("u").as("id"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .join(labels.select(col("id"), col("label")), col("v") === col("id"))
+        .select(col("u").as("id"), col("label"),
+          lit(null).cast(labelType).as("prev"))
+      val next = labels
+        .select(col("id"), col("label"), col("label").as("prev"))
+        .unionByName(prop)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
+      // Labels only decrease (min-propagation), so "changed" === some row
+      // with label < prev; isEmpty stops at the first hit in the cached
+      // blocks — no shuffle, no join.
+      changed = !next.filter(col("label") < col("prev")).isEmpty
       labels = next
       rounds += 1
     }
     edges.unpersist()
-    System.err.println(s"[graft.cc] converged after $rounds rounds")
-    labels
+    logger.info(s"[graft.cc] converged after $rounds rounds")
+    labels.select(col("id"), col("label"))
   }
 }
