@@ -139,6 +139,25 @@ object LlmQueries {
           count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
     },
 
+    // q67: the 100 TB dedup composition — connected components over q23's
+    // LSH STAR links (linear work per band bucket) instead of q66's
+    // all-pairs edge list (quadratic inside duplicate clusters; q66 stays
+    // as the oracle gate only, since all-pairs is what a recursive CTE
+    // can replay). Rows-only for the same seeded-hash reason as q23;
+    // DedupSpec asserts the star-link path produces EXACTLY the clusters
+    // of the all-pairs path at matched thresholds (label-for-label — both
+    // converge to the component-min fixpoint).
+    "q67_dedup_clusters_lsh" -> QueryDef.rowsOnly { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val links = Dedup.minhashDedupLinks(docs, "doc_id", "text", threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), links)
+        .withColumn("cluster", col("label")).drop("label")
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+    },
+
     // q26: brute-force cosine top-k ANN baseline (query side broadcast;
     // double-precision dot products summed in array order on both engines).
     "q26_cosine_topk" -> QueryDef.of(

@@ -100,4 +100,28 @@ class DedupSpec extends SpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sketchForm == columnForm)
   }
+
+  test("dedup composition (q67): CC over LSH star links == CC over all-pairs links at matched thresholds") {
+    // Both inputs verify candidates with the same exact shingle Jaccard
+    // over the same LSH buckets; both CC runs converge to the
+    // component-min fixpoint, so partition equality === label equality.
+    // The star path is the linear-work 100 TB composition; all-pairs is
+    // the oracle-only gate (quadratic inside duplicate clusters).
+    val ids = docs.select($"doc_id".as("id"))
+    for (th <- Seq(0.7, 0.9)) {
+      val star = Dedup.minhashDedupLinks(docs, "doc_id", "text", threshold = th)
+        .select($"id_a", $"id_b")
+      val all = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = th)
+        .select($"id_a", $"id_b")
+      val starLinkCount = star.count()
+      val allPairCount = all.count()
+      assert(starLinkCount <= allPairCount,
+        s"th=$th: star links ($starLinkCount) must be a subset-size of all pairs ($allPairCount)")
+      val mismatched = Dedup.connectedComponents(ids, star).withColumnRenamed("label", "l_star")
+        .join(Dedup.connectedComponents(ids, all).withColumnRenamed("label", "l_all"), "id")
+        .filter($"l_star" =!= $"l_all")
+      assert(mismatched.isEmpty,
+        s"th=$th: star-link clusters diverge from all-pairs clusters: ${mismatched.head(3).mkString(", ")}")
+    }
+  }
 }
