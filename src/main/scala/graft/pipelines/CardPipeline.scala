@@ -49,7 +49,7 @@ object CardPipeline {
         F.branchShortName(col("organization_name"), col("organization_short_name")))
     // merge duplicate branches per content key; keep earliest as the
     // representative and count branches per organization
-    val merged = Relational.dedupKeepFirst(flat,
+    val merged = Relational.dedupKeepFirstAgg(flat,
       keys = Seq(col("branch_key")),
       order = Seq(col("branch_date"), col("branch_id")))
     // branch count per organization as a WINDOW over the merged stream —
@@ -82,7 +82,7 @@ object CardPipeline {
     // lineitem data repeats line numbers within an order — so the flag/
     // status columns break the tie; fully identical rows merge to
     // identical cards either way.
-    val unique = Relational.dedupKeepFirst(flat,
+    val unique = Relational.dedupKeepFirstAgg(flat,
       keys = Seq(col("card_id")),
       order = Seq(col("service_date"), col("service_seq"),
         col("service_flag"), col("service_status")))
