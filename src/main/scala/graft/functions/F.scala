@@ -167,6 +167,22 @@ object F {
   def selectAddress(cols: Column*): Column =
     coalesce(cols.map(c => when(validAddress(c), c)): _*)
 
+  /** `transform_urls` (helpers.py:23): newline-separated raw value to
+    * (href, title) structs — the LAST '#' splits an optional title off the
+    * href, default title "קישור" (the reference's rsplit('#', 1)). No
+    * scheme fixing here — that's fix_url (q51); the preprocess chains
+    * apply only this split. Null raw → null (reference returns None). */
+  def transformUrls(raw: Column): Column =
+    transform(split(raw, "\n"), s => struct(
+      when(s.contains("#"), regexp_replace(s, "#[^#]*$", "")).otherwise(s).as("href"),
+      when(s.contains("#"), regexp_extract(s, "#([^#]*)$", 1)).otherwise(lit("קישור")).as("title")))
+
+  /** `remove_whitespaces` (helpers.py:377): collapse runs of whitespace to
+    * one space, then strip the reference's literal edge set ' \t(\n-'
+    * from both ends. */
+  def cleanWhitespace(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\s+", " "), "^[ \\t\\n(-]+|[ \\t\\n(-]+$", "")
+
   /** Israel bounding-box sanity gate for a [lon, lat] geometry
     * (helpers.py:69 `validate_geometry`: 33 < x < 37, 29.3 < y < 33.3);
     * false for null / wrong-arity geometries. */
