@@ -56,11 +56,21 @@ object Relational {
     * whole input, and the sorts run on grouping keys only — not the
     * window's full (key, order) sort + row_number + filter. Measured on
     * q64/q65 (sf0.1): 3.26/3.50 s windowed -> 2.81/3.03 s min_by. */
-  def dedupKeepFirstAgg(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+  def dedupKeepFirstAgg(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    dedupKeepFirstAggCounted(df, keys, order, "__grp_n").drop("__grp_n")
+
+  /** [[dedupKeepFirstAgg]] that also emits the merged-group size as
+    * `countCol` on each kept row — the stats.py counters ride the SAME
+    * aggregate (count(*) per group is free next to the min_by buffer), so
+    * a pipeline can report kept/dropped per dedup stage with zero extra
+    * scans: dropped = sum(countCol) - count(*) over the output. */
+  def dedupKeepFirstAggCounted(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                               countCol: String): DataFrame = {
     val cols = df.columns
     df.groupBy(keys: _*)
-      .agg(min_by(struct(cols.map(col): _*), struct(order: _*)).as("__r"))
-      .select(cols.map(c => col("__r").getField(c).as(c)): _*)
+      .agg(min_by(struct(cols.map(col): _*), struct(order: _*)).as("__r"),
+        count(lit(1)).as(countCol))
+      .select(cols.map(c => col("__r").getField(c).as(c)) :+ col(countCol): _*)
   }
 
   /** Per-key mode (most frequent value) with deterministic tie-breaking

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -25,7 +25,12 @@ object CardPipeline {
 
   /** Denormalized "flat branches": orders + their customer (organization),
     * re-keyed by content hash and merged (to_dp.py flat_branches_flow). */
-  def flatBranches(spark: SparkSession, dir: String): DataFrame = {
+  def flatBranches(spark: SparkSession, dir: String): DataFrame =
+    flatBranchesCounted(spark, dir).drop("__branch_merge_n")
+
+  /** [[flatBranches]] carrying the merged-group size per kept row
+    * (`__branch_merge_n`) so stage stats need no second scan. */
+  private def flatBranchesCounted(spark: SparkSession, dir: String): DataFrame = {
     val orgs = Tables.customer(spark, dir).select(
       col("c_custkey").as("organization_id"),
       col("c_name").as("organization_name"),
@@ -49,9 +54,10 @@ object CardPipeline {
         F.branchShortName(col("organization_name"), col("organization_short_name")))
     // merge duplicate branches per content key; keep earliest as the
     // representative and count branches per organization
-    val merged = Relational.dedupKeepFirstAgg(flat,
+    val merged = Relational.dedupKeepFirstAggCounted(flat,
       keys = Seq(col("branch_key")),
-      order = Seq(col("branch_date"), col("branch_id")))
+      order = Seq(col("branch_date"), col("branch_id")),
+      countCol = "__branch_merge_n")
     // branch count per organization as a WINDOW over the merged stream —
     // a groupBy + self-join here makes Spark recompute the whole merged
     // subtree for the aggregate branch (no auto-CSE across plan arms);
@@ -63,8 +69,18 @@ object CardPipeline {
 
   /** Full card table: services (lineitems) on merged branches with scores
     * and search fields (to_dp.py flat_table_flow + card_data_flow). */
-  def cards(spark: SparkSession, dir: String): DataFrame = {
-    val branches = flatBranches(spark, dir)
+  def cards(spark: SparkSession, dir: String): DataFrame =
+    cardsWithStats(spark, dir)._1
+
+  /** [[cards]] plus the per-stage processing stats the reference threads
+    * through its flows (srm_tools/stats.py posture, to_dp.py:30): one
+    * (stat, kept, dropped) row per dedup/gate stage. Both frames are lazy;
+    * the counters ride the stages' own aggregates (merged-group sizes from
+    * [[Relational.dedupKeepFirstAggCounted]]), so evaluating the stats
+    * frame adds conditional aggregation, never a rescan-with-different-
+    * filter of a stage input. */
+  def cardsWithStats(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val branches = flatBranchesCounted(spark, dir)
     val services = Tables.lineitem(spark, dir).select(
       col("l_orderkey").as("branch_id"),
       col("l_linenumber").as("service_seq"),
@@ -73,7 +89,7 @@ object CardPipeline {
       col("l_extendedprice").as("service_price"),
       col("l_shipdate").as("service_date"))
 
-    val flat = services.join(branches, "branch_id")
+    val flat = services.join(branches.drop("__branch_merge_n"), "branch_id")
       .withColumn("service_id", F.hashKey(col("branch_id"), col("service_seq")))
       .withColumn("card_id", F.hashKey(col("branch_key"), col("service_id")))
 
@@ -82,10 +98,11 @@ object CardPipeline {
     // lineitem data repeats line numbers within an order — so the flag/
     // status columns break the tie; fully identical rows merge to
     // identical cards either way.
-    val unique = Relational.dedupKeepFirstAgg(flat,
+    val unique = Relational.dedupKeepFirstAggCounted(flat,
       keys = Seq(col("card_id")),
       order = Seq(col("service_date"), col("service_seq"),
-        col("service_flag"), col("service_status")))
+        col("service_flag"), col("service_status")),
+      countCol = "__card_merge_n")
 
     // Geo step (to_dp.py:875 + helpers.py:57): project branch coordinates
     // and derive the fixed-format point_id; national services collapse to
@@ -100,7 +117,7 @@ object CardPipeline {
       translate(format_string("%08.5f", element_at(col("branch_geometry"), 1)), ".", ""),
       translate(format_string("%08.5f", element_at(col("branch_geometry"), 2)), ".", ""))
 
-    withGeo
+    val result = withGeo
       .withColumn("national_service", col("organization_id") % 10 === 0)
       // validate_geometry (helpers.py:69): only in-Israel [lon, lat] pairs
       // may produce a point id; invalid geometries get no point (the
@@ -153,5 +170,18 @@ object CardPipeline {
         col("national_service"), col("point_id"), col("collapse_key"),
         col("organization_phone_numbers"),
         col("card_score"), col("possible_autocomplete"))
+
+    def stageStat(name: String, kept: Column, dropped: Column, from: DataFrame) =
+      from.agg(kept.cast("long").as("kept"), dropped.cast("long").as("dropped"))
+        .select(lit(name).as("stat"), col("kept"), col("dropped"))
+
+    val stats = stageStat("Processing: Branches: Duplicate Branch",
+        count(lit(1)), sum(col("__branch_merge_n")) - count(lit(1)), branches)
+      .unionByName(stageStat("Processing: Cards: Duplicate Service Branch",
+        count(lit(1)), sum(col("__card_merge_n")) - count(lit(1)), unique))
+      .unionByName(stageStat("Processing: Cards: No Point",
+        sum(when(col("point_id").isNotNull, 1L).otherwise(0L)),
+        sum(when(col("point_id").isNull, 1L).otherwise(0L)), result))
+    (result, stats)
   }
 }

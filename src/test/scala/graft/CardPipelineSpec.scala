@@ -47,4 +47,34 @@ class CardPipelineSpec extends SpecBase {
     assert(badPhone == 0)
     assert(cards.filter(length($"collapse_key") === 0).count() == 0)
   }
+
+  test("per-stage stats match the stage row deltas (stats.py posture)") {
+    val (cards, stats) = CardPipeline.cardsWithStats(spark, SfDir)
+    val byName = stats.collect()
+      .map(r => r.getAs[String]("stat") -> ((r.getAs[Long]("kept"), r.getAs[Long]("dropped"))))
+      .toMap
+    assert(byName.size == 3)
+
+    // branch merge: kept = post-dedup branches; kept + dropped = the
+    // stage's input (every order joins its customer, so input = orders)
+    val branches = CardPipeline.flatBranches(spark, SfDir)
+    val (bKept, bDropped) = byName("Processing: Branches: Duplicate Branch")
+    assert(bKept == branches.count())
+    assert(bKept + bDropped == Tables.orders(spark, SfDir).count())
+
+    // card dedup: kept = final cards; kept + dropped = lineitems landing
+    // on a surviving representative branch row
+    val flatN = Tables.lineitem(spark, SfDir)
+      .select($"l_orderkey".as("branch_id"))
+      .join(branches, "branch_id").count()
+    val nCards = cards.count()
+    val (cKept, cDropped) = byName("Processing: Cards: Duplicate Service Branch")
+    assert(cKept == nCards)
+    assert(cKept + cDropped == flatN)
+
+    // point gate: a partition of the final card table
+    val (pKept, pDropped) = byName("Processing: Cards: No Point")
+    assert(pKept == cards.filter($"point_id".isNotNull).count())
+    assert(pKept + pDropped == nCards)
+  }
 }
