@@ -31,11 +31,23 @@ class MultimodalSpec extends SpecBase {
     // extractFeaturesPartitioned) must be behavior-preserving; this pins
     // the columnar expression q32 runs against the typed partition path,
     // including the affine one-pass fold vs the per-slot sequential fold.
-    val columnar = Multimodal.extractFeatures(media, dim = 8)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
-    val typed = Multimodal.extractFeaturesPartitioned(spark, media, dim = 8).collect()
-    assert(typed.nonEmpty)
-    assert(typed.forall(t => columnar(t.id).toArray.sameElements(t.features)))
+    // Property over the contract space: every dim tier and degenerate
+    // payloads (empty, 1-byte, shorter-than-dim) must agree bit-for-bit —
+    // the codec boundary (mapPartitions) is the ONLY non-codegen stage in
+    // the multimodal path, and this equality is what licenses q32 to run
+    // the columnar expression instead.
+    val edge = Seq(
+      (900001L, "", "txt"), (900002L, "x", "txt"), (900003L, "ab", "txt"))
+      .toDF("doc_id", "text", "lang")
+    val corpus = Multimodal.asMediaTable(edge).unionByName(media)
+    for (dim <- Seq(1, 4, 8, 16)) {
+      val columnar = Multimodal.extractFeatures(corpus, dim)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+      val typed = Multimodal.extractFeaturesPartitioned(spark, corpus, dim).collect()
+      assert(typed.nonEmpty)
+      assert(typed.forall(t => columnar(t.id).toArray.sameElements(t.features)),
+        s"columnar/partitioned divergence at dim=$dim")
+    }
   }
 
   test("frame sampling reconstitutes a prefix of the payload in order") {
