@@ -358,11 +358,38 @@ object Dedup {
     // pair discovery (an expensive blocked self-join) must hit the cache,
     // not re-run its lineage.
     val firstHop = edges.groupBy(col("v").as("id")).agg(min(col("u")).as("nmin"))
-    var labels = ids.select(col("id"))
+    val labels0 = ids.select(col("id"))
       .join(firstHop, Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("nmin"), col("id"))).as("label"))
       .repartition(nPart, col("id"))
       .localCheckpoint(true)
+    // CONTRACT once through the init labels before iterating: rewrite
+    // every edge to (label(u), label(v)) and drop self-loops + duplicates.
+    // Near-duplicate clusters are near-CLIQUES, so the first-hop labels
+    // already collapse almost all of their quadratic edge mass to
+    // self-loops — what survives is the thin chain structure between
+    // partial clusters. The loop then iterates over that residue (orders
+    // of magnitude smaller, and with roughly half the diameter), which is
+    // what keeps round cost flat as the duplicate rate grows at corpus
+    // scale. Components and min-labels are preserved: contracted node ids
+    // ARE init labels, and the component's min id m keeps label m.
+    val lu = labels0.select(col("id").as("u"), col("label").as("lu"))
+    val lv = labels0.select(col("id").as("v"), col("label").as("lv"))
+    val cEdges = edges.join(lu, "u").join(lv, "v")
+      .select(col("lu").as("u"), col("lv").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(nPart, col("v"))
+      .localCheckpoint(true)
+    edges.unpersist()
+    // Solve the contracted graph with the same smart init + BSP loop.
+    // Its node set is exactly cEdges' v-side (edges are bidirectional);
+    // contracted nodes with no surviving edge are already final.
+    val cInit = cEdges.groupBy(col("v").as("id")).agg(min(col("u")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .repartition(nPart, col("id"))
+      .localCheckpoint(true)
+    var labels = cInit
     var changed = true
     var rounds = 0
     val labelType = labels.schema("label").dataType
@@ -371,13 +398,16 @@ object Dedup {
     // lineage once per reference (the self-join doubles the work and
     // nesting doubles it again) — every round must checkpoint exactly
     // once and join only materialized frames. The convergence check rides
-    // IN the round's own aggregate: each id's previous label is carried as
-    // a column (`prev`, non-null only on the labels-side row, so
-    // min-ignoring-nulls recovers it), and `changed` is a limit-1 scan of
-    // the materialized checkpoint — round 4's separate join+count() job
-    // per round was ~half the loop's wall time.
+    // IN the round's own single job: each id's previous label is carried
+    // as a column (`prev`, non-null only on the labels-side row, so
+    // min-ignoring-nulls recovers it) and an observe() metric counts
+    // label<prev DURING the checkpoint materialization — one job per
+    // round, no separate convergence action at all (round 4's extra
+    // join+count() job per round was ~half the loop's wall time; the
+    // round-5 first cut still paid an isEmpty scan per round).
     while (changed && rounds < 50) {
-      val prop = edges
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_r$rounds")
+      val prop = cEdges
         .join(labels.select(col("id"), col("label")), col("v") === col("id"))
         .select(col("u").as("id"), col("label"),
           lit(null).cast(labelType).as("prev"))
@@ -386,16 +416,24 @@ object Dedup {
         .unionByName(prop)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
+        .observe(obs, sum(when(col("label") < col("prev"), 1L).otherwise(0L)).as("changed"))
+        // the checkpoint stores only (id, label); prev exists solely for
+        // the in-flight metric
+        .select(col("id"), col("label"))
         .localCheckpoint(true)
-      // Labels only decrease (min-propagation), so "changed" === some row
-      // with label < prev; isEmpty stops at the first hit in the cached
-      // blocks — no shuffle, no join.
-      changed = !next.filter(col("label") < col("prev")).isEmpty
+      // null metric = zero rows in the contracted graph (all-clique input
+      // contracts away entirely) — converged
+      changed = Option(obs.get("changed")).exists(_.asInstanceOf[Long] > 0)
       labels = next
       rounds += 1
     }
-    edges.unpersist()
-    logger.info(s"[graft.cc] converged after $rounds rounds")
-    labels.select(col("id"), col("label"))
+    logger.info(s"[graft.cc] converged after $rounds rounds over the contracted graph")
+    // Compose: each id's final label is its contracted node's component
+    // label; ids whose contracted node lost every edge to self-loops are
+    // already final at their init label.
+    labels0
+      .join(labels.select(col("id").as("label"), col("label").as("clabel")),
+        Seq("label"), "left")
+      .select(col("id"), coalesce(col("clabel"), col("label")).as("label"))
   }
 }
