@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.F
+import graft.operators.{Relational, TextAnalysis}
+
+/** SURVEY.md §2.C — corpus curation operators a pretraining-data pipeline
+  * runs between dedup and training: deterministic stratified sampling
+  * (data mixing), token-budget sequence packing (concat-then-chunk),
+  * frequency-capped soft dedup, and the composed curation rollup. All
+  * per-row / single-shuffle shapes that scale linearly; every sampling
+  * decision is a pure hash of the row key, so reruns and backfills keep
+  * identical membership (no rand(), which breaks retry determinism).
+  */
+object SamplingQueries {
+
+  /** Portable 32-bit doc hash: both engines read the first 8 md5 hex chars
+    * as an unsigned int. Spark's xxhash64 is cheaper but not replayable in
+    * the oracle; sampling only needs uniformity, not speed parity. */
+  private def docHash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  private val docHashSql =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /** Mixing rate in eighths per language stratum: en 4/8, the mid-tier
+    * languages 2/8, the long tail 1/8. */
+  private def rate8 = when(col("lang") === "en", 4L)
+    .when(col("lang").isin("zh", "es", "de", "fr"), 2L)
+    .otherwise(1L)
+
+  private val rate8Sql =
+    "CASE WHEN lang = 'en' THEN 4 WHEN lang IN ('zh','es','de','fr') THEN 2 ELSE 1 END"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // q69: deterministic stratified sampling — the data-mixing primitive.
+    // Membership is hash(doc_id) mod 8 < per-stratum rate: no shuffle, no
+    // rand(), stable under reruns/backfills, and the rate table is the
+    // only thing a mixing change touches.
+    "q69_stratified_sample" -> QueryDef.of(
+      s"""SELECT doc_id, lang, source, bucket FROM (
+        |  SELECT doc_id, lang, source, $docHashSql % 8 AS bucket
+        |  FROM documents
+        |) WHERE bucket < $rate8Sql
+        |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket", docHash(col("doc_id")) % 8)
+        .filter(col("bucket") < rate8)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+    },
+
+    // q70: token-budget sequence packing — the concat-then-chunk layout
+    // LLM training uses: docs stream per language shard in doc_id order,
+    // and each doc belongs to the chunk holding its first token. One
+    // window cumsum per shard = one shuffle on the shard key; chunk ids
+    // and offsets are pure arithmetic on the running total.
+    "q70_pack_sequences" -> QueryDef.of(
+      """SELECT doc_id, lang, tokens,
+        |  CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS seq_id,
+        |  CAST((cum - tokens) % 512 AS BIGINT) AS seq_off
+        |FROM (
+        |  SELECT doc_id, lang, tokens,
+        |    SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tokens
+        |    FROM documents
+        |  )
+        |)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.bpeTokenCount(col("text")).as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("tokens"),
+          floor((col("cum") - col("tokens")) / 512.0).cast("long").as("seq_id"),
+          ((col("cum") - col("tokens")) % 512).cast("long").as("seq_off"))
+    },
+
+    // q71: frequency-capped soft dedup — keep up to 2 copies per exact
+    // content hash instead of collapsing to 1 (repetition control: some
+    // duplication is signal, unbounded duplication is memorization risk).
+    // The min_by dedup generalizes to a window rank capped at N; the
+    // shuffle key is the 16-byte hash, never the document body.
+    "q71_soft_dedup_cap" -> QueryDef.of(
+      """SELECT doc_id, text_hash, copy_rank, n_copies FROM (
+        |  SELECT doc_id, text_hash,
+        |    CAST(row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS BIGINT) AS copy_rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY text_hash) AS BIGINT) AS n_copies
+        |  FROM (
+        |    SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_hash
+        |    FROM documents
+        |  )
+        |) WHERE copy_rank <= 2
+        |""".stripMargin) { (s, dir) =>
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"))
+      val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+      hashed
+        .withColumn("copy_rank", row_number().over(w).cast("long"))
+        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("text_hash"))).cast("long"))
+        .filter(col("copy_rank") <= 2)
+        .select(col("doc_id"), col("text_hash"), col("copy_rank"), col("n_copies"))
+    },
+
+    // q72: the composed curation pipeline — quality gate -> exact dedup
+    // -> stratified sample -> per-(lang, source) corpus stats. This is
+    // the end-to-end shape a pretraining corpus build runs after pair
+    // discovery; each stage is an already-verified kernel (q29 quality,
+    // q22 dedup, q69 sampling, q30 tokens) and the final rollup is one
+    // partial-aggregated groupBy.
+    "q72_corpus_curation" -> QueryDef.of(
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang, source, text,
+        |    (CAST(len(list_filter(toks, x -> x IN (${TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(toks)) * 0.5
+        |      + (CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.5 AS quality
+        |  FROM (
+        |    SELECT *, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        |    FROM documents
+        |  )
+        |), gated AS (
+        |  SELECT * FROM scored WHERE round(quality, 4) >= 0.3
+        |), deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |    FROM gated
+        |  ) WHERE rn = 1
+        |), sampled AS (
+        |  SELECT * FROM deduped WHERE $docHashSql % 8 < $rate8Sql
+        |)
+        |SELECT lang, source,
+        |  CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)) AS BIGINT) AS tokens,
+        |  round(AVG(round(quality, 4)), 4) AS avg_quality
+        |FROM sampled GROUP BY lang, source
+        |""".stripMargin) { (s, dir) =>
+      val toks = F.tokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          TextAnalysis.qualityScore(toks).as("quality"))
+      val gated = scored.filter(col("quality") >= 0.3)
+      val deduped = Relational.dedupKeepFirstAgg(
+        gated.withColumn("text_hash",
+          md5(trim(regexp_replace(col("text"), "\\s+", " ")))),
+        keys = Seq(col("text_hash")),
+        order = Seq(col("doc_id"))).drop("text_hash")
+      val sampled = deduped.filter(docHash(col("doc_id")) % 8 < rate8)
+      sampled.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).cast("long").as("docs"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).cast("long").as("tokens"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+    }
+  )
+}
