@@ -55,6 +55,22 @@ class PlanSpec extends SpecBase {
     }
   }
 
+  test("q68/q69 stay shuffle-free; q70/q71 shuffle once on their key") {
+    // q68 is a union of per-row scans and q69 a hash-filtered scan —
+    // neither may grow an exchange. The packing/capping windows shuffle
+    // exactly once (shard key / content hash).
+    for (q <- Seq("q68_preprocess", "q69_stratified_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be exchange-free:\n${p.take(600)}")
+    }
+    for (q <- Seq("q70_pack_sequences", "q71_soft_dedup_cap")) {
+      val p = plan(q)
+      val shuffles = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+      assert(shuffles == 1, s"$q expected exactly 1 shuffle exchange, got $shuffles")
+    }
+  }
+
   test("nested-loop joins appear only where semantics require them") {
     // q26: brute-force ANN baseline (the point of the query); q38: rule
     // matching is non-equi (ends-with/contains) over a tiny broadcast rule
