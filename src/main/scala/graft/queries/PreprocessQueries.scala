@@ -24,6 +24,16 @@ object PreprocessQueries {
   private def cleanSql(e: String) =
     s"regexp_replace(regexp_replace($e, '\\s+', ' ', 'g'), '^[ \\t\\n(-]+|[ \\t\\n(-]+$$', '', 'g')"
 
+  /** One transform_urls entry (helpers.py:23) serialized as href^title —
+    * the SCALAR form of [[F.transformUrls]]: the last '#' splits an
+    * optional title, default "קישור". Array HOFs are CodegenFallback
+    * (SURVEY §6 lesson 1), so the per-entry hot path runs these codegen'd
+    * string ops instead; q51/PropertySpec keep the array kernel honest. */
+  private def urlEntry(raw: org.apache.spark.sql.Column) = concat(
+    when(raw.contains("#"), regexp_replace(raw, "#[^#]*$", "")).otherwise(raw),
+    lit("^"),
+    when(raw.contains("#"), regexp_extract(raw, "#([^#]*)$", 1)).otherwise(lit("קישור")))
+
   private def orgs(s: SparkSession, dir: String): DataFrame = {
     val nameRaw =
       when(col("c_custkey") % 97 === 0, "dummy")
@@ -34,9 +44,11 @@ object PreprocessQueries {
       when(col("c_custkey") % 10 === 0, "inactive")
         .when(col("c_custkey") % 10 === 1, " active ")
         .otherwise("ACTIVE")
-    val urlsRaw = concat(
-      lit("https://org.example/"), col("c_custkey").cast("string"), lit("#אתר"),
-      lit("\nwww.example-"), (col("c_custkey") % 50).cast("string"), lit(".org"))
+    // two raw entries: one '#'-titled, one bare (title defaults)
+    val urlsJoined = concat(
+      urlEntry(concat(lit("https://org.example/"), col("c_custkey").cast("string"), lit("#אתר"))),
+      lit("|"),
+      urlEntry(concat(lit("www.example-"), (col("c_custkey") % 50).cast("string"), lit(".org"))))
     val phonesRaw = concat(
       lit("05"), (col("c_custkey") % 4).cast("string"), lit("-"),
       lpad((col("c_custkey") % 10000000).cast("string"), 7, "0"))
@@ -57,10 +69,7 @@ object PreprocessQueries {
             concat(lit("Org "), (col("c_custkey") % 100).cast("string"), lit(" ")))
         ).as("short_name"),
         array_join(F.formatPhoneNumbers(phonesRaw), "|").as("phone_numbers"),
-        array_join(
-          transform(F.transformUrls(urlsRaw),
-            u => concat(u.getField("href"), lit("^"), u.getField("title"))),
-          "|").as("urls"),
+        urlsJoined.as("urls"),
         lit(null).cast("string").as("situation_ids"),
         lit(null).cast("string").as("data_sources"),
         lit(null).cast("double").as("boost"))
@@ -110,7 +119,8 @@ object PreprocessQueries {
         .when(col("o_orderstatus") === "F", " ACTIVE ")
         .otherwise("pending")
     val phonesRaw = concat(lit("02"), lpad((col("o_orderkey") % 10000000).cast("string"), 7, "0"))
-    val urlsRaw = concat(lit("branch.example/"), (col("o_orderkey") % 1000).cast("string"))
+    // single bare entry — title defaults through the same scalar path
+    val urlsRaw = urlEntry(concat(lit("branch.example/"), (col("o_orderkey") % 1000).cast("string")))
     Tables.orders(s, dir)
       .withColumn("name_raw", nameRaw)
       .filter(col("name_raw") =!= "dummy")
@@ -122,10 +132,7 @@ object PreprocessQueries {
         F.cleanWhitespace(col("name_raw")).as("name"),
         lit(null).cast("string").as("short_name"),
         array_join(F.formatPhoneNumbers(phonesRaw), "|").as("phone_numbers"),
-        array_join(
-          transform(F.transformUrls(urlsRaw),
-            u => concat(u.getField("href"), lit("^"), u.getField("title"))),
-          "|").as("urls"),
+        urlsRaw.as("urls"),
         lit(null).cast("string").as("situation_ids"),
         lit(null).cast("string").as("data_sources"),
         lit(null).cast("double").as("boost"))
