@@ -15,11 +15,11 @@ object Bench {
     val spark: SparkSession = GraftSession.builder(Some(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Optional comma-separated filter for local bisection, e.g.
-    // SPARK_GRAFT_ONLY=q23_minhash,q25_ngram_jaccard
+    // Optional comma-separated filter for local bisection; prefixes work:
+    // SPARK_GRAFT_ONLY=q23,q25_ngram_jaccard
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
     // Full materialization through the noop sink: unlike count(), Catalyst
     // cannot drop final projections/sorts, so projection-heavy queries are
