@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling kernels shared by the batch curation queries
+  * (q69/q72) and the streaming twin ([[graft.streaming.DocumentStreams]]).
+  *
+  * Membership is a pure hash of the row key — never rand(), which breaks
+  * task-retry determinism and rerun/backfill stability. The hash reads the
+  * first 8 md5 hex chars as an unsigned 32-bit int so any oracle engine
+  * can replay membership exactly.
+  */
+object Sampling {
+
+  /** Portable 32-bit key hash (md5-prefix). */
+  def docHash32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Mixing rate in eighths per language stratum: en 4/8, mid-tier
+    * languages 2/8, long tail 1/8. */
+  def mixingRate8(lang: Column): Column =
+    when(lang === "en", 4L)
+      .when(lang.isin("zh", "es", "de", "fr"), 2L)
+      .otherwise(1L)
+
+  /** Keep-predicate for the stratified sample. */
+  def stratifiedKeep(key: Column, lang: Column): Column =
+    docHash32(key) % 8 < mixingRate8(lang)
+}

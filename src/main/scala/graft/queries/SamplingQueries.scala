@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.F
-import graft.operators.{Relational, TextAnalysis}
+import graft.operators.{Relational, Sampling, TextAnalysis}
 
 /** SURVEY.md §2.C — corpus curation operators a pretraining-data pipeline
   * runs between dedup and training: deterministic stratified sampling
@@ -16,20 +16,15 @@ import graft.operators.{Relational, TextAnalysis}
   */
 object SamplingQueries {
 
-  /** Portable 32-bit doc hash: both engines read the first 8 md5 hex chars
-    * as an unsigned int. Spark's xxhash64 is cheaper but not replayable in
-    * the oracle; sampling only needs uniformity, not speed parity. */
-  private def docHash(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+  /** SQL twins of [[graft.operators.Sampling]]'s kernels (Spark's
+    * xxhash64 would be cheaper but is not replayable in the oracle;
+    * sampling needs uniformity, not speed parity). */
+  private def docHash(c: org.apache.spark.sql.Column) = Sampling.docHash32(c)
 
   private val docHashSql =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
 
-  /** Mixing rate in eighths per language stratum: en 4/8, the mid-tier
-    * languages 2/8, the long tail 1/8. */
-  private def rate8 = when(col("lang") === "en", 4L)
-    .when(col("lang").isin("zh", "es", "de", "fr"), 2L)
-    .otherwise(1L)
+  private def rate8 = Sampling.mixingRate8(col("lang"))
 
   private val rate8Sql =
     "CASE WHEN lang = 'en' THEN 4 WHEN lang IN ('zh','es','de','fr') THEN 2 ELSE 1 END"

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Streaming twin of the corpus-curation pipeline (q72): documents arrive
+  * continuously (crawl output), and the gate → dedup → sample stages run
+  * incrementally so curated shards are ready as data lands instead of in
+  * a nightly batch.
+  *
+  * Stage mapping:
+  *   - quality gate + stratified sample: STATELESS — the exact batch
+  *     expressions (same codegen) applied per micro-batch row;
+  *   - exact dedup: `dropDuplicatesWithinWatermark` on the content hash —
+  *     state is bounded by the ingest-time watermark horizon, the only
+  *     sound posture for an unbounded corpus (an unwatermarked
+  *     dropDuplicates grows state forever);
+  *   - the per-(lang, source) rollup stays a downstream batch/report
+  *     query over the curated sink — streaming that final aggregate would
+  *     hold one state row per group forever for no freshness benefit.
+  *
+  * Duplicate policy: the FIRST arrival inside the watermark horizon wins
+  * (arrival order replaces the batch keep-min-doc_id tie-break; both are
+  * "keep one representative per content hash").
+  */
+object DocumentStreams {
+
+  case class Doc(doc_id: Long, text: String, lang: String, source: String,
+                 ingest_ts: Timestamp)
+
+  def curateStream(docs: DataFrame, minQuality: Double = 0.3,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val toks = F.tokens(col("text"))
+    docs
+      .withColumn("quality", TextAnalysis.qualityScore(toks))
+      .filter(col("quality") >= minQuality)
+      .withColumn("text_hash",
+        md5(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .withWatermark("ingest_ts", watermark)
+      // dedup BEFORE sampling, matching batch q72: the sampling decision
+      // belongs to unique content (its representative's key), not to each
+      // copy — sampling first would let an unsampled representative's
+      // copies leak through under a different key. The quality gate above
+      // already shrinks what dedup state has to hold.
+      .dropDuplicatesWithinWatermark("text_hash")
+      .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang")))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        col("text_hash"), col("ingest_ts"))
+  }
+}

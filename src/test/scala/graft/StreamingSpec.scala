@@ -231,4 +231,52 @@ class StreamingSpec extends SpecBase {
       assert(streamed == batch)
     } finally query.stop()
   }
+
+  test("streaming corpus curation matches the batch gate->dedup->sample chain") {
+    import graft.streaming.DocumentStreams
+    import graft.streaming.DocumentStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+
+    // real corpus docs (planted dups included), streamed in doc_id order
+    // so streaming's first-arrival dedup matches batch keep-min-doc_id
+    val docs = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[String]("lang"), r.getAs[String]("source"),
+          new Timestamp(1700000000000L + i * 1000L))
+      }
+
+    val stream = MemoryStream[Doc]
+    val query = DocumentStreams.curateStream(stream.toDF())
+      .writeStream.format("memory").queryName("curate_stream_test")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      stream.addData(first.toSeq)
+      query.processAllAvailable()
+      stream.addData(second.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("curate_stream_test")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+      // batch replay of the same stages over the same rows
+      import graft.operators.{Relational, Sampling, TextAnalysis}
+      val batchIn = Tables.documents(spark, SfDir)
+      val gated = batchIn
+        .withColumn("quality", TextAnalysis.qualityScore(graft.functions.F.tokens($"text")))
+        .filter($"quality" >= 0.3)
+        .withColumn("text_hash", md5(trim(regexp_replace($"text", "\\s+", " "))))
+      val deduped = Relational.dedupKeepFirstAgg(gated,
+        keys = Seq($"text_hash"), order = Seq($"doc_id"))
+      val batch = deduped
+        .filter(Sampling.stratifiedKeep($"doc_id", $"lang"))
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(5)}, batch-only: ${(batch -- streamed).take(5)}")
+    } finally query.stop()
+  }
 }
