@@ -101,6 +101,32 @@ class DedupSpec extends SpecBase {
     assert(sketchForm == columnForm)
   }
 
+  test("connectedComponents degenerate inputs: no links, self-ish links, one big chain") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ids = spark.range(1, 11).toDF("id")
+    // no links: every id is its own cluster (contracted graph is empty)
+    val noLinks = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val identity = Dedup.connectedComponents(ids, noLinks)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(identity == (1L to 10L).map(i => i -> i).toMap)
+    // one long chain 1-2-3-...-10: worst diameter for min-propagation;
+    // everything must still collapse to label 1
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chained = Dedup.connectedComponents(ids, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chained == (1L to 10L).map(i => i -> 1L).toMap)
+    // two separate cliques stay separate
+    val cliques = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("id_a", "id_b")
+    val two = Dedup.connectedComponents(ids, cliques)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(1L) == 1L && two(2L) == 1L && two(3L) == 1L)
+    assert(two(7L) == 7L && two(8L) == 7L && two(9L) == 7L)
+    assert(two(5L) == 5L)
+  }
+
   test("dedup composition (q67): CC over LSH star links == CC over all-pairs links at matched thresholds") {
     // Both inputs verify candidates with the same exact shingle Jaccard
     // over the same LSH buckets; both CC runs converge to the
