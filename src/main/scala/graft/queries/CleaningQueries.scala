@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** SURVEY.md §2.C — text-cleaning operators a training corpus runs before
+  * tokenization: PII scrubbing (regex redaction) and per-stratum length
+  * distribution stats. Pure per-row / one-aggregation shapes; every regex
+  * stays in the RE2∩Java dialect (no lookarounds, no backrefs) so the
+  * oracle replays the exact semantics.
+  */
+object CleaningQueries {
+
+  /** Redaction rules, applied in order (emails first so phone/id digit
+    * rules never fire inside an address). Patterns are deliberately
+    * lookaround-free: RE2 (DuckDB) cannot express lookarounds, and
+    * anything Java-only would make the scrub unverifiable. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "0[0-9]{1,2}-[0-9]{7}"
+  private val LongNumRe = "[0-9]{9,}"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // q73: PII scrub — the redaction pass every published/training corpus
+    // needs. Synthetic PII (email, phone, 9-digit id) injects per doc so
+    // all three rules fire; output carries the scrubbed text and per-kind
+    // counts from the SAME scan (conditional expressions, no second pass).
+    "q73_pii_scrub" -> QueryDef.of(
+      s"""WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' Contact: user' || CAST(doc_id AS VARCHAR) || '@mail.example.com, tel 052-'
+        |      || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0') || ', id '
+        |      || lpad(CAST(doc_id AS VARCHAR), 9, '0') || '.' AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$PhoneRe', '<PHONE>', 'g'),
+        |    '$LongNumRe', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$LongNumRe')) AS BIGINT) AS n_nums
+        |FROM raw
+        |""".stripMargin) { (s, dir) =>
+      val t = concat(col("text"),
+        lit(" Contact: user"), col("doc_id").cast("string"), lit("@mail.example.com, tel 052-"),
+        lpad((col("doc_id") % 10000000).cast("string"), 7, "0"), lit(", id "),
+        lpad(col("doc_id").cast("string"), 9, "0"), lit("."))
+      val noEmail = regexp_replace(col("t"), EmailRe, "<EMAIL>")
+      val noPhone = regexp_replace(noEmail, PhoneRe, "<PHONE>")
+      Tables.documents(s, dir)
+        .withColumn("t", t)
+        .select(
+          col("doc_id"),
+          regexp_replace(noPhone, LongNumRe, "<NUM>").as("scrubbed"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(noEmail, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+          size(regexp_extract_all(noPhone, lit(LongNumRe), lit(0))).cast("long").as("n_nums"))
+    },
+
+    // q74: per-language length-distribution stats — the corpus report that
+    // drives truncation/packing budgets. Exact interpolated quantiles
+    // match DuckDB's quantile_cont definition; at 100 TB the same query
+    // swaps percentile() for percentile_approx (t-digest, one pass,
+    // mergeable) — the report tolerates approximation, the oracle doesn't.
+    "q74_length_stats" -> QueryDef.of(
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+        |FROM documents GROUP BY lang
+        |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+    }
+  )
+}
