@@ -59,6 +59,47 @@ object CleaningQueries {
           size(regexp_extract_all(noPhone, lit(LongNumRe), lit(0))).cast("long").as("n_nums"))
     },
 
+    // q75: benchmark DECONTAMINATION — flag corpus docs sharing any word
+    // 8-gram with the held-out eval set (the overlap check every serious
+    // training corpus runs against its benchmarks). The eval shingle set
+    // is tiny next to the corpus, so it BROADCASTS and the corpus side
+    // streams through map-side hash probes — no shuffle of corpus
+    // shingles at all; per-doc overlap counts come from one aggregation
+    // on the surviving matches.
+    "q75_decontaminate" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+        |                i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+        |    END AS shs
+        |  FROM t
+        |), ev AS (
+        |  SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id % 10 = 7
+        |), co AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM sh WHERE doc_id % 10 <> 7
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM co JOIN ev USING (sh) GROUP BY doc_id
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.F
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(F.tokens(col("text")), 8)).as("shs"))
+      val eval8 = docs.filter(col("doc_id") % 10 === 7)
+        .select(explode(col("shs")).as("sh")).distinct()
+      docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+        .join(broadcast(eval8), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+    },
+
     // q74: per-language length-distribution stats — the corpus report that
     // drives truncation/packing budgets. Exact interpolated quantiles
     // match DuckDB's quantile_cont definition; at 100 TB the same query
