@@ -100,6 +100,56 @@ object CleaningQueries {
         .agg(count(lit(1)).cast("long").as("n_shared"))
     },
 
+    // q76: intra-document repetition (C4-style line/sentence dedup
+    // signal): sentence count, distinct count, repetition ratio — pure
+    // per-row array expressions, no shuffle. The '. ' split is a literal
+    // on both engines (Spark's split takes a regex, hence the escape).
+    "q76_repetition" -> QueryDef.of(
+      """SELECT doc_id,
+        |  CAST(len(sents) AS BIGINT) AS n_sent,
+        |  CAST(len(list_distinct(sents)) AS BIGINT) AS n_uniq,
+        |  round(1.0 - CAST(len(list_distinct(sents)) AS DOUBLE) / len(sents), 4) AS rep_ratio
+        |FROM (SELECT doc_id, string_split(text, '. ') AS sents FROM documents)
+        |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("sents", split(col("text"), "\\. "))
+        .select(col("doc_id"),
+          size(col("sents")).cast("long").as("n_sent"),
+          size(array_distinct(col("sents"))).cast("long").as("n_uniq"),
+          round(lit(1.0) - size(array_distinct(col("sents"))).cast("double") / size(col("sents")), 4)
+            .as("rep_ratio"))
+    },
+
+    // q77: per-label embedding centroid — element-wise vector mean done
+    // RELATIONALLY (posexplode -> groupBy (label, pos) -> ordered
+    // re-collect): the only shape that scales, since no built-in
+    // aggregate sums arrays element-wise and a collect-then-fold holds
+    // whole groups in memory. Values serialize as 1e4-scaled ints (double
+    // -> string diverges between engines near 1e-4: Java switches to
+    // scientific notation).
+    "q77_label_centroids" -> QueryDef.of(
+      """WITH e AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT label, pos, CAST(round(avg(v) * 10000, 0) AS BIGINT) AS a
+        |  FROM e GROUP BY label, pos
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS dims,
+        |  array_to_string(list(CAST(a AS VARCHAR) ORDER BY pos), '|') AS centroid
+        |FROM m GROUP BY label
+        |""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v").cast("double")) * 10000, 0).cast("long").as("a"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("dims"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("a")))),
+            x => x.getField("a").cast("string")), "|").as("centroid"))
+    },
+
     // q74: per-language length-distribution stats — the corpus report that
     // drives truncation/packing budgets. Exact interpolated quantiles
     // match DuckDB's quantile_cont definition; at 100 TB the same query
