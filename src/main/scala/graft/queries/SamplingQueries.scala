@@ -132,7 +132,7 @@ object SamplingQueries {
         |SELECT lang, source,
         |  CAST(COUNT(*) AS BIGINT) AS docs,
         |  CAST(SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)) AS BIGINT) AS tokens,
-        |  round(AVG(round(quality, 4)), 4) AS avg_quality
+        |  CAST(round(SUM(round(quality, 4)) * 10000, 0) AS BIGINT) AS quality_1e4_sum
         |FROM sampled GROUP BY lang, source
         |""".stripMargin) { (s, dir) =>
       val toks = F.tokens(col("text"))
@@ -149,7 +149,12 @@ object SamplingQueries {
       sampled.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).cast("long").as("docs"),
           sum(TextAnalysis.bpeTokenCount(col("text"))).cast("long").as("tokens"),
-          round(avg(col("quality")), 4).as("avg_quality"))
+          // SUM of the (already 4dp-rounded) scores, 1e4-scaled to an
+          // exact integer — an AVERAGE rounded to 4dp sits on .00005
+          // boundaries where binary-vs-decimal rounding diverges between
+          // engines (caught by the sf0.001 tri-scale gate); the scaled
+          // sum is integer-exact in double on both.
+          round(sum(col("quality")) * 10000, 0).cast("long").as("quality_1e4_sum"))
     }
   )
 }
