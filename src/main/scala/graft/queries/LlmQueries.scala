@@ -15,6 +15,44 @@ object LlmQueries {
   private val stop = TextAnalysis.EnglishStopwords
   private def stopList = stop.map(s => s"'$s'").mkString(", ")
 
+  /** Shared oracle CTE chain for the dedup-cluster family (q66/q78):
+    * token sets -> banded jaccard pairs (0.9) -> recursive-CTE transitive
+    * closure -> `lab(id, cluster)`. The component-min fixpoint is
+    * engine-independent, so the iterative Spark CC and this recursive
+    * form hash-match exactly. */
+  private val dedupClusterCtes =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT * FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |            len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+      |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |      AND len(a.toks) * 10 >= len(b.toks) * 9 AND len(b.toks) * 10 >= len(a.toks) * 9
+      |  ) WHERE jaccard >= 0.9
+      |), edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach(id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+      |), lab AS (
+      |  SELECT id, min(label) AS cluster FROM reach GROUP BY id
+      |)""".stripMargin
+
+  /** Spark side of the same chain: (id, cluster) for every document. */
+  private def dedupClusters(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "lang", "text", threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .withColumn("cluster", col("label")).drop("label")
+  }
+
   /** q59's oracle: replay the hyperplane blocking + cosine scoring with
     * the SAME seeded plane literals and left-fold order as the Spark side
     * (F.dot is a left fold over index order; list_reduce over a prepended
@@ -103,40 +141,62 @@ object LlmQueries {
     // min is engine-independent, so the iterative and recursive forms
     // hash-match exactly.
     "q66_dedup_clusters" -> QueryDef.of(
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
-        |  FROM documents
-        |), pairs AS (
-        |  SELECT * FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |            len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-        |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |      AND len(a.toks) * 10 >= len(b.toks) * 9 AND len(b.toks) * 10 >= len(a.toks) * 9
-        |  ) WHERE jaccard >= 0.9
-        |), edges AS (
-        |  SELECT id_a AS u, id_b AS v FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs
-        |), reach(id, label) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
-        |), lab AS (
-        |  SELECT id, min(label) AS cluster FROM reach GROUP BY id
-        |)
+      s"""$dedupClusterCtes
         |SELECT id, cluster,
         |  CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
         |FROM lab
         |""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "lang", "text", threshold = 0.9)
-        .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
-        .withColumn("cluster", col("label")).drop("label")
+      dedupClusters(s, dir)
         .withColumn("n_members",
           count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+    },
+
+    // q78: cluster REPRESENTATIVE selection — the keep-one decision that
+    // consumes q66's clusters: keep the highest-quality member (tie: min
+    // id), the policy a curation pipeline actually wants (the reference's
+    // merge keeps first-seen; quality-ranked keep is its corpus-scale
+    // upgrade). One max_by-struct aggregate per cluster; quality is the
+    // verified q29 kernel.
+    "q78_cluster_representatives" -> QueryDef.of(
+      s"""$dedupClusterCtes,
+        |q AS (
+        |  -- RAW tokens (q29's definition), NOT the dedup chain's
+        |  -- list_distinct'd sets — stopword ratios differ over sets
+        |  SELECT doc_id,
+        |    (CAST(len(list_filter(toks2, x -> x IN ($stopList))) AS DOUBLE) / len(toks2)) * 0.5
+        |      + (CAST(least(len(toks2), 100) AS DOUBLE) / 100.0) * 0.5 AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks2
+        |    FROM documents
+        |  )
+        |)
+        |SELECT cluster, keep_id, quality, n_members FROM (
+        |  SELECT lab.cluster, lab.id AS keep_id, round(q.quality, 4) AS quality,
+        |    CAST(COUNT(*) OVER (PARTITION BY lab.cluster) AS BIGINT) AS n_members,
+        |    row_number() OVER (PARTITION BY lab.cluster
+        |      ORDER BY round(q.quality, 4) DESC, lab.id) AS rn
+        |  FROM lab JOIN q ON lab.id = q.doc_id
+        |)
+        |WHERE rn = 1
+        |""".stripMargin) { (s, dir) =>
+      val quality = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          TextAnalysis.qualityScore(F.tokens(col("text"))).as("quality"))
+      // ONE aggregate carries both the representative (min_by over
+      // (-quality, id): max quality, ties to min id) and the member
+      // count. The CC labels are eagerly checkpointed, so plan arms
+      // would share them — but a separate sizes arm still costs a second
+      // shuffle over the members plus a join; one pass does neither.
+      dedupClusters(s, dir).join(quality, "id")
+        .groupBy(col("cluster"))
+        .agg(
+          min_by(struct(col("id"), col("quality")),
+            struct((-col("quality")).as("nq"), col("id"))).as("__r"),
+          count(lit(1)).cast("long").as("n_members"))
+        .select(col("cluster"), col("__r.id").as("keep_id"),
+          col("__r.quality").as("quality"), col("n_members"))
     },
 
     // q67: the 100 TB dedup composition — connected components over q23's
