@@ -150,6 +150,37 @@ object CleaningQueries {
             x => x.getField("a").cast("string")), "|").as("centroid"))
     },
 
+    // q79: overlapping-window chunking (retrieval/RAG indexing shape):
+    // 128-token windows at stride 96 per document. One explode of a
+    // per-row index sequence, then codegen'd slice/join/md5 — no shuffle;
+    // chunk text hashes to md5 so the output stays slim (the chunk body
+    // would be re-derived by the indexer from (doc_id, offsets)).
+    "q79_chunk_windows" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(len(toks) / 96.0) AS INT))) AS chunk_idx
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(least(128, len(toks) - chunk_idx * 96) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, chunk_idx * 96 + 1, chunk_idx * 96 + 128), ' ')) AS chunk_md5
+        |FROM c
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.F
+      Tables.documents(s, dir)
+        .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            ceil(size(col("toks")) / 96.0).cast("int") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          least(lit(128), size(col("toks")) - col("chunk_idx") * 96).cast("long").as("chunk_tokens"),
+          md5(array_join(slice(col("toks"), col("chunk_idx") * 96 + 1, lit(128)), " ")).as("chunk_md5"))
+    },
+
     // q74: per-language length-distribution stats — the corpus report that
     // drives truncation/packing budgets. Exact interpolated quantiles
     // match DuckDB's quantile_cont definition; at 100 TB the same query
