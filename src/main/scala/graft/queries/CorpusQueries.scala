@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.F
+import graft.operators.{Dedup, Sampling}
+
+/** SURVEY.md §2.C — corpus-level model/maintenance operators a pretraining
+  * pipeline runs at full-corpus scope: unigram-LM scoring (the CCNet-style
+  * perplexity filter shape), incremental dedup of a new batch against an
+  * existing corpus, deterministic global shuffle into training shards,
+  * duplicated-n-gram mining (the substring-dedup signal), and int8
+  * embedding quantization. Reference anchor: the dedup/keep-one semantics
+  * extend to_dp.py's duplicate-group resolution to the corpus-maintenance
+  * flows (new-batch loads, shard publishes) the reference runs per-sync.
+  */
+object CorpusQueries {
+
+  /** Portable 32-bit hash twin (see [[Sampling.docHash32]]). */
+  private def hashSql(expr: String) =
+    s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+
+  private val toksSql =
+    """string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"""
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // q80: unigram-LM log-probability scoring — the model-based quality
+    // filter (CCNet/KenLM posture) reduced to its scalable core: fit a
+    // unigram LM on the corpus itself (one token-frequency aggregation),
+    // then score every document by its total token log-probability.
+    // Shapes that matter at 100 TB: tokens pre-aggregate to (doc, tok,
+    // cnt) BEFORE the vocab join so the exchange carries distinct tokens
+    // per doc (not every occurrence); the corpus total joins as a
+    // broadcast 1-row frame (no driver collect); per-token logprobs round
+    // to 4dp before the weighted sum so the 1e4-scaled total is
+    // integer-exact in double on both engines (the q72 trick — raw double
+    // sums differ across partition orders and engines).
+    "q80_unigram_logprob" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM t
+        |), dt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+        |), vocab AS (
+        |  SELECT tok, SUM(cnt) AS freq FROM dt GROUP BY tok
+        |), tot AS (
+        |  SELECT SUM(freq) AS total FROM vocab
+        |)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(round(SUM(cnt * round(ln(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE)), 4)) * 10000, 0) AS BIGINT) AS logprob_1e4_sum
+        |FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id
+        |""".stripMargin) { (s, dir) =>
+      val docTok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(F.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val vocab = docTok.groupBy(col("tok")).agg(sum(col("cnt")).as("freq"))
+      val total = vocab.agg(sum(col("freq")).as("total"))
+      docTok.join(vocab, "tok")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("cnt"),
+          round(log(col("freq").cast("double") / col("total").cast("double")), 4).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+          round(sum(col("cnt") * col("lp")) * 10000, 0).cast("long").as("logprob_1e4_sum"))
+    },
+
+    // q81: incremental dedup — the per-sync flow a living corpus actually
+    // runs: dedupe the NEW batch against the existing corpus (and within
+    // itself) without ever rescanning corpus bodies. The batch split is a
+    // deterministic hash so the oracle replays it; only 16-byte content
+    // hashes move through the join (bodies never shuffle), and at 100 TB
+    // the existing side is a pre-built hash index (bucketed by text_hash)
+    // so the probe is a co-located join, not a corpus scan.
+    "q81_incremental_dedup" -> QueryDef.of(
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash,
+        |    ${hashSql("CAST(doc_id AS VARCHAR)")} % 4 = 0 AS incoming
+        |  FROM documents
+        |), existing AS (
+        |  SELECT DISTINCT text_hash FROM h WHERE NOT incoming
+        |), inc AS (
+        |  SELECT doc_id, text_hash,
+        |    row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        |  FROM h WHERE incoming
+        |)
+        |SELECT inc.doc_id, inc.text_hash,
+        |  CAST(CASE WHEN e.text_hash IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS dup_vs_corpus,
+        |  CAST(CASE WHEN e.text_hash IS NULL AND rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM inc LEFT JOIN existing e ON inc.text_hash = e.text_hash
+        |""".stripMargin) { (s, dir) =>
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"),
+          (Sampling.docHash32(col("doc_id")) % 4 === 0).as("incoming"))
+      val existing = hashed.filter(!col("incoming"))
+        .select(col("text_hash")).distinct()
+        .withColumn("seen", lit(true))
+      val incoming = hashed.filter(col("incoming"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))))
+      incoming.join(existing, Seq("text_hash"), "left")
+        .select(col("doc_id"), col("text_hash"),
+          when(col("seen"), 1L).otherwise(0L).as("dup_vs_corpus"),
+          when(col("seen").isNull && col("rn") === 1, 1L).otherwise(0L).as("keep"))
+    },
+
+    // q82: deterministic global shuffle into training shards — the last
+    // step before a training run reads the corpus: every doc gets a
+    // pseudo-random but RERUN-STABLE shard and an in-shard position
+    // (hash-ordered, so adjacent source docs scatter). rand() would break
+    // task-retry determinism; a salted key hash gives the same layout on
+    // every backfill. One shuffle (the window on shard), which at corpus
+    // scale IS the training shuffle itself — there is no cheaper shape.
+    "q82_shard_assign" -> QueryDef.of(
+      s"""SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM (
+        |  SELECT doc_id,
+        |    ${hashSql("CAST(doc_id AS VARCHAR) || ':shard'")} AS h,
+        |    ${hashSql("CAST(doc_id AS VARCHAR) || ':shard'")} % 16 AS shard
+        |  FROM documents
+        |)""".stripMargin) { (s, dir) =>
+      val h = Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":shard")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), h.as("h"), (h % 16).as("shard"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+
+    // q83: duplicated-n-gram mining — the per-doc substring-dedup signal
+    // (how much of this doc's 13-gram mass appears elsewhere in the
+    // corpus), the scalable relaxation of suffix-array substring dedup.
+    // Shingles are md5'd BEFORE the frequency join so the exchange
+    // carries 32-hex keys, never 13-word strings; per-doc distinct
+    // shingles mean the frequency is a document frequency, and both
+    // aggregations partial-combine map-side.
+    "q83_dup_ngrams" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 11),
+        |                i -> array_to_string(list_slice(toks, i, i + 12), ' ')))
+        |    END AS shs
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, md5(sh) AS sh FROM (SELECT doc_id, unnest(shs) AS sh FROM sh)
+        |), f AS (
+        |  SELECT sh, COUNT(*) AS df FROM e GROUP BY sh
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles
+        |FROM e JOIN f USING (sh) GROUP BY doc_id
+        |""".stripMargin) { (s, dir) =>
+      val e = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(F.tokens(col("text")), 13))).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("sh"))
+      val f = e.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      e.join(f, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_shingles"))
+    },
+
+    // q85: BPE merge-pair counting — the first iteration of tokenizer
+    // induction (which adjacent character pair is most frequent), i.e.
+    // the "fit the tokenizer" step of a training-data pipeline. The ONLY
+    // corpus-sized pass is the word-count aggregation; the char-bigram
+    // explode runs over the VOCABULARY (tiny next to the corpus), and the
+    // final ranking's single-partition window is safe because the pair
+    // space is bounded by alphabet² regardless of corpus size.
+    "q85_bpe_pairs" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT $toksSql AS toks FROM documents
+        |), w AS (
+        |  SELECT tok, COUNT(*) AS f
+        |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+        |), p AS (
+        |  SELECT substr(tok, i, 2) AS pair, SUM(f) AS cnt
+        |  FROM (SELECT tok, f, unnest(range(1, len(tok))) AS i FROM w WHERE len(tok) >= 2)
+        |  GROUP BY substr(tok, i, 2)
+        |)
+        |SELECT pair, cnt, rank FROM (
+        |  SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+        |  FROM p
+        |) WHERE rank <= 100
+        |""".stripMargin) { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(F.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val pairs = words.filter(length(col("tok")) >= 2)
+        .select(col("f"), explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+      pairs
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+        .filter(col("rank") <= 100)
+        .select(col("pair"), col("cnt").cast("long").as("cnt"), col("rank"))
+    },
+
+    // q84: int8 embedding quantization — the storage/ANN-serving layout
+    // (×4 smaller than float32, SIMD-friendly dot products). Per-vector
+    // symmetric scale 127/max|x|; codes serialize through array_join
+    // because the correctness gate's row compare cannot sort list
+    // columns. Pure per-row expressions, zero shuffle; all arithmetic in
+    // double with round-half-away so both engines agree bit-for-bit.
+    "q84_quantize_embeddings" -> QueryDef.of(
+      """SELECT vec_id, label,
+        |  array_to_string(list_transform(embedding,
+        |    v -> CAST(CAST(round(CAST(v AS DOUBLE) * scale) AS TINYINT) AS VARCHAR)), ',') AS codes,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims
+        |FROM (
+        |  SELECT *,
+        |    127.0 / greatest(list_aggregate(list_transform(embedding,
+        |      v -> abs(CAST(v AS DOUBLE))), 'max'), 1e-30) AS scale
+        |  FROM embeddings
+        |)""".stripMargin) { (s, dir) =>
+      val maxAbs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+      Tables.embeddings(s, dir)
+        .withColumn("scale", lit(127.0) / greatest(maxAbs, lit(1e-30)))
+        .select(col("vec_id"), col("label"),
+          array_join(transform(col("embedding"),
+            v => round(v.cast("double") * col("scale")).cast("byte").cast("string")), ",")
+            .as("codes"),
+          size(col("embedding")).cast("long").as("n_dims"))
+    }
+  )
+}

@@ -71,11 +71,31 @@ class PlanSpec extends SpecBase {
     }
   }
 
+  test("q84 stays shuffle-free; q82 shuffles once on the shard key") {
+    // q84 is pure per-row vector arithmetic; q82's single exchange IS the
+    // training shuffle (there is no cheaper shape for a global reorder).
+    assert(!plan("q84_quantize_embeddings").contains("Exchange"),
+      "q84 must be exchange-free")
+    val shuffles = plan("q82_shard_assign").linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(shuffles == 1, s"q82 expected exactly 1 shuffle exchange, got $shuffles")
+  }
+
+  test("q80's corpus total joins as a broadcast, not a driver collect") {
+    // The 1-row total must reach the plan as a BroadcastExchange (the
+    // 1-row cross join lowers to BroadcastNestedLoopJoin by design);
+    // collecting it on the driver would serialize the whole vocab pass.
+    val p = plan("q80_unigram_logprob")
+    assert(p.contains("BroadcastExchange"), "corpus total must broadcast")
+  }
+
   test("nested-loop joins appear only where semantics require them") {
     // q26: brute-force ANN baseline (the point of the query); q38: rule
     // matching is non-equi (ends-with/contains) over a tiny broadcast rule
-    // table — the same per-row rule scan the reference does.
-    val intentional = Set("q26_cosine_topk", "q38_autotag")
+    // table — the same per-row rule scan the reference does; q80: the
+    // unigram normalizer is a broadcast 1-row cross join (no other way to
+    // attach a scalar without a driver collect).
+    val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob")
     val offenders = SparkEntry.queries.keys.filter { name =>
       try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
       catch { case _: Throwable => false }

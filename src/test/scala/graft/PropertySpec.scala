@@ -150,4 +150,32 @@ class PropertySpec extends SpecBase {
       }
     }
   }
+
+  test("int8 quantization (q84 kernel) round-trips within half a step") {
+    // Symmetric scale 127/max|x|: every code must fit int8 and
+    // dequantizing must land within half a quantization step of the
+    // input (plus float->double noise). Includes the all-zero vector,
+    // which must not divide by zero.
+    val vecGen: Gen[List[Float]] = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.chooseNum(-10.0f, 10.0f)),
+      Gen.const(List(0.0f, 0.0f, 0.0f)),
+      Gen.nonEmptyListOf(Gen.chooseNum(-1e-5f, 1e-5f)))
+    val inputs = cases(vecGen, 120)
+    val maxAbs = array_max(transform(col("v"), x => abs(x.cast("double"))))
+    val df = inputs.map(Tuple1(_)).toDF("v")
+      .withColumn("scale", lit(127.0) / greatest(maxAbs, lit(1e-30)))
+      .select(col("v"), col("scale"),
+        transform(col("v"), x => round(x.cast("double") * col("scale")).cast("int")).as("codes"))
+    df.collect().foreach { r =>
+      val v = r.getSeq[Float](0); val scale = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      codes.foreach(c => assert(c >= -127 && c <= 127, s"code $c out of int8 range"))
+      v.zip(codes).foreach { case (x, c) =>
+        if (scale < 1e29) { // skip the degenerate all-zero guard branch
+          val err = math.abs(x.toDouble - c / scale)
+          assert(err <= 0.5 / scale + 1e-12, s"round-trip err $err > half-step ${0.5 / scale}")
+        }
+      }
+    }
+  }
 }
