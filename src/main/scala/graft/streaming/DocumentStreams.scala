@@ -52,4 +52,27 @@ object DocumentStreams {
       .select(col("doc_id"), col("lang"), col("source"), col("quality"),
         col("text_hash"), col("ingest_ts"))
   }
+
+  /** Streaming twin of q81 (incremental dedup): a crawl stream dedupes
+    * against a STATIC existing-corpus hash index via a stream-static
+    * LEFT ANTI join, then within itself via the watermark-bounded
+    * dedup. The corpus side carries 16-byte hashes only (never bodies)
+    * and needs NO streaming state — at scale it is a bucketed hash-index
+    * table, re-snapshotted between runs, while the stream side's state
+    * stays bounded by the watermark horizon. Within-stream policy
+    * matches q81's rn=1: first arrival per content hash wins.
+    */
+  def dedupAgainstCorpus(incoming: DataFrame, corpusHashes: DataFrame,
+                         watermark: String = "10 minutes"): DataFrame =
+    incoming
+      .withColumn("text_hash",
+        md5(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .withWatermark("ingest_ts", watermark)
+      // within-stream dedup FIRST: it shrinks what the anti join probes,
+      // and the keep set is order-independent (both stages key on the
+      // same hash).
+      .dropDuplicatesWithinWatermark("text_hash")
+      .join(corpusHashes.select(col("text_hash")), Seq("text_hash"), "left_anti")
+      .select(col("doc_id"), col("text_hash"), col("lang"), col("source"),
+        col("ingest_ts"))
 }

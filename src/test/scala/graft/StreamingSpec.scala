@@ -279,4 +279,49 @@ class StreamingSpec extends SpecBase {
         s"stream-only: ${(streamed -- batch).take(5)}, batch-only: ${(batch -- streamed).take(5)}")
     } finally query.stop()
   }
+
+  test("streaming incremental dedup (stream-static anti join) matches batch q81's keep set") {
+    import graft.streaming.DocumentStreams
+    import graft.streaming.DocumentStreams.Doc
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+
+    // same deterministic batch split as q81: incoming = hash % 4 == 0,
+    // streamed in doc_id order so first-arrival matches q81's rn=1
+    val all = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text", $"lang", $"source",
+        (Sampling.docHash32($"doc_id") % 4 === 0).as("incoming"))
+    val corpusHashes = all.filter(!$"incoming")
+      .select(md5(trim(regexp_replace($"text", "\\s+", " "))).as("text_hash"))
+      .distinct()
+    val incomingDocs = all.filter($"incoming")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[String]("lang"), r.getAs[String]("source"),
+          new Timestamp(1700000000000L + i * 1000L))
+      }
+
+    val stream = MemoryStream[Doc]
+    val query = DocumentStreams.dedupAgainstCorpus(stream.toDF(), corpusHashes)
+      .writeStream.format("memory").queryName("inc_dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      val (first, second) = incomingDocs.splitAt(incomingDocs.length / 2)
+      stream.addData(first.toSeq)
+      query.processAllAvailable()
+      stream.addData(second.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("inc_dedup_stream_test")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+      val batch = SparkEntry.queries("q81_incremental_dedup")(spark, SfDir)
+        .filter($"keep" === 1)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(5)}, batch-only: ${(batch -- streamed).take(5)}")
+    } finally query.stop()
+  }
 }
