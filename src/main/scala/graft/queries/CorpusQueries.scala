@@ -211,6 +211,73 @@ object CorpusQueries {
         .select(col("pair"), col("cnt").cast("long").as("cnt"), col("rank"))
     },
 
+    // q86: per-language cardinality report via HyperLogLog++ — the 100 TB
+    // distinct-count path. Exact COUNT(DISTINCT hash) shuffles every
+    // distinct key; HLL++ sketches partial-merge map-side, so the
+    // exchange carries one ~KB sketch per (group × partition) regardless
+    // of corpus size. Rows-only (sketch internals are engine-specific);
+    // CorpusSpec pins the ≤5% relative error against the exact count and
+    // the exact doc totals ride the same pass as a cross-check.
+    "q86_cardinality_hll" -> QueryDef.rowsOnly { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("docs"),
+          // rsd 2%: ~4x the default sketch (still KBs/group) buys errors
+          // that hold the spec's 5% bound even on hundred-element groups
+          approx_count_distinct(col("text_hash"), 0.02).as("approx_uniq"))
+    },
+
+    // q87: corpus snapshot diff — the data-versioning report a living
+    // corpus publishes per sync (reference posture: each load_to_*
+    // rewrite is a new snapshot; q36's upsert keeps the latest row, this
+    // reports WHAT changed between two of them). Snapshots v1/v2 derive
+    // deterministically (hash-dropped rows simulate adds/removes, a
+    // hash-selected slice gets edited text), diff is ONE full outer join
+    // on doc_id comparing content hashes — at 100 TB both snapshots are
+    // bucketed by doc_id so the join co-locates without a shuffle — and
+    // the rollup is one partial-aggregated groupBy.
+    "q87_snapshot_diff" -> QueryDef.of(
+      s"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS h,
+        |    ${hashSql("CAST(doc_id AS VARCHAR) || ':v'")} % 10 AS slot
+        |  FROM documents
+        |), v1 AS (
+        |  SELECT doc_id, lang, h FROM base WHERE slot <> 0
+        |), v2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN slot = 2 THEN md5(h || ':edited') ELSE h END AS h
+        |  FROM base WHERE slot <> 1
+        |)
+        |SELECT lang, status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT coalesce(v1.lang, v2.lang) AS lang,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.h <> v2.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |) GROUP BY lang, status
+        |""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("h"),
+          (Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":v"))) % 10).as("slot"))
+      val v1 = base.filter(col("slot") =!= 0).select(col("doc_id"), col("lang"), col("h"))
+      val v2 = base.filter(col("slot") =!= 1)
+        .select(col("doc_id"), col("lang"),
+          when(col("slot") === 2, md5(concat(col("h"), lit(":edited")))).otherwise(col("h")).as("h"))
+      v1.as("a").join(v2.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(coalesce(col("a.lang"), col("b.lang")).as("lang"),
+          when(col("a.doc_id").isNull, "added")
+            .when(col("b.doc_id").isNull, "removed")
+            .when(col("a.h") =!= col("b.h"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("lang"), col("status"))
+        .agg(count(lit(1)).cast("long").as("n"))
+    },
+
     // q84: int8 embedding quantization — the storage/ANN-serving layout
     // (×4 smaller than float32, SIMD-friendly dot products). Per-vector
     // symmetric scale 127/max|x|; codes serialize through array_join

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-scope operators (q80–q87) that the DuckDB
+  * row-compare cannot express: sketch error bounds, distribution shape,
+  * and cross-query consistency.
+  */
+class CorpusSpec extends SpecBase {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, SfDir)
+
+  test("q86 HLL cardinality is within 5% of the exact distinct count per language") {
+    val approx = q("q86_cardinality_hll")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.documents(spark, SfDir)
+      .select($"lang", md5(trim(regexp_replace($"text", "\\s+", " "))).as("h"))
+      .groupBy($"lang")
+      .agg(countDistinct($"h").as("uniq"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, (uniq, docs)) =>
+      val (aDocs, aUniq) = approx(lang)
+      assert(aDocs == docs, s"$lang exact doc count must ride the same pass")
+      val err = math.abs(aUniq.toDouble - uniq) / uniq
+      assert(err <= 0.05, s"$lang HLL err $err (approx $aUniq vs exact $uniq)")
+    }
+  }
+
+  test("q82 shard assignment is balanced and positions are dense per shard") {
+    val rows = q("q82_shard_assign").collect()
+    val byShard = rows.groupBy(_.getLong(1))
+    assert(byShard.keySet.subsetOf((0L until 16L).toSet))
+    // positions 1..n dense within each shard (a gap would corrupt reader
+    // offsets); balance within 3x of the mean (md5 is uniform)
+    byShard.foreach { case (shard, rs) =>
+      val pos = rs.map(_.getLong(2)).sorted
+      assert(pos.head == 1L && pos.last == pos.length,
+        s"shard $shard positions not dense: ${pos.take(3).mkString(",")}..${pos.last}")
+    }
+    val sizes = byShard.values.map(_.length)
+    val mean = sizes.sum.toDouble / sizes.size
+    assert(sizes.max <= mean * 3, s"skewed shards: max ${sizes.max} vs mean $mean")
+  }
+
+  test("q81 incremental keep set equals a fresh exact dedup of the incoming batch minus the corpus") {
+    val out = q("q81_incremental_dedup").collect()
+    // every kept doc is neither a corpus dup nor a within-batch later copy
+    out.filter(_.getLong(3) == 1L).foreach { r =>
+      assert(r.getLong(2) == 0L, s"kept doc ${r.getLong(0)} is a corpus dup")
+    }
+    // each within-batch hash group keeps at most one doc, and exactly one
+    // when the hash is absent from the corpus
+    out.groupBy(_.getString(1)).foreach { case (h, rs) =>
+      val kept = rs.count(_.getLong(3) == 1L)
+      val corpusDup = rs.head.getLong(2) == 1L
+      assert(kept == (if (corpusDup) 0 else 1), s"hash $h kept $kept (corpusDup=$corpusDup)")
+    }
+  }
+
+  test("q80 logprob totals are finite and n_tokens matches an independent token count") {
+    val lp = q("q80_unigram_logprob")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val counts = Tables.documents(spark, SfDir)
+      .select($"doc_id", size(graft.functions.F.tokens($"text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp.keySet == counts.keySet)
+    lp.foreach { case (id, (n, sum)) =>
+      assert(n == counts(id), s"doc $id token count $n vs ${counts(id)}")
+      assert(sum < 0, s"doc $id logprob sum must be negative, got $sum")
+    }
+  }
+}
