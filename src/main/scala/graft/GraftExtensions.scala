@@ -5,8 +5,11 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
 import graft.functions.expressions.{FormatPhoneNumbers, MediaFeatureFold, MinHashSketch,
-  NormalizeTaxonomyIds, PolyHash, Shingles, SimHashSketch, SortedMapBitIntersect, TaxonomyParents}
+  NormalizeTaxonomyIds, PolyHash, QuantizeInt8Csv, Shingles, SimHashSketch,
+  SortedMapBitIntersect, TaxonomyParents}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry so `spark.sql` users get
@@ -113,6 +116,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Shingles(c, w.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "shingles(token_array, w) takes 2 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_int8_csv"),
+      new ExpressionInfo(classOf[QuantizeInt8Csv].getName, "quantize_int8_csv"),
+      (children: Seq[Expression]) => children match {
+        // consumes array<float>; cast fails at analysis on non-castable types
+        case Seq(c) => QuantizeInt8Csv(Cast(c, ArrayType(FloatType)))
+        case _ => throw new IllegalArgumentException(
+          "quantize_int8_csv(float_array) takes 1 argument")
       }))
     ext.injectFunction((
       new FunctionIdentifier("media_feature_fold"),

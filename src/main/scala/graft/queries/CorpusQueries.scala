@@ -280,10 +280,13 @@ object CorpusQueries {
 
     // q84: int8 embedding quantization — the storage/ANN-serving layout
     // (×4 smaller than float32, SIMD-friendly dot products). Per-vector
-    // symmetric scale 127/max|x|; codes serialize through array_join
-    // because the correctness gate's row compare cannot sort list
-    // columns. Pure per-row expressions, zero shuffle; all arithmetic in
-    // double with round-half-away so both engines agree bit-for-bit.
+    // symmetric scale 127/max|x|; codes serialize comma-joined because
+    // the correctness gate's row compare cannot sort list columns. Pure
+    // per-row, zero shuffle; the kernel is the native codegen'd
+    // [[graft.functions.expressions.QuantizeInt8Csv]] — the built-in
+    // composition chained four CodegenFallback HOF evaluations per row
+    // (~0.3 ms/vector, 80+ CPU-hours per billion vectors). Rounding is
+    // half-away-from-zero on both engines, so the oracle replays exactly.
     "q84_quantize_embeddings" -> QueryDef.of(
       """SELECT vec_id, label,
         |  array_to_string(list_transform(embedding,
@@ -295,13 +298,9 @@ object CorpusQueries {
         |      v -> abs(CAST(v AS DOUBLE))), 'max'), 1e-30) AS scale
         |  FROM embeddings
         |)""".stripMargin) { (s, dir) =>
-      val maxAbs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
       Tables.embeddings(s, dir)
-        .withColumn("scale", lit(127.0) / greatest(maxAbs, lit(1e-30)))
         .select(col("vec_id"), col("label"),
-          array_join(transform(col("embedding"),
-            v => round(v.cast("double") * col("scale")).cast("byte").cast("string")), ",")
-            .as("codes"),
+          graft.functions.expressions.QuantizeInt8Csv(col("embedding")).as("codes"),
           size(col("embedding")).cast("long").as("n_dims"))
     }
   )

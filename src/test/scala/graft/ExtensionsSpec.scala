@@ -56,6 +56,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r3.getSeq[String](2) == Seq("052-123-4567"))
       assert(r3.getSeq[String](3) == Seq("x y", "y z"))
       assert(r3.getSeq[Float](4).length == 2)
+      // quantizer: [1.0, -0.5] -> scale 127, codes "127,-64" (half away)
+      assert(spark.sql("SELECT quantize_int8_csv(array(1.0F, -0.5F)) AS q")
+        .head().getString(0) == "127,-64")
     } finally {
       // Don't stop(): the SparkContext is JVM-global and shared with the
       // other suites' session; just restore the session handles.

@@ -151,6 +151,25 @@ class PropertySpec extends SpecBase {
     }
   }
 
+  test("native QuantizeInt8Csv equals the HOF composition on random vectors") {
+    val vecGen: Gen[List[Float]] = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.chooseNum(-10.0f, 10.0f)),
+      Gen.const(List(0.0f, 0.0f, 0.0f)),
+      Gen.const(List.empty[Float]),
+      Gen.nonEmptyListOf(Gen.chooseNum(-1e-5f, 1e-5f)))
+    val inputs = cases(vecGen, 150)
+    val maxAbs = array_max(transform(col("v"), x => abs(x.cast("double"))))
+    val df = inputs.map(Tuple1(_)).toDF("v")
+      .withColumn("scale", lit(127.0) / greatest(maxAbs, lit(1e-30)))
+      .select(
+        graft.functions.expressions.QuantizeInt8Csv(col("v")).as("native"),
+        array_join(transform(col("v"),
+          x => round(x.cast("double") * col("scale")).cast("int").cast("string")), ",").as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"${r.getString(0)} vs ${r.getString(1)}")
+    }
+  }
+
   test("int8 quantization (q84 kernel) round-trips within half a step") {
     // Symmetric scale 127/max|x|: every code must fit int8 and
     // dequantizing must land within half a quantization step of the
