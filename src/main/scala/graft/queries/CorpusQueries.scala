@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.F
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Relational, Sampling, TextAnalysis}
 
 /** SURVEY.md §2.C — corpus-level model/maintenance operators a pretraining
   * pipeline runs at full-corpus scope: unigram-LM scoring (the CCNet-style
@@ -209,6 +209,106 @@ object CorpusQueries {
           .over(Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
         .filter(col("rank") <= 100)
         .select(col("pair"), col("cnt").cast("long").as("cnt"), col("rank"))
+    },
+
+    // q88: the corpus BUILD pipeline end to end — quality gate → exact
+    // dedup → benchmark decontamination → stratified sample → sequence
+    // packing → shard assignment, composed from the verified kernels
+    // (q29/q22/q75/q69/q70/q82) into the row-level output a training job
+    // reads: (doc, tokens, packed sequence, shard). The LLM-side flagship,
+    // mirroring q64/q65's derive-flow composition, measured honestly as
+    // one query and ORACLE-VERIFIED through the whole chain. Stage order
+    // is the cost order: the gate shrinks dedup's shuffle, dedup shrinks
+    // the decontamination probe, and only survivors pay tokenization.
+    "q88_corpus_build" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, text, $toksSql AS toks FROM documents
+        |), scored AS (
+        |  SELECT doc_id, lang, text, toks,
+        |    (CAST(len(list_filter(toks, x -> x IN (${TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(toks)) * 0.5
+        |      + (CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.5 AS quality
+        |  FROM t
+        |), gated AS (
+        |  SELECT * FROM scored WHERE round(quality, 4) >= 0.3
+        |), deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |    FROM gated
+        |  ) WHERE rn = 1
+        |), ev AS (
+        |  SELECT DISTINCT unnest(shs) AS sh FROM (
+        |    SELECT CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |                ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+        |                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+        |           END AS shs
+        |    FROM t WHERE doc_id % 10 = 7)
+        |), corp AS (
+        |  SELECT * FROM deduped WHERE doc_id % 10 <> 7
+        |), contaminated AS (
+        |  SELECT DISTINCT c.doc_id FROM (
+        |    SELECT doc_id, unnest(
+        |      CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |           ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+        |                  i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+        |      END) AS sh
+        |    FROM corp
+        |  ) c JOIN ev ON c.sh = ev.sh
+        |), sampled AS (
+        |  SELECT corp.doc_id, corp.lang, corp.text
+        |  FROM corp LEFT JOIN contaminated ON corp.doc_id = contaminated.doc_id
+        |  WHERE contaminated.doc_id IS NULL
+        |    AND ${hashSql("CAST(corp.doc_id AS VARCHAR)")} % 8 <
+        |        CASE WHEN corp.lang = 'en' THEN 4 WHEN corp.lang IN ('zh','es','de','fr') THEN 2 ELSE 1 END
+        |), cum AS (
+        |  SELECT doc_id, lang, tokens,
+        |    SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS tokens
+        |    FROM sampled
+        |  )
+        |)
+        |SELECT doc_id, lang, tokens,
+        |  CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS seq_id,
+        |  CAST((cum - tokens) % 512 AS BIGINT) AS seq_off,
+        |  ${hashSql("lang || ':' || CAST(CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS VARCHAR)")} % 16 AS shard
+        |FROM cum
+        |""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val gated = docs
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.qualityScore(F.tokens(col("text"))).as("quality"))
+        .filter(col("quality") >= 0.3)
+      val deduped = Relational.dedupKeepFirstAgg(
+        gated.withColumn("text_hash",
+          md5(trim(regexp_replace(col("text"), "\\s+", " ")))),
+        keys = Seq(col("text_hash")),
+        order = Seq(col("doc_id"))).drop("text_hash")
+      // benchmark shingles broadcast (tiny next to the corpus, q75 shape)
+      val evalShingles = docs.filter(col("doc_id") % 10 === 7)
+        .select(explode(array_distinct(Dedup.shingles(F.tokens(col("text")), 8))).as("sh"))
+        .distinct()
+      val corp = deduped.filter(col("doc_id") % 10 =!= 7)
+      val contaminated = corp
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(F.tokens(col("text")), 8))).as("sh"))
+        .join(broadcast(evalShingles), "sh")
+        .select(col("doc_id")).distinct()
+      val sampled = corp
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang")))
+      val packed = sampled
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.bpeTokenCount(col("text")).as("tokens"))
+        .withColumn("cum", sum(col("tokens"))
+          .over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      packed.select(col("doc_id"), col("lang"), col("tokens"),
+        floor((col("cum") - col("tokens")) / 512.0).cast("long").as("seq_id"),
+        ((col("cum") - col("tokens")) % 512).cast("long").as("seq_off"))
+        .withColumn("shard",
+          Sampling.docHash32(concat(col("lang"), lit(":"), col("seq_id").cast("string"))) % 16)
     },
 
     // q86: per-language cardinality report via HyperLogLog++ — the 100 TB
