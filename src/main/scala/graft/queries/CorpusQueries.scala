@@ -311,6 +311,41 @@ object CorpusQueries {
           Sampling.docHash32(concat(col("lang"), lit(":"), col("seq_id").cast("string"))) % 16)
     },
 
+    // q89: temperature-based mixture reweighting — the multilingual
+    // data-mixing math (sample languages ∝ p^α, α=0.5, so low-resource
+    // strata are upweighted relative to their share). All arithmetic
+    // after the one corpus-sized count is over #languages rows; exactness
+    // across engines comes from integerizing early: sqrt is IEEE
+    // correctly-rounded on both, its 1e6-scaled rounding is the only
+    // float step, and the normalization runs in integer space. The
+    // global windows are single-partition by construction — bounded by
+    // the language count, not the corpus.
+    "q89_mixture_weights" -> QueryDef.of(
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs FROM documents GROUP BY lang
+        |), s AS (
+        |  SELECT lang, docs,
+        |    CAST(round(sqrt(CAST(docs AS DOUBLE) / SUM(docs) OVER ()) * 1000000, 0) AS BIGINT) AS sqrt_1e6
+        |  FROM c
+        |)
+        |SELECT lang, docs, sqrt_1e6,
+        |  CAST(floor(sqrt_1e6 * 1000000.0 / SUM(sqrt_1e6) OVER ()) AS BIGINT) AS w_1e6,
+        |  CAST(floor(sqrt_1e6 * 100000.0 / SUM(sqrt_1e6) OVER ()) AS BIGINT) AS budget_docs
+        |FROM s
+        |""".stripMargin) { (s, dir) =>
+      val all = Window.partitionBy()
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("docs"))
+        .withColumn("sqrt_1e6",
+          round(sqrt(col("docs").cast("double") / sum(col("docs")).over(all)) * 1000000, 0)
+            .cast("long"))
+        .withColumn("w_1e6",
+          floor(col("sqrt_1e6") * lit(1000000.0) / sum(col("sqrt_1e6")).over(all)).cast("long"))
+        .withColumn("budget_docs",
+          floor(col("sqrt_1e6") * lit(100000.0) / sum(col("sqrt_1e6")).over(all)).cast("long"))
+    },
+
     // q86: per-language cardinality report via HyperLogLog++ — the 100 TB
     // distinct-count path. Exact COUNT(DISTINCT hash) shuffles every
     // distinct key; HLL++ sketches partial-merge map-side, so the
