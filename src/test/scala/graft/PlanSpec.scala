@@ -89,6 +89,22 @@ class PlanSpec extends SpecBase {
     assert(p.contains("BroadcastExchange"), "corpus total must broadcast")
   }
 
+  test("q88 broadcasts the decontamination sets; q87's snapshot diff is a sort-merge join") {
+    // q88: the eval-shingle set and the contaminated-id set are tiny next
+    // to the corpus — both must reach the plan as broadcast builds, never
+    // a corpus-side shuffle. q87: a full outer join has no small side by
+    // construction — it must be an SMJ on doc_id, not a nested loop.
+    val p88 = plan("q88_corpus_build")
+    assert(p88.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "contaminated ids must anti-join as a broadcast")
+    val p87 = plan("q87_snapshot_diff")
+    assert(p87.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("FullOuter")) &&
+      !p87.contains("NestedLoop"),
+      s"snapshot diff must be an SMJ:\n${p87.take(400)}")
+  }
+
   test("nested-loop joins appear only where semantics require them") {
     // q26: brute-force ANN baseline (the point of the query); q38: rule
     // matching is non-equi (ends-with/contains) over a tiny broadcast rule
