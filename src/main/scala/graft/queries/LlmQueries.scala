@@ -53,11 +53,13 @@ object LlmQueries {
       .withColumn("cluster", col("label")).drop("label")
   }
 
-  /** q59's oracle: replay the hyperplane blocking + cosine scoring with
-    * the SAME seeded plane literals and left-fold order as the Spark side
-    * (F.dot is a left fold over index order; list_reduce over a prepended
-    * 0.0 matches it term for term). */
-  private lazy val cosineNearDupOracle: String = {
+  /** q59's oracle machinery, parametrized on the cosine threshold so the
+    * multi-signal clustering (q90) reuses the identical replay: the SAME
+    * seeded plane literals and left-fold order as the Spark side (F.dot
+    * is a left fold over index order; list_reduce over a prepended 0.0
+    * matches it term for term). Returns the bucket/pair CTEs; callers
+    * append their own final select over `sem(id_a, id_b, cos)`. */
+  private[queries] def cosineNearDupCtes(threshold: Double): String = {
     def fold(products: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $products), (x, y) -> x + y)"
     def planeDot(plane: Array[Double]) =
@@ -70,16 +72,42 @@ object LlmQueries {
       "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
     val pairDot = fold(
       "list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))")
-    s"""WITH bk AS (
+    s"""bk AS (
        |  SELECT vec_id, embedding, $bucket AS bucket, $selfDot AS n2
        |  FROM embeddings
-       |)
-       |SELECT id_a, id_b, cos FROM (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    round($pairDot / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cos
-       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |) WHERE cos >= 0.2
+       |), sem AS (
+       |  SELECT id_a, id_b, cos FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      round($pairDot / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cos
+       |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  ) WHERE cos >= $threshold
+       |)""".stripMargin
+  }
+
+  private lazy val cosineNearDupOracle: String =
+    s"""WITH ${cosineNearDupCtes(0.2)}
+       |SELECT id_a, id_b, cos FROM sem
        |""".stripMargin
+
+  /** Spark side of the same pair discovery, parametrized on threshold. */
+  private[queries] def cosineNearDupPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String, threshold: Double) = {
+    val emb = Tables.embeddings(s, dir)
+    // norms precompute per VECTOR (like the oracle's n2) so the pair
+    // loop evaluates one native dot, not three folds
+    val bucketed = emb.select(
+      col("vec_id"), col("embedding"),
+      Similarity.hyperplaneBucket(col("embedding"), dim = 64, nPlanes = 4).as("bucket"),
+      F.dot(col("embedding"), col("embedding")).as("n2"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        F.dot(col("emb_a"), col("emb_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -262,22 +290,59 @@ object LlmQueries {
     // replays the same left-fold order, so the 4-dp rounded cosines are
     // bit-identical (same technique as the q43 projection replay).
     "q59_cosine_neardup" -> QueryDef.of(cosineNearDupOracle) { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      // norms precompute per VECTOR (like the oracle's n2) so the pair
-      // loop evaluates one native dot, not three folds
-      val bucketed = emb.select(
-        col("vec_id"), col("embedding"),
-        Similarity.hyperplaneBucket(col("embedding"), dim = 64, nPlanes = 4).as("bucket"),
-        F.dot(col("embedding"), col("embedding")).as("n2"))
-      val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-        col("embedding").as("emb_a"), col("n2").as("n2_a"))
-      val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
-        col("embedding").as("emb_b"), col("n2").as("n2_b"))
-      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-        .withColumn("cos", round(
-          F.dot(col("emb_a"), col("emb_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))), 4))
-        .filter(col("cos") >= 0.2)
-        .select(col("id_a"), col("id_b"), col("cos"))
+      cosineNearDupPairs(s, dir, threshold = 0.2)
+    },
+
+    // q90: MULTI-SIGNAL dedup clustering — cluster assignment over the
+    // UNION of evidence sources a production dedup actually combines:
+    // exact-content star links (q22's groups, linear per hash) and
+    // embedding near-dup pairs (q59's bucketed discovery — the SemDeDup
+    // posture). Both edge sources are the linear-volume scale paths, the
+    // union is one distinct on 8-byte id pairs, and the CC is the same
+    // contracted BSP loop as q66. Documents without an embedding simply
+    // contribute no semantic edges. Oracle: the recursive-CTE closure
+    // over the identical union (seeded planes replayed as SQL literals).
+    "q90_multisignal_dedup" -> QueryDef.of(
+      s"""WITH RECURSIVE ${cosineNearDupCtes(0.3)},
+        |h AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS th
+        |  FROM documents
+        |), rep AS (
+        |  SELECT th, MIN(doc_id) AS rep_id FROM h GROUP BY th
+        |), ex AS (
+        |  SELECT r.rep_id AS id_a, h.doc_id AS id_b
+        |  FROM h JOIN rep r ON h.th = r.th WHERE h.doc_id <> r.rep_id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM sem UNION SELECT id_a, id_b FROM ex
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+        |), lab AS (
+        |  SELECT id, min(label) AS cluster FROM reach GROUP BY id
+        |)
+        |SELECT id, cluster,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+        |FROM lab
+        |""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val h = docs.select(col("doc_id"),
+        md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("th"))
+      val rep = h.groupBy(col("th")).agg(min(col("doc_id")).as("id_a"))
+      val exact = h.join(rep, "th")
+        .filter(col("doc_id") =!= col("id_a"))
+        .select(col("id_a"), col("doc_id").as("id_b"))
+      val sem = cosineNearDupPairs(s, dir, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      val links = sem.unionByName(exact).distinct()
+      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), links)
+        .withColumn("cluster", col("label")).drop("label")
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
     },
 
     // q28: language-ID heuristic (stopword-hit scoring).
