@@ -22,12 +22,15 @@ import graft.functions.expressions.{FormatPhoneNumbers, MediaFeatureFold, MinHas
   *     .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * This is the injection point for future whole-operator extensions
-  * (custom LogicalPlan + Rule + Strategy) if an operator ever outgrows
-  * what the DataFrame combinators express.
+  * Also the whole-operator injection point: registers the
+  * [[graft.plans.TopKPerKeyStrategy]] planner strategy so the custom
+  * TopKPerKey logical node (partial-heap per-key top-k — see
+  * graft.operators.TopK) plans in any session built with these
+  * extensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

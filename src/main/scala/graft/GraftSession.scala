@@ -17,6 +17,10 @@ object GraftSession {
   def builder(master: Option[String], shufflePartitions: Int): SparkSession.Builder = {
     val b = SparkSession
       .builder()
+      // native expressions in the SQL registry + the TopKPerKey planner
+      // strategy; spark-submit users get the same via
+      // --conf spark.sql.extensions=graft.GraftExtensions
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -346,6 +346,37 @@ object CorpusQueries {
           floor(col("sqrt_1e6") * lit(100000.0) / sum(col("sqrt_1e6")).over(all)).cast("long"))
     },
 
+    // q91: per-language top-3 quality exemplars — through the custom
+    // TopKPerKey plan node (LogicalPlan + SparkStrategy + SparkPlan,
+    // registered via SparkSessionExtensions), NOT the window encoding:
+    // partial bounded heaps trim each input partition to ≤ k rows per key
+    // BEFORE the exchange, so the shuffle carries k·keys·partitions rows
+    // instead of the whole table, and nothing ever sorts. The DuckDB
+    // oracle is the row_number window — same semantics, different plan —
+    // so the hash gate proves the custom operator end to end.
+    "q91_topk_per_key" -> QueryDef.of(
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    round((CAST(len(list_filter(toks, x -> x IN (${TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(toks)) * 0.5
+        |      + (CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.5, 4) AS quality
+        |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+        |)
+        |SELECT lang, doc_id, quality FROM (
+        |  SELECT lang, doc_id, quality,
+        |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn
+        |  FROM scored
+        |) WHERE rn <= 3
+        |""".stripMargin) { (s, dir) =>
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(F.tokens(col("text"))).as("quality"))
+      graft.operators.TopK.topKPerKey(scored,
+        keys = Seq(col("lang")),
+        order = Seq(col("quality").desc, col("doc_id")),
+        k = 3)
+        .select(col("lang"), col("doc_id"), col("quality"))
+    },
+
     // q86: per-language cardinality report via HyperLogLog++ — the 100 TB
     // distinct-count path. Exact COUNT(DISTINCT hash) shuffles every
     // distinct key; HLL++ sketches partial-merge map-side, so the

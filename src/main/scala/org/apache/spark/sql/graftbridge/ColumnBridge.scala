@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode→Expression conversion. `expression` wraps lazily
+    * (ColumnNodeExpression) and relies on the analyzer to convert inside
+    * KNOWN operators; custom logical nodes (graft.plans.*) need the real
+    * catalyst tree up front — e.g. a `.desc` Column must become a
+    * catalyst SortOrder before plan construction, or the un-converted
+    * internal node leaks into the physical plan (observed: task
+    * serialization failure on SortOrder$NullsLast$). */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

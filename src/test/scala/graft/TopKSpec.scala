@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopK
+
+/** The custom TopKPerKey plan node (logical + strategy + exec): semantic
+  * equality with the window encoding, the two-phase physical shape, and
+  * the map-side trim that is the operator's reason to exist.
+  */
+class TopKSpec extends SpecBase {
+  import spark.implicits._
+
+  private def scored = Tables.documents(spark, SfDir)
+    .select($"doc_id", $"lang",
+      graft.operators.TextAnalysis.qualityScore(graft.functions.F.tokens($"text")).as("quality"))
+
+  test("topKPerKey equals the row_number window encoding") {
+    for (k <- Seq(1, 3, 10)) {
+      val custom = TopK.topKPerKey(scored,
+        keys = Seq($"lang"), order = Seq($"quality".desc, $"doc_id"), k = k)
+        .select($"lang", $"doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val w = Window.partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
+      val window = scored.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+        .select($"lang", $"doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(custom == window,
+        s"k=$k: custom-only ${(custom -- window).take(3)}, window-only ${(window -- custom).take(3)}")
+    }
+  }
+
+  test("plans as partial + exchange + final, with no sort") {
+    // the exec node prints as "TopKPerKey [keys], [order], k, partial"
+    val p = TopK.topKPerKey(scored, Seq($"lang"), Seq($"quality".desc, $"doc_id"), 3)
+      .queryExecution.executedPlan.toString
+    val nodes = p.linesIterator.filter(_.contains("TopKPerKey ")).toSeq
+    assert(nodes.size == 2, s"expected partial+final TopKPerKey, got:\n${p.take(700)}")
+    assert(nodes.exists(_.contains(", true")) && nodes.exists(_.contains(", false")),
+      s"need one partial and one final phase:\n${nodes.mkString("\n")}")
+    assert(p.contains("Exchange hashpartitioning"), "final phase must cluster by key")
+    assert(!p.contains("Sort "), s"bounded heaps must replace sorting:\n${p.take(700)}")
+  }
+
+  test("map-side partial trims the exchange to <= k rows per key per partition") {
+    // 4 input partitions x 1 key x k=2 -> at most 8 rows ever reach the
+    // exchange, regardless of the 10k input rows. Read the partial
+    // node's own numOutputRows metric (AQE off so the plain plan tree is
+    // walkable).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val oneKey = spark.range(0, 10000, 1, 4)
+        .select(lit("k").as("key"), $"id")
+      val out = TopK.topKPerKey(oneKey, Seq($"key"), Seq($"id"), 2)
+      assert(out.collect().map(_.getLong(1)).sorted.toSeq == Seq(0L, 1L))
+      val partial = out.queryExecution.executedPlan.collect {
+        case t: graft.plans.TopKPerKeyExec if t.partial => t
+      }
+      assert(partial.size == 1, "partial phase missing from executed plan")
+      val shuffled = partial.head.metrics("numOutputRows").value
+      assert(shuffled > 0 && shuffled <= 8,
+        s"partial trim failed: $shuffled rows reached the exchange (expected <= 8)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("ties beyond k are cut deterministically by the order's tiebreaker") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("b", 4L, 1.0))
+      .toDF("key", "id", "score")
+    val kept = TopK.topKPerKey(df, Seq($"key"), Seq($"score".desc, $"id"), 2)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L), s"got $kept")
+  }
+}
