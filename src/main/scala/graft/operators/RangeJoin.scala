@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — pair each point with every interval containing
+  * it. Spark plans a pure inequality join as BroadcastNestedLoopJoin
+  * (every point against every interval — quadratic); engines with a
+  * native range join (DuckDB's IEJoin, Trino's partitioned range join)
+  * exist precisely because this shape matters.
+  *
+  * Ladder rung (a): make it an EQUI-join by quantizing the time axis into
+  * fixed-width bins. Each interval replicates into the bins it overlaps
+  * (ceil(span/width) rows — bounded, known up front); each point lands in
+  * exactly ONE bin, so the bin equi-join needs no post-dedup, and the
+  * residual `start <= t < end` filter inside the join restores exact
+  * semantics. Catalyst then picks the right physical join for the data:
+  * broadcast-hash when the exploded intervals are small, shuffled-hash /
+  * SMJ on the bin key when both sides are huge — and either way the
+  * per-task work is pairs-that-share-a-bin, not all-pairs. Bin width
+  * tunes replication vs selectivity: ~ the median interval span is a
+  * good default (1–2 replicas per interval, residual discards little).
+  */
+object RangeJoin {
+
+  /** Inner point-in-interval join: rows of `points` × containing rows of
+    * `intervals`, on `start <= t < end` (half-open).
+    *
+    * @param points    point side; all columns pass through
+    * @param t         point timestamp column (on `points`)
+    * @param intervals interval side; all columns pass through (names must
+    *                  not collide with `points`')
+    * @param start     inclusive interval start column (on `intervals`)
+    * @param end       exclusive interval end column (on `intervals`)
+    * @param binWidth  bin width in MICROSECONDS
+    */
+  def pointInInterval(
+      points: DataFrame,
+      t: String,
+      intervals: DataFrame,
+      start: String,
+      end: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val binOf: Column => Column = c => floor(unix_micros(c) / binWidth)
+
+    // sequence() is inclusive-inclusive; the half-open end only owns a
+    // bin when the interval crosses into it, hence the epsilon step back.
+    // Empty intervals must be dropped FIRST: sequence(a, b) with b < a
+    // would silently generate a descending bin range.
+    val binnedIntervals = intervals
+      .filter(col(start) < col(end))
+      .withColumn("__bin", explode(sequence(
+        binOf(col(start)),
+        binOf(timestamp_micros(unix_micros(col(end)) - 1)))))
+    val binnedPoints = points.withColumn("__bin", binOf(col(t)))
+
+    binnedPoints
+      .join(binnedIntervals,
+        binnedPoints("__bin") === binnedIntervals("__bin") &&
+          col(t) >= col(start) && col(t) < col(end))
+      .drop("__bin")
+  }
+}

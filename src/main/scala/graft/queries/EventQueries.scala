@@ -63,6 +63,83 @@ object EventQueries {
           count(lit(1)).as("n_events"),
           min(col("ts")).as("start_ts"),
           max(col("ts")).as("end_ts"))
+    },
+
+    // q92: AS-OF join — purchase attribution: each purchase gets the most
+    // recent view AT OR BEFORE it by the same user (ties at one timestamp
+    // broken by largest event_id). The oracle is the pair-expanding
+    // encoding (LEFT JOIN on key + b.ts <= p.ts, keep rank 1) — correct
+    // but quadratic inside a key; the Spark plan is AsOf.asofJoin's
+    // union-tag carry-forward: ONE shuffle on user_id, linear scan, build
+    // rows never pair with probes. Same semantics, scale-safe plan.
+    "q92_asof_join" -> QueryDef.of(
+      """SELECT event_id, user_id, ts, value, view_ts, view_event_id,
+        |  CAST(CASE WHEN view_ts IS NULL THEN NULL
+        |       ELSE epoch_us(ts) - epoch_us(view_ts) END AS BIGINT) AS gap_us
+        |FROM (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |    v.ts AS view_ts, v.event_id AS view_event_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC NULLS LAST, v.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON p.user_id = v.user_id AND v.ts <= p.ts
+        |) WHERE rn = 1
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOf.asofJoin(
+        purchases, views, key = "user_id", time = "ts",
+        carryCols = Seq("ts", "event_id"), buildTie = "event_id", prefix = "view_")
+        .withColumn("gap_us",
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).cast("long"))
+    },
+
+    // q93: RANGE join — error events attributed to "hot windows": hourly
+    // buckets whose event count exceeds 1.25x the global hourly mean,
+    // widened 15 min each way (so windows are NOT bin-aligned and
+    // adjacent hot hours overlap — a real interval join, not a group-by).
+    // The oracle writes the inequality join directly (DuckDB plans it as
+    // IEJoin); Spark would nested-loop it, so RangeJoin.pointInInterval
+    // quantizes the axis into 30-min bins and equi-joins on the bin with
+    // the containment residual — pairs-that-share-a-bin, never all-pairs.
+    "q93_range_join" -> QueryDef.of(
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), hot AS (
+        |  SELECT h - INTERVAL 15 MINUTE AS w_start,
+        |         h + INTERVAL 75 MINUTE AS w_end, cnt AS w_events
+        |  FROM hourly
+        |  WHERE cnt > 1.25 * (SELECT AVG(cnt) FROM hourly)
+        |)
+        |SELECT w.w_start, w.w_end, CAST(w.w_events AS BIGINT) AS w_events,
+        |  e.event_id, e.ts, e.user_id
+        |FROM hot w JOIN events e
+        |  ON e.ts >= w.w_start AND e.ts < w.w_end
+        |WHERE e.event_type = 'error'
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      // threshold as a broadcast scalar join, not a driver-side action:
+      // the 1-row mean replicates to every hourly partition for free.
+      val hot = hourly
+        .crossJoin(broadcast(hourly.agg(avg(col("cnt")).as("__mean"))))
+        .filter(col("cnt") > lit(1.25) * col("__mean"))
+        .select(
+          (col("h") - expr("INTERVAL 15 MINUTE")).as("w_start"),
+          (col("h") + expr("INTERVAL 75 MINUTE")).as("w_end"),
+          col("cnt").cast("long").as("w_events"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      graft.operators.RangeJoin.pointInInterval(
+        errors, "ts", hot, "w_start", "w_end", binWidth = 30L * 60 * 1000000)
+        .select(col("w_start"), col("w_end"), col("w_events"),
+          col("event_id"), col("ts"), col("user_id"))
     }
   )
 }
