@@ -27,4 +27,19 @@ object Sampling {
   /** Keep-predicate for the stratified sample. */
   def stratifiedKeep(key: Column, lang: Column): Column =
     docHash32(key) % 8 < mixingRate8(lang)
+
+  /** Deterministic train/val/test assignment from a CONTENT hash (never a
+    * row id: exact duplicates must land in one split, or held-out docs
+    * leak into training through their copies). Hash-bucketing also keeps
+    * assignments stable as the corpus grows — new docs get labels, old
+    * labels never move — which row-number/percentile splits cannot do.
+    * The ":split" salt decorrelates this draw from every other
+    * docHash32-based decision (sampling, sharding) on the same key.
+    */
+  def holdoutSplit(contentHash: Column, valPermille: Int, testPermille: Int): Column = {
+    val b = docHash32(concat(contentHash, lit(":split"))) % 1000
+    when(b < 1000 - valPermille - testPermille, "train")
+      .when(b < 1000 - testPermille, "val")
+      .otherwise("test")
+  }
 }

@@ -155,6 +155,27 @@ object SamplingQueries {
           // engines (caught by the sf0.001 tri-scale gate); the scaled
           // sum is integer-exact in double on both.
           round(sum(col("quality")) * 10000, 0).cast("long").as("quality_1e4_sum"))
+    },
+
+    // q94: deterministic holdout split (train/val/test 98/1/1). The split
+    // key is the NORMALIZED-CONTENT hash, not doc_id: exact duplicates
+    // must land in the same split or held-out text leaks into training
+    // through its copies. Hash-bucketing keeps old assignments fixed as
+    // the corpus grows (new docs only ever ADD rows to a split). Pure
+    // map-side arithmetic — zero shuffles at any scale.
+    "q94_holdout_split" -> QueryDef.of(
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) || ':split'), 1, 8)) AS BIGINT) % 1000 AS b
+        |  FROM documents
+        |)""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Sampling.holdoutSplit(
+            md5(trim(regexp_replace(col("text"), "\\s+", " "))),
+            valPermille = 10, testPermille = 10).as("split"))
     }
   )
 }

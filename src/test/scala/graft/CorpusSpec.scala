@@ -11,6 +11,27 @@ class CorpusSpec extends SpecBase {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, SfDir)
 
+  test("q94 holdout split: content duplicates share a split; assignment ignores doc_id") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, SfDir)
+    // clone every doc under a fresh doc_id: same content MUST mean same
+    // split, or held-out text leaks into training through its copies
+    val withDupes = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val split = withDupes.select(
+      md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("h"),
+      Sampling.holdoutSplit(
+        md5(trim(regexp_replace(col("text"), "\\s+", " "))), 10, 10).as("split"))
+    val crossSplit = split.groupBy($"h").agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1).count()
+    assert(crossSplit == 0, s"$crossSplit content hashes straddle splits")
+    val labels = split.select($"split").distinct().collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "val", "test")), s"bad labels: $labels")
+    // 98/1/1 buckets: train must dominate even on the smoke corpus
+    val frac = split.filter($"split" === "train").count().toDouble / split.count()
+    assert(frac > 0.9, s"train fraction $frac")
+  }
+
   test("q86 HLL cardinality is within 5% of the exact distinct count per language") {
     val approx = q("q86_cardinality_hll")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
