@@ -72,4 +72,56 @@ object AsOf {
       .select(probeCols.map(col) ++
         carryCols.map(c => col("__asof").getField(c).as(s"$prefix$c")): _*)
   }
+
+  /** The LOOKUP-shaped as-of realization: the build side pre-aggregates
+    * to one row per key carrying its time-sorted history array, and each
+    * probe row binds via a plain equi-join + "last history entry <= t"
+    * projection. Same semantics as [[asofJoin]] (AsOfSpec pins equality)
+    * with different applicability: the probe side never reshuffles or
+    * sorts — the index broadcasts — and a stream-static equi-join is
+    * fully supported by Structured Streaming, so this form enriches an
+    * unbounded stream with zero streaming state (see
+    * [[graft.streaming.EventStreams.asofEnrichStream]]).
+    *
+    * The cost moves to the build side: one key's whole history must fit
+    * in an array. That is the dimension-snapshot regime (slowly-changing
+    * attributes, rates, configs) — for high-churn keys, compact the
+    * history first (e.g. keep the latest row per (key, hour)); for
+    * build sides that outgrow broadcast entirely, use [[asofJoin]].
+    */
+  def asofIndex(
+      build: DataFrame,
+      key: String,
+      time: String,
+      carryCols: Seq[String],
+      buildTie: String): DataFrame =
+    build.groupBy(col(key))
+      // struct array_sort orders by fields left-to-right: (time, tie) —
+      // the same total order asofJoin's carry-forward walks, so "last
+      // matching entry" breaks ties identically (largest wins)
+      .agg(array_sort(collect_list(struct(
+        col(time).as("__t"), col(buildTie).as("__tie"),
+        struct(carryCols.map(col): _*).as("__c")))).as("__hist"))
+
+  /** Probe an [[asofIndex]]: left equi-join on the key, then take the
+    * last history entry at-or-before the probe time (null when none or
+    * the key is absent). Works identically on batch and streaming probe
+    * frames.
+    */
+  def asofLookup(
+      probe: DataFrame,
+      index: DataFrame,
+      key: String,
+      time: String,
+      carryCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val probeCols = probe.columns
+    probe.join(broadcast(index), Seq(key), "left")
+      // try_element_at: "no entry at-or-before t" must be a null, not an
+      // ANSI out-of-bounds error on the empty filtered array
+      .withColumn("__m",
+        try_element_at(filter(col("__hist"), e => e.getField("__t") <= col(time)), lit(-1)))
+      .select(probeCols.map(col) ++
+        carryCols.map(c => col("__m").getField("__c").getField(c).as(s"$prefix$c")): _*)
+  }
 }

@@ -99,6 +99,24 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming as-of enrichment (twin of the q92 batch semantics): each
+    * arriving probe event binds to the most recent build row at-or-before
+    * its own event time, against a STATIC pre-aggregated history index
+    * ([[graft.operators.AsOf.asofIndex]] — the dimension-snapshot
+    * regime). A stream-static LEFT equi-join plus a per-row array lookup
+    * is fully streaming-legal and needs ZERO streaming state: the result
+    * for a probe row depends only on the static index and the row
+    * itself, so output is exact regardless of micro-batch boundaries —
+    * StreamingSpec asserts equality with the batch q92 plan across a
+    * 3-batch replay. (For a build side too big/churny to index, run
+    * [[graft.operators.AsOf.asofJoin]] per micro-batch via foreachBatch
+    * instead; that trades the statelessness for unbounded build size.)
+    */
+  def asofEnrichStream(probe: DataFrame, index: DataFrame, key: String,
+                       time: String, carryCols: Seq[String],
+                       prefix: String = "asof_"): DataFrame =
+    graft.operators.AsOf.asofLookup(probe, index, key, time, carryCols, prefix)
+
   /** Atomically point `_current` at `snapshotName` (write-temp + rename). */
   private def publishSnapshot(outDir: String, snapshotName: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}

@@ -74,6 +74,25 @@ class AsOfSpec extends SpecBase {
       s"expected (101, null) from the latest row, got $row")
   }
 
+  test("lookup realization (index + equi-join) equals the carry-forward on the events table") {
+    val ev = Tables.events(spark, SfDir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"asof_ts", $"asof_event_id")
+        .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    val carry = rows(AsOf.asofJoin(p, v, "user_id", "ts",
+      carryCols = Seq("ts", "event_id"), buildTie = "event_id"))
+    val idx = AsOf.asofIndex(v, "user_id", "ts",
+      carryCols = Seq("ts", "event_id"), buildTie = "event_id")
+    val lookup = rows(AsOf.asofLookup(p, idx, "user_id", "ts",
+      carryCols = Seq("ts", "event_id")))
+    assert(carry == lookup,
+      s"carry-only ${(carry -- lookup).take(3)}, lookup-only ${(lookup -- carry).take(3)}")
+  }
+
   test("plans one exchange on the key and no join") {
     val ev = Tables.events(spark, SfDir)
     val p = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")

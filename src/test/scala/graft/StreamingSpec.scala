@@ -17,6 +17,37 @@ class StreamingSpec extends SpecBase {
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Event].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
 
+  test("streaming as-of enrichment matches batch q92 across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val purchases = events.filter(_.event_type == "purchase")
+    val views = Tables.events(spark, SfDir).filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id")
+    val index = graft.operators.AsOf.asofIndex(views, "user_id", "ts",
+      carryCols = Seq("ts", "event_id"), buildTie = "event_id")
+
+    val stream = MemoryStream[Event]
+    val out = EventStreams.asofEnrichStream(
+      stream.toDF().select($"event_id", $"user_id", $"ts"),
+      index, "user_id", "ts", carryCols = Seq("ts", "event_id"), prefix = "view_")
+    val query = out.writeStream.format("memory").queryName("asof_test")
+      .outputMode("append").start()
+    try {
+      // 3 arbitrary micro-batches: result must not depend on the split
+      purchases.grouped((purchases.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("asof_test")
+        .collect().map(r => (r.getLong(0), r.get(3), r.get(4))).toSet
+      val batch = SparkEntry.queries("q92_asof_join")(spark, SfDir)
+        .select($"event_id", $"view_ts", $"view_event_id")
+        .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+      assert(streamed == batch,
+        s"stream-only ${(streamed -- batch).take(3)}, batch-only ${(batch -- streamed).take(3)}")
+    } finally query.stop()
+  }
+
   test("streaming tumbling rollup matches batch on counts and totals") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
