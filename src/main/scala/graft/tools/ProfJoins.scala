@@ -32,10 +32,18 @@ object ProfJoins {
     val v = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("event_id"))
 
+    val idx = operators.AsOf.asofIndex(v, "user_id", "ts",
+      carryCols = Seq("ts", "event_id"), buildTie = "event_id").cache()
+    println(s"index keys: ${idx.count()}")
+
     for (round <- 1 to 3) {
       time(s"asof_carry_forward r$round") {
         operators.AsOf.asofJoin(p, v, "user_id", "ts",
           carryCols = Seq("ts", "event_id"), buildTie = "event_id")
+      }
+      time(s"asof_lookup r$round") {
+        operators.AsOf.asofLookup(p, idx, "user_id", "ts",
+          carryCols = Seq("ts", "event_id"))
       }
       time(s"asof_join_rank r$round") {
         val vr = v.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
