@@ -19,13 +19,18 @@ object TopK {
     * row_number). Plain columns sort ascending; use `col.desc` etc. for
     * anything else.
     */
-  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+  /** @param maxPartialKeys cap on the map-side heap map (distinct keys
+    *        per task) — past it, rows for NEW keys skip the trim and the
+    *        final phase alone bounds them (degrade, don't die; see
+    *        TopKPerKey.DefaultMaxPartialKeys) */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+                 maxPartialKeys: Int = TopKPerKey.DefaultMaxPartialKeys): DataFrame = {
     val sortOrder = order.map(c => ColumnBridge.eagerExpression(c) match {
       case so: SortOrder => so
       case e => SortOrder(e, Ascending)
     })
     DatasetBridge.ofRows(df.sparkSession,
       TopKPerKey(keys.map(ColumnBridge.eagerExpression), sortOrder, k,
-        DatasetBridge.logicalPlan(df)))
+        DatasetBridge.logicalPlan(df), maxPartialKeys))
   }
 }

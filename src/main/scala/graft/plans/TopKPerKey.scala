@@ -30,11 +30,26 @@ case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxPartialKeys: Int = TopKPerKey.DefaultMaxPartialKeys) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  require(maxPartialKeys > 0, s"maxPartialKeys must be positive, got $maxPartialKeys")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
+}
+
+object TopKPerKey {
+  /** Cap on the partial phase's per-task heap map (distinct keys). The
+    * map-side trim is an OPTIMIZATION — with high-cardinality keys the
+    * map would otherwise grow one heap per distinct key per task, so
+    * past the cap new keys bypass the trim and rows flow to the
+    * exchange untrimmed (exactness is the final phase's job). The same
+    * degrade-don't-die posture as hash aggregation's sort fallback.
+    * ~1M keys ≈ tens of MB of heap headers + k rows each: safe next to
+    * a default executor's memory, big enough that real groupings
+    * (languages, shards, tenants) never hit it. */
+  val DefaultMaxPartialKeys: Int = 1 << 20
 }
 
 /** Physical node; `partial = true` runs on the child's partitioning (the
@@ -47,6 +62,7 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxPartialKeys: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -57,37 +73,68 @@ case class TopKPerKeyExec(
   override def outputPartitioning = child.outputPartitioning
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numBypassedRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows past the partial key cap (sent untrimmed)"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    // the final phase must be exact, so only the partial phase may
+    // bypass; its map then holds every key of the (clustered) partition,
+    // which is output-sized — the hash-aggregate posture.
+    val keyCap = if (partial) maxPartialKeys else Int.MaxValue
     val numOutputRows = longMetric("numOutputRows")
+    val numBypassedRows = longMetric("numBypassedRows")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
       // max-heap on the sort order: head = worst kept row, evicted when a
       // better (order-smaller) row arrives. Rows/keys are copied — Spark
-      // reuses UnsafeRow buffers across iterator steps.
+      // reuses UnsafeRow buffers across iterator steps. Bypassed rows are
+      // emitted uncopied: the consumer serializes before the next step.
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < limit) heap.enqueue(row.copy())
-            else if (ord.compare(row, heap.head) < 0) {
-              heap.dequeue(); heap.enqueue(row.copy())
+      new Iterator[InternalRow] {
+        private var pending: InternalRow = _
+        private var drain: Iterator[InternalRow] = _
+
+        // absorb input until a row must bypass or input is exhausted
+        private def absorb(): InternalRow = {
+          while (iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            heaps.get(key) match {
+              case Some(heap) =>
+                if (heap.size < limit) heap.enqueue(row.copy())
+                else if (ord.compare(row, heap.head) < 0) {
+                  heap.dequeue(); heap.enqueue(row.copy())
+                }
+              case None =>
+                if (heaps.size >= keyCap) { numBypassedRows += 1; return row }
+                val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+                heap.enqueue(row.copy())
+                heaps.update(key.copy(), heap)
             }
-          case None =>
-            val heap = mutable.PriorityQueue.empty[InternalRow](ord)
-            heap.enqueue(row.copy())
-            heaps.update(key.copy(), heap)
+          }
+          null
         }
-      }
-      heaps.valuesIterator.flatMap(_.iterator).map { r =>
-        numOutputRows += 1; r
+
+        override def hasNext: Boolean = {
+          if (pending != null) return true
+          if (drain != null) return drain.hasNext
+          pending = absorb()
+          if (pending != null) true
+          else { drain = heaps.valuesIterator.flatMap(_.iterator); drain.hasNext }
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          numOutputRows += 1
+          if (pending != null) { val r = pending; pending = null; r }
+          else drain.next()
+        }
       }
     }
   }
@@ -99,9 +146,10 @@ case class TopKPerKeyExec(
 /** Planner strategy: logical TopKPerKey → final(partial(child)). */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case TopKPerKey(keys, order, k, child, maxPartialKeys) =>
+      TopKPerKeyExec(keys, order, k, partial = false, maxPartialKeys,
+        TopKPerKeyExec(keys, order, k, partial = true, maxPartialKeys,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -65,6 +65,28 @@ class TopKSpec extends SpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("partial key cap degrades to pass-through, never to wrong results") {
+    // 100 keys per partition against a cap of 2: almost every row
+    // bypasses the map-side trim, but the final phase still produces
+    // exactly the window-encoding answer. AQE off to walk the plan tree.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(0, 10000, 1, 4)
+        .select(($"id" % 100).as("key"), $"id")
+      val out = TopK.topKPerKey(df, Seq($"key"), Seq($"id"), 2, maxPartialKeys = 2)
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (0L until 100L).flatMap(k => Seq((k, k), (k, k + 100L))).toSet
+      assert(got == expect,
+        s"missing ${(expect -- got).take(3)}, extra ${(got -- expect).take(3)}")
+      val partial = out.queryExecution.executedPlan.collect {
+        case t: graft.plans.TopKPerKeyExec if t.partial => t
+      }.head
+      assert(partial.metrics("numBypassedRows").value > 0,
+        "cap of 2 against 100 keys must have bypassed rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("ties beyond k are cut deterministically by the order's tiebreaker") {
     val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("b", 4L, 1.0))
       .toDF("key", "id", "score")
