@@ -73,6 +73,43 @@ class PropertySpec extends SpecBase {
     }
   }
 
+  test("binned range join equals the inequality join on random intervals at every bin width") {
+    import java.sql.Timestamp
+    import graft.operators.RangeJoin
+    // random micros across ~3 days, intervals of wildly mixed spans
+    // (sub-bin to many-bin, plus empty/inverted) and unaligned starts
+    val base = 1700000000000000L
+    val micros: Gen[Long] = Gen.choose(0L, 3L * 24 * 3600 * 1000000).map(base + _)
+    val spanGens = Seq(
+      Gen.choose(-1000000L, 1000000L), // empty-ish/inverted
+      Gen.choose(1L, 10L * 60 * 1000000),
+      Gen.choose(1L, 8L * 3600 * 1000000))
+    val interval: Gen[(Long, Long)] = for {
+      s <- micros
+      which <- Gen.choose(0, spanGens.size - 1)
+      span <- spanGens(which)
+    } yield (s, s + span)
+
+    val points = cases(micros, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, new Timestamp(t / 1000)) }
+      .toDF("id", "t")
+      .withColumn("t", timestamp_micros(unix_micros($"t")))
+    val ivs = cases(interval, 80).zipWithIndex
+      .map { case ((s, e), i) =>
+        (i.toLong, new Timestamp(s / 1000), new Timestamp(e / 1000)) }
+      .toDF("iv", "s", "e")
+
+    for (binWidth <- Seq(60L * 1000000, 1800L * 1000000, 24L * 3600 * 1000000)) {
+      val binned = RangeJoin.pointInInterval(points, "t", ivs, "s", "e", binWidth)
+        .select($"id", $"iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = points.join(ivs, $"t" >= $"s" && $"t" < $"e")
+        .select($"id", $"iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == naive,
+        s"binWidth=$binWidth: binned-only ${(binned -- naive).take(3)}, " +
+          s"naive-only ${(naive -- binned).take(3)}")
+    }
+  }
+
   test("native FormatPhoneNumbers equals the HOF composition on random entries") {
     val entry: Gen[String] = Gen.oneOf(
       Gen.chooseNum(100000000L, 999999999L).map(n => "0" + n.toString.drop(1)),
