@@ -28,9 +28,18 @@ case class QuantizeInt8Csv(child: Expression) extends UnaryExpression {
   // with an explicit cast), so no ExpectsInputTypes machinery.
   override def dataType: DataType = StringType
 
+  // Null ELEMENTS (reachable via the SQL-registered function on a cast
+  // array with containsNull=true) quantize to code 0 — identically here
+  // and in doGenCode, so the two paths can never diverge.
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    UTF8String.fromString(QuantizeInt8Csv.eval(arr.toFloatArray()))
+    val n = arr.numElements()
+    val xs = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      xs(i) = if (arr.isNullAt(i)) 0f else arr.getFloat(i); i += 1
+    }
+    UTF8String.fromString(QuantizeInt8Csv.eval(xs))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -45,14 +54,14 @@ case class QuantizeInt8Csv(child: Expression) extends UnaryExpression {
          |final int $n = $c.numElements();
          |double $maxAbs = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $v = Math.abs((double) $c.getFloat($i));
+         |  final double $v = $c.isNullAt($i) ? 0.0d : Math.abs((double) $c.getFloat($i));
          |  if ($v > $maxAbs) $maxAbs = $v;
          |}
          |final double $scale = 127.0 / Math.max($maxAbs, 1e-30);
          |final StringBuilder $sb = new StringBuilder($n * 5);
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($i > 0) $sb.append(',');
-         |  final double $v = (double) $c.getFloat($i) * $scale;
+         |  final double $v = $c.isNullAt($i) ? 0.0d : (double) $c.getFloat($i) * $scale;
          |  $sb.append((long) ($v >= 0 ? $v + 0.5d : $v - 0.5d));
          |}
          |${ev.value} = UTF8String.fromString($sb.toString());

@@ -35,7 +35,11 @@ object AsOf {
     *
     * Output: probe columns ++ carryCols (each as s"$prefix$c"), all null
     * when no build row precedes the probe row. A build row at exactly
-    * the probe's time IS matched (<= semantics).
+    * the probe's time IS matched (<= semantics). Build rows with a NULL
+    * `time` never match any probe (b.ts <= p.ts is never true for NULL)
+    * — filtered here, because the default nulls-first sort would
+    * otherwise carry them forward as "earliest", diverging from both the
+    * join+rank encoding and [[asofLookup]].
     */
   def asofJoin(
       probe: DataFrame,
@@ -48,7 +52,7 @@ object AsOf {
     val probeCols = probe.columns
     val passthrough = probeCols.filterNot(Set(key, time))
 
-    val taggedBuild = build.select(
+    val taggedBuild = build.filter(col(time).isNotNull).select(
       col(key) +: col(time) +: lit(0).as("__tag") +: col(buildTie).as("__tie") +:
         struct(carryCols.map(col): _*).as("__b") +:
         passthrough.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
@@ -95,7 +99,9 @@ object AsOf {
       time: String,
       carryCols: Seq[String],
       buildTie: String): DataFrame =
-    build.groupBy(col(key))
+    // null-time build rows can never satisfy __t <= t; drop them here so
+    // the index matches asofJoin's (filtered) carry-forward exactly
+    build.filter(col(time).isNotNull).groupBy(col(key))
       // struct array_sort orders by fields left-to-right: (time, tie) —
       // the same total order asofJoin's carry-forward walks, so "last
       // matching entry" breaks ties identically (largest wins)

@@ -92,9 +92,11 @@ case class TopKPerKeyExec(
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
       // max-heap on the sort order: head = worst kept row, evicted when a
-      // better (order-smaller) row arrives. Rows/keys are copied — Spark
-      // reuses UnsafeRow buffers across iterator steps. Bypassed rows are
-      // emitted uncopied: the consumer serializes before the next step.
+      // better (order-smaller) row arrives. ALL emitted rows are copied —
+      // Spark reuses UnsafeRow buffers across iterator steps, and a
+      // buffering parent (collect, another operator) would otherwise see
+      // bypassed rows corrupt. Bypass is already the degraded path, so
+      // the per-row copy there is noise.
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       new Iterator[InternalRow] {
         private var pending: InternalRow = _
@@ -112,7 +114,7 @@ case class TopKPerKeyExec(
                   heap.dequeue(); heap.enqueue(row.copy())
                 }
               case None =>
-                if (heaps.size >= keyCap) { numBypassedRows += 1; return row }
+                if (heaps.size >= keyCap) { numBypassedRows += 1; return row.copy() }
                 val heap = mutable.PriorityQueue.empty[InternalRow](ord)
                 heap.enqueue(row.copy())
                 heaps.update(key.copy(), heap)

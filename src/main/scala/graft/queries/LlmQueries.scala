@@ -313,7 +313,10 @@ object LlmQueries {
         |  SELECT r.rep_id AS id_a, h.doc_id AS id_b
         |  FROM h JOIN rep r ON h.th = r.th WHERE h.doc_id <> r.rep_id
         |), pairs AS (
-        |  SELECT id_a, id_b FROM sem UNION SELECT id_a, id_b FROM ex
+        |  SELECT id_a, id_b FROM sem
+        |  WHERE id_a IN (SELECT doc_id FROM documents)
+        |    AND id_b IN (SELECT doc_id FROM documents)
+        |  UNION SELECT id_a, id_b FROM ex
         |), edges AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs
@@ -336,7 +339,16 @@ object LlmQueries {
       val exact = h.join(rep, "th")
         .filter(col("doc_id") =!= col("id_a"))
         .select(col("id_a"), col("doc_id").as("id_b"))
+      // Semantic edges are keyed by embeddings.vec_id, exact edges by
+      // documents.doc_id: the contract is vec_id == doc_id. Semi-joining
+      // both endpoints against the document ids enforces it — on data
+      // where the id spaces diverge, the semantic edges vanish (visible
+      // in n_members) instead of silently clustering unrelated ids.
+      val ids = docs.select(col("doc_id"))
       val sem = cosineNearDupPairs(s, dir, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+        .join(ids.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
         .select(col("id_a"), col("id_b"))
       val links = sem.unionByName(exact).distinct()
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), links)

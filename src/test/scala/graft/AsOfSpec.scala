@@ -74,6 +74,35 @@ class AsOfSpec extends SpecBase {
       s"expected (101, null) from the latest row, got $row")
   }
 
+  test("null-time build rows never match, in all three realizations") {
+    // Under the window's default nulls-first order an unfiltered
+    // carry-forward would treat a NULL-time build row as "earliest" and
+    // attach it to every probe — diverging from the join+rank encoding
+    // (b.ts <= p.ts is never true for NULL) and from asofLookup.
+    val probe = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 11L, ts("2024-01-01 10:00:00")) // key 2 has ONLY a null-time build row
+    ).toDF("user_id", "event_id", "ts")
+    val build = Seq(
+      (1L, 100L, Option.empty[Timestamp], "null-ts"),
+      (1L, 101L, Option(ts("2024-01-01 09:00:00")), "real"),
+      (2L, 102L, Option.empty[Timestamp], "null-ts")
+    ).toDF("user_id", "event_id", "ts", "tag")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"asof_event_id", $"asof_tag")
+        .collect().map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    val carry = rows(AsOf.asofJoin(probe, build, "user_id", "ts",
+      carryCols = Seq("event_id", "tag"), buildTie = "event_id"))
+    val idx = AsOf.asofIndex(build, "user_id", "ts",
+      carryCols = Seq("event_id", "tag"), buildTie = "event_id")
+    val lookup = rows(AsOf.asofLookup(probe, idx, "user_id", "ts",
+      carryCols = Seq("event_id", "tag")))
+    val expected = Map(10L -> ((101L, "real")), 11L -> ((null, null)))
+    assert(carry == expected, s"carry-forward: $carry")
+    assert(lookup == expected, s"lookup: $lookup")
+  }
+
   test("lookup realization (index + equi-join) equals the carry-forward on the events table") {
     val ev = Tables.events(spark, SfDir)
     val p = ev.filter($"event_type" === "purchase")

@@ -59,6 +59,10 @@ class ExtensionsSpec extends AnyFunSuite {
       // quantizer: [1.0, -0.5] -> scale 127, codes "127,-64" (half away)
       assert(spark.sql("SELECT quantize_int8_csv(array(1.0F, -0.5F)) AS q")
         .head().getString(0) == "127,-64")
+      // null ELEMENTS quantize to code 0 (codegen and interpreted agree;
+      // reachable via the SQL registry on containsNull arrays)
+      assert(spark.sql("SELECT quantize_int8_csv(array(1.0F, NULL, -0.5F)) AS q")
+        .head().getString(0) == "127,0,-64")
     } finally {
       // Don't stop(): the SparkContext is JVM-global and shared with the
       // other suites' session; just restore the session handles.
