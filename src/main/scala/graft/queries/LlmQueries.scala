@@ -53,6 +53,29 @@ object LlmQueries {
       .withColumn("cluster", col("label")).drop("label")
   }
 
+  /** (id, quality) on the RAW q29 token definition — shared by both
+    * representative-selection realizations (q78 oracle gate, q95 scale). */
+  private def docQuality(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("id"),
+        TextAnalysis.qualityScore(F.tokens(col("text"))).as("quality"))
+
+  /** The keep-one aggregate both q78 and q95 run over their cluster
+    * assignment: ONE min_by-struct pass per cluster — max quality, ties
+    * to min id — carrying the member count in the same pass. Edge source
+    * is the caller's choice; the aggregate itself is edge-agnostic. */
+  private def clusterRepresentatives(
+      clusters: org.apache.spark.sql.DataFrame,
+      quality: org.apache.spark.sql.DataFrame) =
+    clusters.join(quality, "id")
+      .groupBy(col("cluster"))
+      .agg(
+        min_by(struct(col("id"), col("quality")),
+          struct((-col("quality")).as("nq"), col("id"))).as("__r"),
+        count(lit(1)).cast("long").as("n_members"))
+      .select(col("cluster"), col("__r.id").as("keep_id"),
+        col("__r.quality").as("quality"), col("n_members"))
+
   /** q59's oracle machinery, parametrized on the cosine threshold so the
     * multi-signal clustering (q90) reuses the identical replay: the SAME
     * seeded plane literals and left-fold order as the Spark side (F.dot
@@ -209,22 +232,32 @@ object LlmQueries {
         |)
         |WHERE rn = 1
         |""".stripMargin) { (s, dir) =>
-      val quality = Tables.documents(s, dir)
-        .select(col("doc_id").as("id"),
-          TextAnalysis.qualityScore(F.tokens(col("text"))).as("quality"))
       // ONE aggregate carries both the representative (min_by over
       // (-quality, id): max quality, ties to min id) and the member
       // count. The CC labels are eagerly checkpointed, so plan arms
       // would share them — but a separate sizes arm still costs a second
       // shuffle over the members plus a join; one pass does neither.
-      dedupClusters(s, dir).join(quality, "id")
-        .groupBy(col("cluster"))
-        .agg(
-          min_by(struct(col("id"), col("quality")),
-            struct((-col("quality")).as("nq"), col("id"))).as("__r"),
-          count(lit(1)).cast("long").as("n_members"))
-        .select(col("cluster"), col("__r.id").as("keep_id"),
-          col("__r.quality").as("quality"), col("n_members"))
+      // Edge source here is the ALL-PAIRS chain — the oracle gate only
+      // (a recursive CTE can replay it); the production composition over
+      // LSH star links is q95.
+      clusterRepresentatives(dedupClusters(s, dir), docQuality(s, dir))
+    },
+
+    // q95: cluster-representative selection AT SCALE — the same keep-one
+    // aggregate as q78 composed over q67's LSH STAR links (linear edge
+    // volume per band bucket) instead of q78's all-pairs discovery
+    // (quadratic inside duplicate clusters; at 100 TB with self-similar
+    // corpora only the star form finishes). Rows-only for the same
+    // seeded-minhash reason as q67; DedupSpec pins representative-for-
+    // representative equality of the two compositions at matched
+    // thresholds, and q78's hash gate covers the aggregate itself.
+    "q95_representatives_lsh" -> QueryDef.rowsOnly { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val links = Dedup.minhashDedupLinks(docs, "doc_id", "text", threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), links)
+        .withColumn("cluster", col("label")).drop("label")
+      clusterRepresentatives(clusters, docQuality(s, dir))
     },
 
     // q67: the 100 TB dedup composition — connected components over q23's

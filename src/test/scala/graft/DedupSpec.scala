@@ -150,4 +150,35 @@ class DedupSpec extends SpecBase {
         s"th=$th: star-link clusters diverge from all-pairs clusters: ${mismatched.head(3).mkString(", ")}")
     }
   }
+
+  test("representative selection (q95): star-link composition keeps the same representatives as all-pairs") {
+    // The q78/q95 pair mirrors q66/q67: the keep-one aggregate is shared,
+    // only the edge source differs (all-pairs = oracle gate, star links =
+    // 100 TB path). Cluster equality makes representative equality follow
+    // — this pins the WHOLE composition (links → CC → min_by aggregate)
+    // representative-for-representative at matched thresholds.
+    val ids = docs.select($"doc_id".as("id"))
+    val quality = docs.select($"doc_id".as("id"),
+      graft.operators.TextAnalysis.qualityScore(F.tokens($"text")).as("quality"))
+    def reps(links: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(ids, links)
+        .withColumnRenamed("label", "cluster")
+        .join(quality, "id")
+        .groupBy($"cluster")
+        .agg(
+          min_by(struct($"id", $"quality"),
+            struct((-$"quality").as("nq"), $"id")).as("r"),
+          count(lit(1)).as("n_members"))
+        .select($"cluster", $"r.id".as("keep_id"), $"n_members")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (th <- Seq(0.7, 0.9)) {
+      val star = reps(Dedup.minhashDedupLinks(docs, "doc_id", "text", threshold = th)
+        .select($"id_a", $"id_b"))
+      val all = reps(Dedup.minhashNearDups(docs, "doc_id", "text", threshold = th)
+        .select($"id_a", $"id_b"))
+      assert(star == all,
+        s"th=$th: star-only ${(star -- all).take(3)}, all-only ${(all -- star).take(3)}")
+      assert(star.exists(_._3 > 1), s"th=$th: expected at least one multi-member cluster")
+    }
+  }
 }
