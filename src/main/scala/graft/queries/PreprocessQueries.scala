@@ -138,6 +138,126 @@ object PreprocessQueries {
         lit(null).cast("double").as("boost"))
   }
 
+  /** preprocess_responses (helpers.py:124): dummy filter, active gate
+    * (including the None-status branch of `str(status or '')`), staging
+    * key, newline-split synonyms (whole-string strip, interior spaces
+    * preserved — the reference's `v.strip().split('\n')`). */
+  private def responses(s: SparkSession, dir: String): DataFrame = {
+    val k = col("n_nationkey")
+    val nameRaw = when(k % 23 === 0, "dummy").otherwise(col("n_name"))
+    val status = when(k % 11 === 0, " inactive ")
+      .when(k % 11 === 1, lit(null).cast("string"))
+      .otherwise("Active ")
+    val synRaw = when(k % 3 === 0, lit(null).cast("string"))
+      .otherwise(concat(lit("  "), col("n_name"),
+        lit("\nresp "), (k % 7).cast("string"), lit(" ")))
+    Tables.nation(s, dir)
+      .withColumn("name_raw", nameRaw).withColumn("syn_raw", synRaw)
+      .filter(col("name_raw") =!= "dummy")
+      .filter(upper(trim(coalesce(status, lit("")))) === "ACTIVE")
+      .select(
+        lit("responses").as("entity"),
+        F.hashKey(lit("responses"), k).as("key"),
+        k.cast("long").as("id"),
+        col("name_raw").as("name"),
+        when(col("syn_raw").isNull, lit(""))
+          .otherwise(array_join(split(trim(col("syn_raw")), "\n"), "|")).as("synonyms"),
+        lit(null).cast("boolean").as("national_service"),
+        lit(null).cast("boolean").as("location_accurate"),
+        lit(null).cast("double").as("lat"),
+        lit(null).cast("double").as("lon"),
+        lit(null).cast("string").as("geometry"),
+        lit(null).cast("string").as("address"))
+  }
+
+  /** preprocess_situations (helpers.py:136) — same chain shape as
+    * responses over the situations taxonomy. */
+  private def situations(s: SparkSession, dir: String): DataFrame = {
+    val k = col("s_suppkey")
+    val nameRaw = when(k % 101 === 0, "dummy").otherwise(col("s_name"))
+    val status = when(k % 9 === 0, "INACTIVE")
+      .when(k % 9 === 1, "active").otherwise("Active")
+    val synRaw = when(k % 4 === 0, lit(null).cast("string"))
+      .otherwise(concat(col("s_name"), lit("\nsit "), (k % 7).cast("string")))
+    Tables.supplier(s, dir)
+      .withColumn("name_raw", nameRaw).withColumn("syn_raw", synRaw)
+      .filter(col("name_raw") =!= "dummy")
+      .filter(upper(trim(coalesce(status, lit("")))) === "ACTIVE")
+      .select(
+        lit("situations").as("entity"),
+        F.hashKey(lit("situations"), k).as("key"),
+        k.cast("long").as("id"),
+        col("name_raw").as("name"),
+        when(col("syn_raw").isNull, lit(""))
+          .otherwise(array_join(split(trim(col("syn_raw")), "\n"), "|")).as("synonyms"),
+        lit(null).cast("boolean").as("national_service"),
+        lit(null).cast("boolean").as("location_accurate"),
+        lit(null).cast("double").as("lat"),
+        lit(null).cast("double").as("lon"),
+        lit(null).cast("string").as("geometry"),
+        lit(null).cast("string").as("address"))
+  }
+
+  /** preprocess_locations (helpers.py:220): NATIONAL_SERVICE flag, the
+    * three filter_with_stat coordinate gates (any-of source-pair
+    * presence, lat presence, lon presence — Python truthiness maps to
+    * IS NOT NULL because the synthesized coordinates are never 0),
+    * ACCURATE_TYPES-or-fixed accuracy flag, fixed-over-resolved
+    * coordinate coalesce, `[lon, lat]` geometry (null for national
+    * services), address fallback to the raw id. */
+  private def locations(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val idRaw = when(k % 211 === 0, lit("dummy"))
+      .otherwise(concat(lit("loc-"), k.cast("string")))
+    val accuracy =
+      when(k % 8 === 0, "NATIONAL_SERVICE").when(k % 8 === 1, "ROOFTOP")
+        .when(k % 8 === 2, "RANGE_INTERPOLATED").when(k % 8 === 3, "ADDRESS")
+        .when(k % 8 === 4, "APPROXIMATE").when(k % 8 === 5, "PLACE_LEVEL")
+        .when(k % 8 === 6, "STREET_MID_POINT").otherwise("GEOMETRIC_CENTER")
+    val resolvedLat = when(k % 13 === 0, lit(null).cast("double"))
+      .otherwise(lit(29.5) + (k % 350).cast("double") / 100.0)
+    val resolvedLon = when(k % 17 === 0, lit(null).cast("double"))
+      .otherwise(lit(33.5) + (k % 300).cast("double") / 100.0)
+    val fixedLat = when(k % 5 === 0, lit(31.0) + (k % 200).cast("double") / 100.0)
+    val fixedLon = when(k % 5 === 0 && k % 7 =!= 0,
+      lit(34.0) + (k % 250).cast("double") / 100.0)
+    val resolvedAddress = when(k % 19 === 0, lit(null).cast("string"))
+      .otherwise(concat(lit("רחוב "), (k % 90).cast("string"),
+        lit(", עיר "), (k % 30).cast("string")))
+    val accurateTypes = Seq("ROOFTOP", "RANGE_INTERPOLATED", "STREET_MID_POINT",
+      "ADDR_V1", "ADDRESS_POINT", "ADDRESS")
+    Tables.customer(s, dir)
+      .withColumn("id_raw", idRaw).withColumn("accuracy", accuracy)
+      .withColumn("resolved_lat", resolvedLat).withColumn("resolved_lon", resolvedLon)
+      .withColumn("fixed_lat", fixedLat).withColumn("fixed_lon", fixedLon)
+      .withColumn("resolved_address", resolvedAddress)
+      .withColumn("national_service", col("accuracy") === "NATIONAL_SERVICE")
+      .filter(col("id_raw") =!= "dummy")
+      // 'No Location' / 'No Lat' / 'No Lon' stat gates (helpers.py:235,245)
+      .filter(
+        (col("resolved_lat").isNotNull && col("resolved_lon").isNotNull) ||
+          (col("fixed_lat").isNotNull && col("fixed_lon").isNotNull) ||
+          col("national_service"))
+      .filter(col("fixed_lat").isNotNull || col("resolved_lat").isNotNull || col("national_service"))
+      .filter(col("fixed_lon").isNotNull || col("resolved_lon").isNotNull || col("national_service"))
+      .select(
+        lit("locations").as("entity"),
+        F.hashKey(lit("locations"), k).as("key"),
+        k.cast("long").as("id"),
+        lit(null).cast("string").as("name"),
+        lit(null).cast("string").as("synonyms"),
+        col("national_service"),
+        (col("accuracy").isin(accurateTypes: _*) ||
+          (col("fixed_lat").isNotNull && col("fixed_lon").isNotNull)).as("location_accurate"),
+        coalesce(col("fixed_lat"), col("resolved_lat")).as("lat"),
+        coalesce(col("fixed_lon"), col("resolved_lon")).as("lon"),
+        when(!col("national_service"),
+          format_string("%.2f,%.2f",
+            coalesce(col("fixed_lon"), col("resolved_lon")),
+            coalesce(col("fixed_lat"), col("resolved_lat")))).as("geometry"),
+        coalesce(col("resolved_address"), col("id_raw")).as("address"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // q68: the preprocess_* staging union. Each chain is narrow per-row
@@ -210,6 +330,96 @@ object PreprocessQueries {
         |SELECT * FROM orgs UNION ALL SELECT * FROM svcs UNION ALL SELECT * FROM brs
         |""".stripMargin) { (s, dir) =>
       orgs(s, dir).unionByName(services(s, dir)).unionByName(branches(s, dir))
+    },
+
+    // q96: the OTHER three preprocess_* staging chains — responses
+    // (helpers.py:124), situations (helpers.py:136), locations
+    // (helpers.py:220) — completing the six-chain srm_data_pull_flow
+    // staging family (q68 covers organizations/services/branches).
+    // Same posture as q68: narrow per-row codegen work, zero shuffles,
+    // three scans unioned. The locations chain carries the coordinate
+    // gates and the [lon, lat] geometry construction; %.2f printf
+    // formatting is identical across JVM and C for values that are
+    // exact 2-decimal doubles.
+    "q96_preprocess_ref" -> QueryDef.of(
+      s"""WITH resp AS (
+        |  SELECT 'responses' AS entity,
+        |    substr(md5('responses' || CAST(n_nationkey AS VARCHAR)), 1, 8) AS key,
+        |    CAST(n_nationkey AS BIGINT) AS id,
+        |    name_raw AS name,
+        |    CASE WHEN syn_raw IS NULL THEN ''
+        |         ELSE array_to_string(string_split(trim(syn_raw), chr(10)), '|') END AS synonyms,
+        |    CAST(NULL AS BOOLEAN) AS national_service,
+        |    CAST(NULL AS BOOLEAN) AS location_accurate,
+        |    CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon,
+        |    CAST(NULL AS VARCHAR) AS geometry, CAST(NULL AS VARCHAR) AS address
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN n_nationkey % 23 = 0 THEN 'dummy' ELSE n_name END AS name_raw,
+        |      CASE WHEN n_nationkey % 11 = 0 THEN ' inactive '
+        |           WHEN n_nationkey % 11 = 1 THEN NULL ELSE 'Active ' END AS status,
+        |      CASE WHEN n_nationkey % 3 = 0 THEN NULL
+        |           ELSE '  ' || n_name || chr(10) || 'resp ' || CAST(n_nationkey % 7 AS VARCHAR) || ' ' END AS syn_raw
+        |    FROM nation
+        |  ) WHERE name_raw <> 'dummy' AND upper(trim(coalesce(status, ''))) = 'ACTIVE'
+        |), sits AS (
+        |  SELECT 'situations' AS entity,
+        |    substr(md5('situations' || CAST(s_suppkey AS VARCHAR)), 1, 8) AS key,
+        |    CAST(s_suppkey AS BIGINT) AS id,
+        |    name_raw AS name,
+        |    CASE WHEN syn_raw IS NULL THEN ''
+        |         ELSE array_to_string(string_split(trim(syn_raw), chr(10)), '|') END AS synonyms,
+        |    CAST(NULL AS BOOLEAN) AS national_service,
+        |    CAST(NULL AS BOOLEAN) AS location_accurate,
+        |    CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon,
+        |    CAST(NULL AS VARCHAR) AS geometry, CAST(NULL AS VARCHAR) AS address
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN s_suppkey % 101 = 0 THEN 'dummy' ELSE s_name END AS name_raw,
+        |      CASE WHEN s_suppkey % 9 = 0 THEN 'INACTIVE'
+        |           WHEN s_suppkey % 9 = 1 THEN 'active' ELSE 'Active' END AS status,
+        |      CASE WHEN s_suppkey % 4 = 0 THEN NULL
+        |           ELSE s_name || chr(10) || 'sit ' || CAST(s_suppkey % 7 AS VARCHAR) END AS syn_raw
+        |    FROM supplier
+        |  ) WHERE name_raw <> 'dummy' AND upper(trim(coalesce(status, ''))) = 'ACTIVE'
+        |), locs AS (
+        |  SELECT 'locations' AS entity,
+        |    substr(md5('locations' || CAST(c_custkey AS VARCHAR)), 1, 8) AS key,
+        |    CAST(c_custkey AS BIGINT) AS id,
+        |    CAST(NULL AS VARCHAR) AS name,
+        |    CAST(NULL AS VARCHAR) AS synonyms,
+        |    national_service,
+        |    (accuracy IN ('ROOFTOP','RANGE_INTERPOLATED','STREET_MID_POINT','ADDR_V1','ADDRESS_POINT','ADDRESS'))
+        |      OR (fixed_lat IS NOT NULL AND fixed_lon IS NOT NULL) AS location_accurate,
+        |    coalesce(fixed_lat, resolved_lat) AS lat,
+        |    coalesce(fixed_lon, resolved_lon) AS lon,
+        |    CASE WHEN NOT national_service
+        |         THEN printf('%.2f,%.2f', coalesce(fixed_lon, resolved_lon), coalesce(fixed_lat, resolved_lat)) END AS geometry,
+        |    coalesce(resolved_address, id_raw) AS address
+        |  FROM (
+        |    SELECT *, accuracy = 'NATIONAL_SERVICE' AS national_service FROM (
+        |      SELECT *,
+        |        CASE WHEN c_custkey % 211 = 0 THEN 'dummy' ELSE 'loc-' || CAST(c_custkey AS VARCHAR) END AS id_raw,
+        |        CASE c_custkey % 8 WHEN 0 THEN 'NATIONAL_SERVICE' WHEN 1 THEN 'ROOFTOP'
+        |             WHEN 2 THEN 'RANGE_INTERPOLATED' WHEN 3 THEN 'ADDRESS' WHEN 4 THEN 'APPROXIMATE'
+        |             WHEN 5 THEN 'PLACE_LEVEL' WHEN 6 THEN 'STREET_MID_POINT' ELSE 'GEOMETRIC_CENTER' END AS accuracy,
+        |        CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE 29.5 + CAST(c_custkey % 350 AS DOUBLE)/100.0 END AS resolved_lat,
+        |        CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE 33.5 + CAST(c_custkey % 300 AS DOUBLE)/100.0 END AS resolved_lon,
+        |        CASE WHEN c_custkey % 5 = 0 THEN 31.0 + CAST(c_custkey % 200 AS DOUBLE)/100.0 END AS fixed_lat,
+        |        CASE WHEN c_custkey % 5 = 0 AND c_custkey % 7 <> 0 THEN 34.0 + CAST(c_custkey % 250 AS DOUBLE)/100.0 END AS fixed_lon,
+        |        CASE WHEN c_custkey % 19 = 0 THEN NULL
+        |             ELSE 'רחוב ' || CAST(c_custkey % 90 AS VARCHAR) || ', עיר ' || CAST(c_custkey % 30 AS VARCHAR) END AS resolved_address
+        |      FROM customer
+        |    )
+        |  ) WHERE id_raw <> 'dummy'
+        |      AND ((resolved_lat IS NOT NULL AND resolved_lon IS NOT NULL)
+        |           OR (fixed_lat IS NOT NULL AND fixed_lon IS NOT NULL) OR national_service)
+        |      AND (fixed_lat IS NOT NULL OR resolved_lat IS NOT NULL OR national_service)
+        |      AND (fixed_lon IS NOT NULL OR resolved_lon IS NOT NULL OR national_service)
+        |)
+        |SELECT * FROM resp UNION ALL SELECT * FROM sits UNION ALL SELECT * FROM locs
+        |""".stripMargin) { (s, dir) =>
+      responses(s, dir).unionByName(situations(s, dir)).unionByName(locations(s, dir))
     }
   )
 }
