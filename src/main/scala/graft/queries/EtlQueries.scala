@@ -262,44 +262,39 @@ object EtlQueries {
     // and city rows resolve a bounding box through the locations table —
     // the reference's driver-side name->bounds dict becomes a BROADCAST
     // join; unknown cities drop exactly like get_bounds' no-match branch,
-    // while city-less rows pass through without bounds.
+    // while city-less rows pass through without bounds. The bounds table
+    // is DERIVED: prepare_locations' every-name-variant→bounds mapping
+    // over the q97 places chain (generate_places.py fixture +
+    // PREDEFINED), so the q62 input is produced by its real upstream —
+    // cities whose place was dropped by the rank/keep gates (pids
+    // 10/16/17) land in the UNKNOWN CITY branch.
     "q62_autocomplete_bounds" -> QueryDef.of(
-      """WITH locations AS (
-        |  SELECT n_name AS loc_name,
-        |    CAST(34.0 AS DOUBLE) + n_nationkey * CAST(0.05 AS DOUBLE) AS min_lon,
-        |    CAST(29.5 AS DOUBLE) + n_nationkey * CAST(0.05 AS DOUBLE) AS min_lat,
-        |    CAST(34.5 AS DOUBLE) + n_nationkey * CAST(0.05 AS DOUBLE) AS max_lon,
-        |    CAST(30.0 AS DOUBLE) + n_nationkey * CAST(0.05 AS DOUBLE) AS max_lat
-        |  FROM nation WHERE n_nationkey % 5 <> 0
+      s"""WITH ${PlacesQueries.placesCtes}, locmap AS (
+        |  SELECT unnest(names) AS loc_name, min_lon, min_lat, max_lon, max_lat FROM places
         |), corpus AS (
         |  SELECT c_custkey AS custkey,
         |    'שירותים עבור ' || c_mktsegment || ' של הארגון באיזור המרכז' AS raw_query,
-        |    CASE WHEN c_custkey % 4 <> 0 THEN n_name END AS city_name
-        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |    CASE WHEN c_custkey % 4 <> 0 THEN ${PlacesQueries.baseCityNameSql("CAST(c_custkey % 22 AS INT)")} END AS city_name
+        |  FROM customer
         |)
         |SELECT custkey,
         |  array_to_string(list_filter(string_split(raw_query, ' '),
         |    w -> w NOT IN ('עבור', 'של', 'באיזור')), ' ') AS query,
         |  city_name, min_lon, min_lat, max_lon, max_lat
-        |FROM corpus LEFT JOIN locations ON city_name = loc_name
+        |FROM corpus LEFT JOIN locmap ON city_name = loc_name
         |WHERE city_name IS NULL OR min_lon IS NOT NULL
         |""".stripMargin) { (s, dir) =>
       val stopWords = Seq("עבור", "של", "באיזור")
-      val locations = Tables.nation(s, dir)
-        .filter(col("n_nationkey") % 5 =!= 0)
-        .select(
-          col("n_name").as("loc_name"),
-          (lit(34.0) + col("n_nationkey").cast("double") * 0.05).as("min_lon"),
-          (lit(29.5) + col("n_nationkey").cast("double") * 0.05).as("min_lat"),
-          (lit(34.5) + col("n_nationkey").cast("double") * 0.05).as("max_lon"),
-          (lit(30.0) + col("n_nationkey").cast("double") * 0.05).as("max_lat"))
+      val locations = PlacesQueries.places(s, dir)
+        .select(explode(col("names")).as("loc_name"),
+          col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
       val corpus = Tables.customer(s, dir)
-        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .select(
           col("c_custkey").as("custkey"),
           concat(lit("שירותים עבור "), col("c_mktsegment"),
             lit(" של הארגון באיזור המרכז")).as("raw_query"),
-          when(col("c_custkey") % 4 =!= 0, col("n_name")).as("city_name"))
+          when(col("c_custkey") % 4 =!= 0,
+            PlacesQueries.baseCityName((col("c_custkey") % 22).cast("int"))).as("city_name"))
       corpus
         .join(broadcast(locations), col("city_name") === col("loc_name"), "left")
         .filter(col("city_name").isNull || col("min_lon").isNotNull)
