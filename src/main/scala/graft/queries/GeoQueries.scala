@@ -77,14 +77,22 @@ object GeoQueries {
          |$projectionCtes,
          |pts AS (
          |  SELECT replace(printf('%08.5f', wgs_lon), '.', '') || replace(printf('%08.5f', wgs_lat), '.', '') AS point_id,
-         |    c_custkey, c_name, c_mktsegment, c_nationkey, c_acctbal
+         |    c_custkey, c_name, c_mktsegment, c_nationkey, c_acctbal,
+         |    concat_ws(';',
+         |      'card_id=' || CAST(c_custkey AS VARCHAR),
+         |      'name=' || c_name,
+         |      'category=' || c_mktsegment,
+         |      'phone=' || CASE WHEN c_custkey % 5 <> 0 THEN '050-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') END,
+         |      'address=' || nullif(CASE WHEN c_custkey % 3 = 0 THEN '' ELSE 'addr ' || CAST(c_custkey % 500 AS VARCHAR) END, ''),
+         |      'unit=' || CASE WHEN c_custkey % 2 <> 0 THEN 'unit ' || CAST(c_custkey % 4 AS VARCHAR) END,
+         |      'geometry=' || printf('%.5f,%.5f', wgs_lon, wgs_lat)) AS record
          |  FROM wgs
          |),
          |agg AS (
          |  SELECT point_id,
          |    CAST(COUNT(*) AS BIGINT) AS service_count,
          |    CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS branch_count,
-         |    array_to_string(list_sort(list(CAST(c_custkey AS VARCHAR) || ':' || c_name)), '|') AS records,
+         |    array_to_string(list_sort(list(record)), '|') AS records,
          |    min(c_name) AS bn,
          |    CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_names,
          |    bool_or(c_acctbal > 0) AS branch_location_accurate,
@@ -112,9 +120,30 @@ object GeoQueries {
       val pointId = concat(
         translate(format_string("%08.5f", element_at(col("geometry"), 1)), ".", ""),
         translate(format_string("%08.5f", element_at(col("geometry"), 2)), ".", ""))
+      // Record payload compaction (to_mapbox.py:89 preprocess_field + the
+      // tile-size concern the records array exists for): the record keeps
+      // only non-null, non-empty fields — concat_ws SKIPS null entries,
+      // which is exactly the dict-compaction a tile payload wants — and
+      // branch_geometry serializes as the float pair. Computed as a plain
+      // column BEFORE the groupBy (lesson 14: ObjectHashAggregate inputs
+      // evaluate interpreted).
+      val addrRaw = when(col("c_custkey") % 3 === 0, lit(""))
+        .otherwise(concat(lit("addr "), (col("c_custkey") % 500).cast("string")))
+      val record = concat_ws(";",
+        concat(lit("card_id="), col("c_custkey").cast("string")),
+        concat(lit("name="), col("c_name")),
+        concat(lit("category="), col("c_mktsegment")),
+        concat(lit("phone="), when(col("c_custkey") % 5 =!= 0,
+          concat(lit("050-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))),
+        concat(lit("address="), when(addrRaw =!= "", addrRaw)),
+        concat(lit("unit="), when(col("c_custkey") % 2 =!= 0,
+          concat(lit("unit "), (col("c_custkey") % 4).cast("string")))),
+        concat(lit("geometry="), format_string("%.5f,%.5f",
+          element_at(col("geometry"), 1), element_at(col("geometry"), 2))))
       val pts = projected.select(
         pointId.as("point_id"),
-        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_nationkey"), col("c_acctbal"))
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_nationkey"), col("c_acctbal"),
+        record.as("record"))
       // ONE pass over the projected rows: partial aggregates per
       // (point, category), then per point — the category mode falls out
       // as min(struct(-cnt, category)) with q15's deterministic ties
@@ -122,7 +151,7 @@ object GeoQueries {
       val lvl1 = pts.groupBy(col("point_id"), col("c_mktsegment"))
         .agg(
           count(lit(1)).as("cnt"),
-          collect_list(concat(col("c_custkey").cast("string"), lit(":"), col("c_name"))).as("recs"),
+          collect_list(col("record")).as("recs"),
           collect_set(col("c_nationkey")).as("nset"),
           collect_set(col("c_name")).as("names"),
           max(col("c_acctbal") > 0).as("acc"),
