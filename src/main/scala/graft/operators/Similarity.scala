@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.F
 
@@ -23,10 +22,12 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(F.cosine(col("q_emb"), col("c_emb")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // TopKPerKey node, not the window encoding: the window would shuffle
+    // and sort EVERY scored candidate to keep k per query; the node's
+    // partial heaps trim each scan partition to ≤ k rows per query before
+    // the exchange, and the rank window then sorts only the survivors.
+    TopK.topKWithRank(scored, col("query_id"),
+      Seq(col("cos").desc, col("neighbor_id")), k, "rk")
       .select(col("query_id"), col("rk").cast("long").as("rk"), col("neighbor_id"), col("cos"))
   }
 
@@ -132,26 +133,23 @@ object Similarity {
       case (c, i) => struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("cvec"))
     }: _*)
     val qUnit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
-    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), qUnit.as("q_unit"))
-      .select(col("query_id"), col("q_emb"), col("q_unit"), explode(centLit).as("c"))
-      .withColumn("dist",
-        aggregate(
-          zip_with(col("c.cvec"), col("q_unit"), (a, b) => { val d = a - b; d * d }),
-          lit(0.0), (acc, x) => acc + x))
-      .withColumn("cell", col("c.cell"))
-      .withColumn("pr", row_number().over(byQuery))
-      .filter(col("pr") <= nProbe)
+    val probes = TopK.topKPerKey(
+      queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), qUnit.as("q_unit"))
+        .select(col("query_id"), col("q_emb"), col("q_unit"), explode(centLit).as("c"))
+        .withColumn("dist",
+          aggregate(
+            zip_with(col("c.cvec"), col("q_unit"), (a, b) => { val d = a - b; d * d }),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("cell", col("c.cell")),
+      keys = Seq(col("query_id")), order = Seq(col("dist"), col("cell")), k = nProbe)
       .select(col("query_id"), col("cell"), col("q_emb"))
 
     val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(F.cosine(col("q_emb"), col("embedding")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    TopK.topKWithRank(scored, col("query_id"),
+      Seq(col("cos").desc, col("vec_id")), k, "rk")
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("vec_id").as("neighbor_id"), col("cos"))
   }
@@ -169,10 +167,8 @@ object Similarity {
     val scored = bucketed.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(F.cosine(col("q_emb"), col("embedding")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    TopK.topKWithRank(scored, col("query_id"),
+      Seq(col("cos").desc, col("vec_id")), k, "rk")
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("vec_id").as("neighbor_id"), col("cos"))
   }

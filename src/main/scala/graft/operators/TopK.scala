@@ -33,4 +33,22 @@ object TopK {
       TopKPerKey(keys.map(ColumnBridge.eagerExpression), sortOrder, k,
         DatasetBridge.logicalPlan(df), maxPartialKeys))
   }
+
+  /** [[topKPerKey]] + a rank column — the drop-in for the
+    * `row_number() <= k` encoding when the rank itself is output
+    * (q26/q27/q40's per-query top-k). The plan-node trim runs FIRST, so
+    * the rank window sorts only the surviving ≤ k·keys rows; and since
+    * the final phase already clustered the frame on `key`, the window
+    * reuses that partitioning — no additional exchange (PlanSpec pins
+    * it). Ranks match the plain window encoding exactly whenever `order`
+    * is total within a key group (the only regime row_number is
+    * deterministic in anyway).
+    */
+  def topKWithRank(df: DataFrame, key: Column, order: Seq[Column], k: Int,
+                   rankName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    topKPerKey(df, Seq(key), order, k)
+      .withColumn(rankName, row_number().over(Window.partitionBy(key).orderBy(order: _*)))
+  }
 }

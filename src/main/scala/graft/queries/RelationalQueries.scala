@@ -63,6 +63,16 @@ object RelationalQueries {
     // small side -> broadcast hash join (no shuffle of lineitem for it);
     // orders⋈lineitem shuffles on orderkey; top-10 via TakeOrdered (no full
     // sort of the aggregate).
+    //
+    // Deliberately NOT routed through the TopKPerKey node (q91): this is a
+    // GLOBAL top-N, and Spark's TakeOrderedAndProject is already the
+    // optimal plan for it — per-partition bounded top-N followed by a
+    // DRIVER-side merge of p·N rows with no exchange at all. TopKPerKey
+    // generalizes that shape per key; with a single (empty) key its final
+    // phase would funnel the survivors through one executor partition via
+    // a hash exchange — strictly worse than the driver merge. PlanSpec
+    // pins TakeOrderedAndProject so a regression to a global sort (or an
+    // accidental rewrite through the custom node) fails loudly.
     "q03_join_topn" -> QueryDef.of(
       """SELECT l_orderkey AS orderkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

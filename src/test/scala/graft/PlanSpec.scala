@@ -27,6 +27,30 @@ class PlanSpec extends SpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q03's global top-N plans as TakeOrderedAndProject, not a sort or the per-key node") {
+    // GLOBAL top-N is the one top-k shape TopKPerKey must NOT take over:
+    // TakeOrderedAndProject does per-partition bounded top-N + a DRIVER
+    // merge of p·N rows with no exchange; the per-key node's final phase
+    // would funnel survivors through one executor partition instead.
+    val p = plan("q03_join_topn")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-10 must plan as TakeOrderedAndProject:\n${p.take(500)}")
+    assert(!p.contains("TopKPerKey"), "per-key node is wrong for a global top-N")
+  }
+
+  test("q26's per-query top-k trims through TopKPerKey; rank window adds no exchange") {
+    // The scored candidates reach the plan via a broadcast cross join (no
+    // exchange), the TopKPerKey final phase clusters on query_id (one
+    // exchange of the TRIMMED rows), and the rank-assigning window reuses
+    // that clustering — so exactly one hash exchange in the whole plan.
+    val p = plan("q26_cosine_topk")
+    assert(p.linesIterator.count(_.contains("TopKPerKey ")) == 2,
+      s"expected partial+final TopKPerKey phases:\n${p.take(700)}")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(shuffles == 1, s"expected exactly 1 hash exchange (trimmed rows only), got $shuffles")
+  }
+
   test("q10's builder runs no data-scan job (lazy construction)") {
     // q10 used to run an eager max(length) aggregate inside its builder
     // (round-2 VERDICT finding #3). spark.read.parquet launches small

@@ -87,6 +87,46 @@ class TopKSpec extends SpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("final phase stays exact when one post-shuffle partition holds all the keys") {
+    // Adversarial key distribution for the FINAL phase: with one shuffle
+    // partition, a single task's heap map must hold every distinct key
+    // (100k here — the output-sized regime the partial cap can't help
+    // with, since the final phase must be exact). Results must match the
+    // per-key minimum exactly and the run must complete in bounded
+    // memory: the map holds k rows per key — output-sized, the same
+    // posture as a hash aggregate's final phase on the same data.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val nKeys = 100000L
+      val df = spark.range(0, 3 * nKeys, 1, 8)
+        .select(($"id" % nKeys).as("key"), $"id".as("v"))
+      val got = TopK.topKPerKey(df, Seq($"key"), Seq($"v"), 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got.size == nKeys, s"expected $nKeys keys, got ${got.size}")
+      // top-1 under ascending v is the key itself (v = key + i*nKeys)
+      val bad = got.iterator.filter { case (k, v) => v != k }.take(3).toSeq
+      assert(bad.isEmpty, s"wrong minima: $bad")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  test("topKWithRank ranks match the window encoding and add no third exchange") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
+    val expected = scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"lang", $"doc_id", $"rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val ranked = TopK.topKWithRank(scored, $"lang", Seq($"quality".desc, $"doc_id"), 3, "rk")
+    val got = ranked.select($"lang", $"doc_id", $"rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"rank mismatch: got-only ${(got -- expected).take(3)}, want-only ${(expected -- got).take(3)}")
+    val p = ranked.queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(shuffles == 1, s"rank window must reuse the final phase's clustering, got $shuffles exchanges")
+  }
+
   test("ties beyond k are cut deterministically by the order's tiebreaker") {
     val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("b", 4L, 1.0))
       .toDF("key", "id", "score")
