@@ -117,6 +117,27 @@ object EventStreams {
                        prefix: String = "asof_"): DataFrame =
     graft.operators.AsOf.asofLookup(probe, index, key, time, carryCols, prefix)
 
+  /** Streaming range enrichment (twin of the q93 batch semantics): each
+    * arriving point pairs with every containing interval of a STATIC
+    * interval table, through the same binned encoding as the batch
+    * operator ([[graft.operators.RangeJoin.pointInInterval]]): the
+    * interval side explodes into its overlapped bins, the point's bin is
+    * a stateless projection, and the stream-static INNER equi-join with
+    * the containment residual is fully streaming-legal with ZERO
+    * streaming state — each output row depends only on the static
+    * intervals and the point row itself, so results are exact under any
+    * micro-batch split (StreamingSpec replays q93 in 3 batches). The
+    * binning matters MORE here than in batch: a raw inequality
+    * stream-static join would nested-loop every micro-batch against the
+    * whole interval table, while the binned form keeps per-batch work at
+    * pairs-that-share-a-bin. (For intervals that themselves change,
+    * re-resolve the static frame per trigger via foreachBatch — the
+    * stream side's plan is unchanged.)
+    */
+  def rangeEnrichStream(points: DataFrame, t: String, intervals: DataFrame,
+                        start: String, end: String, binWidth: Long): DataFrame =
+    graft.operators.RangeJoin.pointInInterval(points, t, intervals, start, end, binWidth)
+
   /** Atomically point `_current` at `snapshotName` (write-temp + rename). */
   private def publishSnapshot(outDir: String, snapshotName: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}

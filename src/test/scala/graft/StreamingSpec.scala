@@ -48,6 +48,42 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("streaming range enrichment matches batch q93 across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val errors = loadEvents().filter(_.event_type == "error")
+    // the static interval side: q93's hot windows, computed batch-side
+    val ev = Tables.events(spark, SfDir)
+    val hourly = ev.groupBy(date_trunc("hour", $"ts").as("h")).agg(count(lit(1)).as("cnt"))
+    val hot = hourly
+      .crossJoin(broadcast(hourly.agg(avg($"cnt").as("__mean"))))
+      .filter($"cnt" > lit(1.25) * $"__mean")
+      .select(($"h" - expr("INTERVAL 15 MINUTE")).as("w_start"),
+        ($"h" + expr("INTERVAL 75 MINUTE")).as("w_end"),
+        $"cnt".cast("long").as("w_events"))
+
+    val stream = MemoryStream[Event]
+    val out = EventStreams.rangeEnrichStream(
+      stream.toDF().select($"event_id", $"ts", $"user_id"),
+      "ts", hot, "w_start", "w_end", binWidth = 30L * 60 * 1000000)
+      .select($"event_id", $"w_start", $"w_end")
+    val query = out.writeStream.format("memory").queryName("range_test")
+      .outputMode("append").start()
+    try {
+      // 3 arbitrary micro-batches: zero state, so the split cannot matter
+      errors.grouped((errors.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("range_test")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      val batch = SparkEntry.queries("q93_range_join")(spark, SfDir)
+        .select($"event_id", $"w_start", $"w_end")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(streamed == batch,
+        s"stream-only ${(streamed -- batch).take(3)}, batch-only ${(batch -- streamed).take(3)}")
+    } finally query.stop()
+  }
+
   test("streaming tumbling rollup matches batch on counts and totals") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
