@@ -79,29 +79,44 @@ object PlacesQueries {
   }
 
   /** The OSM-fragment fixture + generate_places chain on the Spark side:
-    * (key, place, names, min_lon, min_lat, max_lon, max_lat). */
+    * (key, place, names, min_lon, min_lat, max_lon, max_lat).
+    *
+    * Plan note: the name-variant normalization is a chain of array HOFs —
+    * interpreted (CodegenFallback, SURVEY §6 lesson 1) — and every name
+    * attribute is a function of the 22-value pid alone, so it is computed
+    * ONCE PER DISTINCT PID on a 22-row frame and broadcast-joined back to
+    * the fragments (whose bounds arithmetic stays codegen'd per row).
+    * Same result as the reference's per-feature computation, without
+    * paying ~1 ms of interpreted lambda per fragment. */
   private[queries] def placeBounds(s: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
-    val pid = (k % 22).cast("int")
     val frag = Tables.customer(s, dir).select(
-      k.as("ck"), pid.as("pid"), baseCityName(pid).as("base"),
-      when(pid % 6 === 0, "city").when(pid % 6 === 1, "town")
-        .when(pid % 6 === 2, "village").when(pid % 6 === 3, "hamlet")
-        .when(pid % 6 === 4, "suburb").as("place"),
-      when(pid % 6 === 4 && pid =!= 16, "residential").as("landuse"),
-      when(pid % 6 === 5 && pid =!= 17, "1000").as("population"),
-      (lit(34.0) + pid.cast("double") * 0.02 + (k % 10).cast("double") * 0.001).as("f_min_lon"),
-      (lit(29.8) + pid.cast("double") * 0.03 + (k % 5).cast("double") * 0.002).as("f_min_lat"))
-    val frag2 = frag
+      k.as("ck"), (k % 22).cast("int").as("pid"),
+      (lit(34.0) + (k % 22).cast("int").cast("double") * 0.02
+        + (k % 10).cast("double") * 0.001).as("f_min_lon"),
+      (lit(29.8) + (k % 22).cast("int").cast("double") * 0.03
+        + (k % 5).cast("double") * 0.002).as("f_min_lat"))
       .withColumn("f_max_lon", col("f_min_lon") + lit(0.05) + (col("ck") % 7).cast("double") * 0.01)
       .withColumn("f_max_lat", col("f_min_lat") + lit(0.04) + (col("ck") % 3).cast("double") * 0.01)
+    val pid = col("pid")
+    // the 22 pids exist by construction (pid = custkey % 22); a literal
+    // range beats a distinct-shuffle over the fragment frame, and the
+    // inner join below drops any pid that somehow had no fragments
+    val pidDim = s.range(22).select(col("id").cast("int").as("pid"))
+      .withColumn("base", baseCityName(pid))
+      .withColumn("place",
+        when(pid % 6 === 0, "city").when(pid % 6 === 1, "town")
+          .when(pid % 6 === 2, "village").when(pid % 6 === 3, "hamlet")
+          .when(pid % 6 === 4, "suburb"))
+      .withColumn("landuse", when(pid % 6 === 4 && pid =!= 16, "residential"))
+      .withColumn("population", when(pid % 6 === 5 && pid =!= 17, "1000"))
       .withColumn("cands", array(
         col("base"),
-        when(col("pid") % 3 === 0, regexp_replace(col("base"), " ", " - ")),
-        when(col("pid") % 5 === 0, concat(lit("שכונת "), substring(col("base"), -1, 1))),
-        when(col("pid") % 7 === 0,
+        when(pid % 3 === 0, regexp_replace(col("base"), " ", " - ")),
+        when(pid % 5 === 0, concat(lit("שכונת "), substring(col("base"), -1, 1))),
+        when(pid % 7 === 0,
           concat(substring(col("base"), -1, 1), lit(" עיר גדולה מאוד ורחבה בישראל"))),
-        when(col("pid") % 4 === 0, concat(lit("City "), substring(col("base"), -1, 1)))))
+        when(pid % 4 === 0, concat(lit("City "), substring(col("base"), -1, 1)))))
       .withColumn("names",
         sort_array(array_distinct(filter(transform(col("cands"), normName(_)), _.isNotNull))))
       // rank gate (generate_places.py:162): ranked place type, residential
@@ -109,7 +124,8 @@ object PlacesQueries {
       .filter(col("place").isin("city", "town", "village", "hamlet") ||
         col("landuse") === "residential" || col("population").isNotNull)
       .withColumn("key", regexp_replace(array_join(col("names"), " "), "[^א-ת]+", "_"))
-    val grouped = frag2
+      .select(col("pid"), col("key"), col("place"), col("names"))
+    val grouped = frag.join(broadcast(pidDim), "pid")
       .groupBy(col("key"), col("place"), col("names"))
       .agg(min(col("f_min_lon")).as("min_lon"), min(col("f_min_lat")).as("min_lat"),
         max(col("f_max_lon")).as("max_lon"), max(col("f_max_lat")).as("max_lat"))
