@@ -38,15 +38,19 @@ object Dedup {
         sequence(lit(1), size(tokens) - (w - 1)),
         i => array_join(slice(tokens, i, lit(w)), " ")))
 
-  /** MinHash signatures, relationally: explode shingles to rows, hash each
-    * shingle string ONCE with codegen'd xxhash64, then compute all k slot
-    * minima in ONE custom aggregate ([[graft.functions.expressions.
-    * MinHashSketch]] — a TypedImperativeAggregate with a long[k] buffer)
-    * alongside the shingle-set collection: one aggregation pass, one
-    * shuffle, no join. The sketch's mixing is bit-identical to
-    * `min(xxhash64(lit(i), h))` (asserted in DedupSpec), and map-side
-    * partial merge means the shuffle carries one k-long buffer per
-    * (doc × partition), never per shingle.
+  /** MinHash signatures, map-only: a document's signature and shingle set
+    * are pure functions of that document's own text, so the whole pass is
+    * ONE projection — native [[graft.functions.expressions.Shingles]]
+    * into a scalar [[graft.functions.expressions.MinHashSig]] (all k slot
+    * minima in a single Java loop per row) plus `array_distinct` for the
+    * verification set. ZERO shuffles; the earlier explode → groupBy(id) →
+    * MinHashSketch encoding shuffled every distinct shingle of the corpus
+    * once per pass. Hashing is bit-identical to that aggregate form
+    * (DedupSpec asserts signature-for-signature equality), so every
+    * downstream band/bucket/link is unchanged.
+    *
+    * Rows whose text is NULL tokenize to NULL and are dropped — the same
+    * outcome the exploded form produced (explode of null emits nothing).
     *
     * Why not array lambdas: Spark's higher-order functions are
     * CodegenFallback (interpreted), and projection collapse would inline
@@ -54,22 +58,24 @@ object Dedup {
     * measured 1000x slower. Returns (id, sh_set, sig). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleWidth: Int): DataFrame = {
-    import graft.functions.expressions.MinHashSketch
+    import graft.functions.expressions.{MinHashSig, Shingles}
     // Small corpora arrive as one parquet split but shingling+hashing is
     // compute-bound — spread rows across all cores first (at real scale
     // the scan has many splits and AQE keeps this exchange cheap).
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val exploded = spread
-      // tokenize in its own projection so the shingle lambda references a
-      // bound attribute — inlined, the tokenizer would re-run per element
-      .select(col(idCol).as("id"), F.tokens(col(textCol)).as("toks"))
-      .select(col("id"), explode(shingles(col("toks"), shingleWidth)).as("sh"))
-      .select(col("id"), col("sh"), xxhash64(col("sh")).as("h"))
-    exploded.groupBy(col("id"))
-      .agg(
-        collect_set(col("sh")).as("sh_set"),
-        MinHashSketch(col("h"), k).as("sig"))
-      .select(col("id"), col("sh_set"), col("sig"))
+    spread
+      // null text gate BEFORE shingling (tokenize/shingle null-propagate,
+      // so this is the same rows — but filtering on "sh" would push a
+      // second shingle computation down into the scan filter)
+      .filter(col(textCol).isNotNull)
+      // shingle in its own projection: "sh" is referenced twice below and
+      // CollapseProject keeps multiply-referenced non-cheap expressions in
+      // their own step, so shingling runs once per row
+      .select(col(idCol).as("id"),
+        Shingles(F.tokens(col(textCol)), shingleWidth).as("sh"))
+      .select(col("id"),
+        array_distinct(col("sh")).as("sh_set"),
+        MinHashSig(col("sh"), k).as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`

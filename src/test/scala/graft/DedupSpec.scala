@@ -81,6 +81,38 @@ class DedupSpec extends SpecBase {
     assert(sketchForm == columnForm)
   }
 
+  test("scalar MinHashSig matches the explode+MinHashSketch aggregate form exactly") {
+    import org.apache.spark.sql.functions.{array_sort, col, explode, xxhash64}
+    import graft.functions.expressions.{MinHashSig, MinHashSketch, Shingles}
+    val k = 16
+    val base = docs.limit(60)
+      .select($"doc_id".as("id"), Shingles(graft.functions.F.tokens($"text"), 3).as("sh"))
+    // interpreted and codegen'd paths of the scalar expression
+    val scalarForm = base.select($"id", MinHashSig($"sh", k).as("sig"),
+        array_sort(org.apache.spark.sql.functions.array_distinct($"sh")).as("set"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[String](2)))).toMap
+    val aggForm = base
+      .select($"id", explode($"sh").as("sh"))
+      .select($"id", $"sh", xxhash64($"sh").as("h"))
+      .groupBy($"id")
+      .agg(org.apache.spark.sql.functions.collect_set($"sh").as("set"),
+        MinHashSketch($"h", k).as("sig"))
+      .select($"id", $"sig", array_sort($"set").as("set"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[String](2)))).toMap
+    assert(scalarForm == aggForm)
+  }
+
+  test("minhashSignatures is map-only (zero exchanges past the parallelism spread)") {
+    val plan = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+      .queryExecution.executedPlan.toString
+    // exactly the one round-robin spread repartition; no aggregate exchange
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan.take(600))
+    assert(plan.contains("RoundRobinPartitioning"), plan.take(600))
+    assert(!plan.toLowerCase.contains("aggregate"), plan.take(600))
+    // shingling must run once per row: not duplicated into a pushed filter
+    assert(plan.linesIterator.count(_.contains("shingles(")) == 1, plan.take(900))
+  }
+
   test("SimHashSketch aggregate is bit-identical to the 64-column vote form") {
     import org.apache.spark.sql.functions._
     import graft.functions.expressions.SimHashSketch
