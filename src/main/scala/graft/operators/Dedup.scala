@@ -240,17 +240,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash signatures, relationally: explode tokens, hash once
-    * (codegen'd), then one packed vote aggregate ([[graft.functions.
-    * expressions.SimHashSketch]] — an int[64] buffer per group in place of
-    * 64 conditional-sum columns; bit-vote and pack identical to the
-    * column form, asserted in DedupSpec). Returns (id, sim). */
+  /** 64-bit SimHash signatures, map-only: a document's signature is a
+    * pure function of its own token occurrences, so the whole pass is one
+    * projection through the scalar [[graft.functions.expressions.
+    * SimHashSig]] (per-bit vote loop in Java, codegen'd) — ZERO shuffles;
+    * the earlier explode → groupBy(id) → SimHashSketch encoding shuffled
+    * a vote buffer per (doc × partition). Bit-identical to that form
+    * (DedupSpec), so all block buckets are unchanged. Null-text rows are
+    * dropped, matching what explode-of-null produced. Returns (id, sim). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import graft.functions.expressions.SimHashSketch
-    val exploded = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"), explode(F.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    exploded.groupBy(col("id")).agg(SimHashSketch(col("h")).as("sim"))
+    import graft.functions.expressions.SimHashSig
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), SimHashSig(F.tokens(col(textCol))).as("sim"))
   }
 
   /** 64-bit SimHash over a token array: per-bit majority vote of token

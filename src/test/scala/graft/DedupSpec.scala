@@ -113,6 +113,25 @@ class DedupSpec extends SpecBase {
     assert(plan.linesIterator.count(_.contains("shingles(")) == 1, plan.take(900))
   }
 
+  test("scalar SimHashSig matches the explode+SimHashSketch aggregate form exactly") {
+    import org.apache.spark.sql.functions.{explode, xxhash64}
+    import graft.functions.expressions.{SimHashSig, SimHashSketch}
+    val base = docs.limit(60)
+      .select($"doc_id".as("id"), graft.functions.F.tokens($"text").as("toks"))
+    val scalarForm = base.select($"id", SimHashSig($"toks").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aggForm = base.select($"id", explode($"toks").as("t"))
+      .select($"id", xxhash64($"t").as("h"))
+      .groupBy($"id").agg(SimHashSketch($"h").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scalarForm == aggForm)
+    // map-only plan: one spread exchange, no aggregate
+    val plan = Dedup.simhashes(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan.take(600))
+    assert(!plan.toLowerCase.contains("aggregate"), plan.take(600))
+  }
+
   test("SimHashSketch aggregate is bit-identical to the 64-column vote form") {
     import org.apache.spark.sql.functions._
     import graft.functions.expressions.SimHashSketch
