@@ -62,19 +62,21 @@ object TextAnalysis {
   def minShingleFingerprint(tokens: Column, w: Int = 8): Column =
     array_min(transform(Dedup.shingles(tokens, w), sh => xxhash64(sh)))
 
-  /** Relational min-shingle fingerprints: explode shingles to rows, hash
-    * each once with codegen'd xxhash64, take the column-wise min — same
-    * values as [[minShingleFingerprint]], but the hash/min path stays in
-    * whole-stage codegen with map-side partial aggregation (the same
-    * rationale as Dedup.minhashSignatures). Returns (id, min_shingle_fp).
-    */
+  /** Min-shingle fingerprints, map-only: the winnow minimum is a pure
+    * function of the row's own shingles, so the earlier explode_outer →
+    * groupBy(id) → min(xxhash64) pass (one shuffle) collapses to a
+    * single projection through native Shingles + the scalar
+    * [[graft.functions.expressions.XxHash64ArrayMin]] (same values on
+    * every real document, asserted in TextAnalysisSpec). One deliberate
+    * divergence: NULL text now yields a NULL fingerprint — the old form
+    * gave such rows xxhash64's seed (42) because Spark hash functions
+    * swallow nulls; no content -> no fingerprint is the honest contract.
+    * Returns (id, min_shingle_fp). */
   def minShingleFingerprints(df: DataFrame, idCol: String, textCol: String,
                              w: Int = 8): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    spread
-      .select(col(idCol).as("id"), F.tokens(col(textCol)).as("toks"))
-      .select(col("id"), explode_outer(Dedup.shingles(col("toks"), w)).as("sh"))
-      .groupBy(col("id"))
-      .agg(min(xxhash64(col("sh"))).as("min_shingle_fp"))
+    import graft.functions.expressions.{Shingles, XxHash64ArrayMin}
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        XxHash64ArrayMin(Shingles(F.tokens(col(textCol)), w)).as("min_shingle_fp"))
   }
 }

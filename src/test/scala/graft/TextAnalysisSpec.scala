@@ -48,6 +48,29 @@ class TextAnalysisSpec extends SpecBase {
     assert(fps(0) != fps(2))
   }
 
+  test("minShingleFingerprints (map-only) matches the explode+min aggregate form; null text -> null fp") {
+    import org.apache.spark.sql.functions.{col, explode_outer, min, xxhash64}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((-1L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val scalarForm = TextAnalysis.minShingleFingerprints(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val aggForm = docs
+      .select(col("doc_id").as("id"), F.tokens(col("text")).as("toks"))
+      .select(col("id"), explode_outer(graft.operators.Dedup.shingles(col("toks"), 8)).as("sh"))
+      .groupBy(col("id")).agg(min(xxhash64(col("sh"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // identical on every real document; on NULL text the scalar form gives
+    // NULL (no content -> no fingerprint) where the aggregate form's
+    // xxhash64(null) accidentally yielded its seed 42 — a deliberate,
+    // pinned divergence (hash functions are never-null in Spark)
+    assert(scalarForm - (-1L) == aggForm - (-1L))
+    assert(scalarForm(-1L).isEmpty && aggForm(-1L).contains(42L))
+    val plan = TextAnalysis.minShingleFingerprints(docs, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("aggregate"), plan.take(600))
+  }
+
   test("langIdPrediction thresholds on ratio") {
     val df = Seq((1L, "the of and cat"), (2L, "cat dog fish bird")).toDF("id", "text")
     val out = df.orderBy("id")
