@@ -26,11 +26,14 @@ import graft.functions.expressions.{FormatPhoneNumbers, MediaFeatureFold, MinHas
   * [[graft.plans.TopKPerKeyStrategy]] planner strategy so the custom
   * TopKPerKey logical node (partial-heap per-key top-k — see
   * graft.operators.TopK) plans in any session built with these
-  * extensions.
+  * extensions, and the [[graft.plans.TopKPerKeyRewrite]] optimizer rule
+  * so the `row_number() <= k` window idiom lowers onto that node
+  * automatically (SQL and DataFrame users alike).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKPerKeyRewrite)
     ext.injectFunction((
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

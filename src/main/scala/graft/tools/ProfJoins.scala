@@ -23,6 +23,9 @@ object ProfJoins {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
+    // the join+rank branch IS the naive baseline — keep the optimizer
+    // rule from lowering its rn=1 window onto the TopKPerKey node
+    spark.conf.set(graft.plans.TopKPerKeyRewrite.EnabledKey, "false")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ev = Tables.events(spark, dir).cache()
     ev.count()

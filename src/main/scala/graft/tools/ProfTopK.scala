@@ -27,6 +27,9 @@ object ProfTopK {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
+    // the window branch IS the naive baseline — keep the optimizer rule
+    // from silently lowering it onto the very node under measurement
+    spark.conf.set(graft.plans.TopKPerKeyRewrite.EnabledKey, "false")
     val n = args.headOption.map(_.toLong).getOrElse(5000000L)
 
     // pseudo-random order column so heaps/sorts do real comparisons
