@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StringType
 
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.expressions.{FormatPhoneNumbers, MediaFeatureFold, MinHashSketch,
+import graft.functions.expressions.{FormatPhoneNumbers, FreqItemsSketch, MediaFeatureFold, MinHashSketch,
   NormalizeTaxonomyIds, PolyHash, QuantizeInt8Csv, Shingles, SimHashSketch,
   SortedMapBitIntersect, TaxonomyParents}
 
@@ -77,6 +77,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(h) => SimHashSketch(h)
         case _ => throw new IllegalArgumentException(
           "simhash_sketch(hash_col) takes 1 argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_items_sketch"),
+      new ExpressionInfo(classOf[FreqItemsSketch].getName, "freq_items_sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(tok, cap, k) =>
+          if (!cap.foldable || !k.foldable) throw new IllegalArgumentException(
+            "freq_items_sketch: capacity and k must be literals")
+          FreqItemsSketch(tok, cap.eval().asInstanceOf[Number].intValue(),
+            k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "freq_items_sketch(tok_col, capacity, k) takes 3 arguments")
       }))
     ext.injectFunction((
       new FunctionIdentifier("sorted_map_bit_intersect"),

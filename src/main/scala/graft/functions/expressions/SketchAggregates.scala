@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -150,4 +152,156 @@ object SimHashSketch {
   def apply(h: Column): Column =
     ColumnBridge.column(
       new SimHashSketch(ColumnBridge.expression(h)).toAggregateExpression())
+}
+
+/** Misra-Gries heavy-hitters sketch: top-k frequent strings per group in
+  * ONE pass with a hard `capacity`-entry memory bound, as a mergeable
+  * TypedImperativeAggregate.
+  *
+  * Why a sketch and not `groupBy(group, tok).count` + top-k: the exact
+  * form's state is vocabulary-sized PER GROUP — per-domain or per-source
+  * token tallies over a web corpus put millions of counters behind each
+  * of millions of keys, and the exchange carries all of them. This
+  * aggregate's partial state is ≤ `capacity` counters per (group ×
+  * input partition) no matter the vocabulary; map-side partials merge
+  * through ObjectHashAggregate exactly like minhash_sketch above, so at
+  * 100 TB the shuffle is groups × capacity, not groups × vocabulary.
+  *
+  * Guarantees (classic MG + the mergeability result of Agarwal et al.,
+  * "Mergeable Summaries", PODS'12 — merge = pointwise add, then subtract
+  * the (capacity+1)-th largest counter and drop non-positives):
+  *   - estimates never exceed true counts (counters only shed mass);
+  *   - undercount ≤ n / (capacity+1) for n total updates, additive
+  *     across any merge tree — so every item with true frequency above
+  *     n/(capacity+1) survives to the final summary;
+  *   - with capacity ≥ distinct items no decrement ever fires and every
+  *     counter is EXACT (the regime q98's DuckDB oracle pins).
+  *
+  * `eval` emits the top `k` surviving entries as array<struct<tok,cnt>>
+  * ordered by (cnt desc, tok asc) — the tok tiebreak makes boundary cuts
+  * deterministic and engine-portable (binary order = codepoint order;
+  * the corpus tokens are ASCII).
+  */
+case class FreqItemsSketch(child: Expression, capacity: Int, k: Int,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[UTF8String, Long]]
+    with UnaryLike[Expression] {
+  require(capacity >= 1 && k >= 1, "freq_items_sketch: capacity and k must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.HashMap[UTF8String, Long] =
+    new java.util.HashMap[UTF8String, Long](capacity * 2)
+
+  override def update(buf: java.util.HashMap[UTF8String, Long],
+                      input: InternalRow): java.util.HashMap[UTF8String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      // counters are never stored <= 0, so the null-unboxed 0L from a
+      // missing key is unambiguous "absent"
+      val cur = buf.get(s)
+      if (cur != 0L) buf.put(s, cur + 1L)
+      else if (buf.size < capacity) buf.put(s.clone(), 1L) // own the bytes: eval may reuse its buffer
+      else {
+        // decrement-all: the O(capacity) step that sheds one unit from
+        // every counter; amortized O(1) per update since each decrement
+        // consumes a prior increment
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[UTF8String, Long],
+                     b: java.util.HashMap[UTF8String, Long]): java.util.HashMap[UTF8String, Long] = {
+    val bIt = b.entrySet().iterator()
+    while (bIt.hasNext) {
+      val e = bIt.next()
+      a.put(e.getKey, a.get(e.getKey) + e.getValue) // missing key unboxes to 0L
+    }
+    if (a.size > capacity) {
+      // subtract the (capacity+1)-th largest counter from all, drop <=0:
+      // the mergeable-summaries reduction that keeps the additive bound
+      val counts = new Array[Long](a.size)
+      var i = 0
+      val vIt = a.values().iterator()
+      while (vIt.hasNext) { counts(i) = vIt.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val thresh = counts(counts.length - capacity - 1)
+      val it = a.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= thresh) it.remove() else e.setValue(e.getValue - thresh)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[UTF8String, Long]): Any = {
+    val entries = new Array[(UTF8String, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    val top = entries.sortWith { case ((t1, c1), (t2, c2)) =>
+      c1 > c2 || (c1 == c2 && t1.compareTo(t2) < 0)
+    }.take(k)
+    new GenericArrayData(top.map { case (t, c) =>
+      new GenericInternalRow(Array[Any](t, c)) })
+  }
+
+  override def serialize(buf: java.util.HashMap[UTF8String, Long]): Array[Byte] = {
+    var bytes = 4
+    val sIt = buf.keySet().iterator()
+    while (sIt.hasNext) bytes += 12 + sIt.next().numBytes()
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val tb = e.getKey.getBytes
+      bb.putInt(tb.length); bb.put(tb); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[UTF8String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val m = new java.util.HashMap[UTF8String, Long](capacity * 2)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val tb = new Array[Byte](len)
+      bb.get(tb)
+      m.put(UTF8String.fromBytes(tb), bb.getLong())
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqItemsSketch =
+    copy(child = newChild)
+  override def prettyName: String = "freq_items_sketch"
+}
+
+object FreqItemsSketch {
+  /** Aggregate Column: top-`k` (tok, cnt) structs under a `capacity`-entry
+    * Misra-Gries summary of the string column. */
+  def apply(tok: Column, capacity: Int, k: Int): Column =
+    ColumnBridge.column(
+      new FreqItemsSketch(ColumnBridge.expression(tok), capacity, k)
+        .toAggregateExpression())
 }

@@ -468,6 +468,43 @@ object CorpusQueries {
         .select(col("vec_id"), col("label"),
           graft.functions.expressions.QuantizeInt8Csv(col("embedding")).as("codes"),
           size(col("embedding")).cast("long").as("n_dims"))
+    },
+
+    // q98: per-language heavy-hitter tokens via the Misra-Gries sketch
+    // aggregate ([[graft.functions.expressions.FreqItemsSketch]]) — the
+    // corpus-profiling report (top boilerplate tokens, stopword drift per
+    // source) that at 100 TB must NOT materialize a (group × vocabulary)
+    // tally: the sketch holds ≤ capacity counters per group per input
+    // partition, partials merge map-side, and the exchange carries one
+    // capacity-bounded summary per (lang × partition) regardless of
+    // vocabulary size. The oracle can pin it exactly because capacity 64
+    // exceeds the corpus vocabulary, so no decrement ever fires and MG
+    // counters equal true counts (FreqItemsSpec pins the approximation
+    // regime the oracle can't see). Tie cuts at the rank-10 boundary are
+    // real in this data — both sides break on (cnt desc, tok asc).
+    "q98_heavy_hitters" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT lang, $toksSql AS toks FROM documents
+        |), tok AS (
+        |  SELECT lang, unnest(toks) AS tok FROM t
+        |), c AS (
+        |  SELECT lang, tok, COUNT(*) AS cnt FROM tok GROUP BY lang, tok
+        |), r AS (
+        |  SELECT lang, tok, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rn
+        |  FROM c
+        |)
+        |SELECT lang, CAST(rn AS BIGINT) AS rank, tok, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rn <= 10
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.expressions.FreqItemsSketch
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(F.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(FreqItemsSketch(col("tok"), 64, 10).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.tok").as("tok"), col("col.cnt").as("cnt"))
     }
   )
 }
