@@ -505,6 +505,75 @@ object CorpusQueries {
         .select(col("lang"), posexplode(col("top")))
         .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
           col("col.tok").as("tok"), col("col.cnt").as("cnt"))
+    },
+
+    // q99: exact substring scrub — REMOVE every token span covered by a
+    // 13-gram that occurs >= 2 times anywhere in the corpus (the span-
+    // removal dedup of Lee et al. 2021, "Deduplicating Training Data
+    // Makes Language Models Better" — the operator q83 only SIGNALS).
+    // Occurrences, not document frequency: a 13-gram repeated within one
+    // document is boilerplate too, and both spans go. Shapes that matter
+    // at 100 TB: shingles are md5'd before the frequency join so the
+    // exchange carries 32-hex keys (never 13-word strings; production
+    // would swap to 8-byte xxhash64 — the oracle needs the portable
+    // hash); the duplicate-start positions come back to each document as
+    // ONE array (bounded by the doc's own window count), and the scrub
+    // itself is a per-row HOF over that array — token-level data never
+    // shuffles. The frequency aggregate partial-combines map-side.
+    "q99_substring_scrub" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 13 THEN [md5(array_to_string(toks, ' '))]
+        |         ELSE list_transform(range(1, len(toks) - 11),
+        |                i -> md5(array_to_string(list_slice(toks, i, i + 12), ' ')))
+        |    END AS shs
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, pos, shs[pos] AS sh FROM (
+        |    SELECT doc_id, shs, unnest(range(1, len(shs) + 1)) AS pos FROM sh
+        |  )
+        |), dup AS (
+        |  SELECT sh FROM e GROUP BY sh HAVING COUNT(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, tp FROM (
+        |    SELECT e.doc_id, unnest(range(e.pos, e.pos + 13)) AS tp
+        |    FROM e JOIN dup USING (sh)
+        |  )
+        |), covl AS (
+        |  SELECT doc_id, list(tp) AS cov FROM cov GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - len(kept) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(kept, ' '), '') AS scrubbed
+        |FROM (
+        |  SELECT t.doc_id, t.toks,
+        |    list_transform(
+        |      list_filter(range(1, len(t.toks) + 1),
+        |        i -> NOT list_contains(COALESCE(covl.cov, []), i)),
+        |      i -> t.toks[i]) AS kept
+        |  FROM t LEFT JOIN covl USING (doc_id)
+        |) t
+        |""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+      val e = t
+        .select(col("doc_id"), posexplode(Dedup.shingles(col("toks"), 13)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), md5(col("col")).as("sh"))
+      val dup = e.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("sh"))
+      val starts = e.join(dup, "sh")
+        .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("starts"))
+      t.join(starts, Seq("doc_id"), "left")
+        .withColumn("st", coalesce(col("starts"), array().cast("array<int>")))
+        .withColumn("kept", filter(col("toks"),
+          (tok, i) => not(exists(col("st"),
+            st => st <= i + 1 && i + 1 <= st + 12))))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+          array_join(col("kept"), " ").as("scrubbed"))
     }
   )
 }

@@ -75,4 +75,24 @@ object DocumentStreams {
       .join(corpusHashes.select(col("text_hash")), Seq("text_hash"), "left_anti")
       .select(col("doc_id"), col("text_hash"), col("lang"), col("source"),
         col("ingest_ts"))
+
+  /** Streaming twin of q98 (heavy-hitter tokens): the Misra-Gries sketch
+    * aggregate runs as a streaming aggregation in complete mode, so the
+    * state-store entry per language is the SERIALIZED sketch buffer —
+    * hard-bounded at `capacity` counters no matter how many distinct
+    * tokens the stream has ever carried. That bound is what makes a
+    * live frequency profile streaming-legal: the exact
+    * `groupBy(lang, tok)` form's state grows with the observed
+    * vocabulary, unbounded on an open stream. In the exact regime
+    * (capacity ≥ live vocabulary) the complete-mode table equals batch
+    * q98 after any micro-batch split (StreamingSpec replays 3 batches).
+    */
+  def topTokensStream(docs: DataFrame, capacity: Int = 64, k: Int = 10): DataFrame =
+    docs
+      .select(col("lang"), explode(F.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.expressions.FreqItemsSketch(col("tok"), capacity, k).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.tok").as("tok"), col("col.cnt").as("cnt"))
 }

@@ -391,4 +391,41 @@ class StreamingSpec extends SpecBase {
         s"stream-only: ${(streamed -- batch).take(5)}, batch-only: ${(batch -- streamed).take(5)}")
     } finally query.stop()
   }
+
+  test("streaming heavy-hitter profile matches batch q98 across micro-batches") {
+    import graft.streaming.DocumentStreams
+    import graft.streaming.DocumentStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+
+    // the Misra-Gries sketch state survives the state store between
+    // micro-batches (serialized buffer per language, capacity-bounded);
+    // in the exact regime (capacity 64 >= corpus vocab) the complete-mode
+    // table must EQUAL batch q98 regardless of how the stream is split
+    val docs = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[String]("lang"), r.getAs[String]("source"),
+          new Timestamp(1700000000000L + i * 1000L))
+      }
+
+    val stream = MemoryStream[Doc]
+    val query = DocumentStreams.topTokensStream(stream.toDF())
+      .writeStream.format("memory").queryName("toptok_stream_test")
+      .outputMode("complete").start()
+    try {
+      val thirds = docs.grouped((docs.length + 2) / 3).toSeq
+      thirds.foreach { b => stream.addData(b.toSeq); query.processAllAvailable() }
+      val streamed = spark.table("toptok_stream_test")
+        .as[(String, Long, String, Long)].collect().toSet
+
+      val batch = SparkEntry.queries("q98_heavy_hitters")(spark, SfDir)
+        .as[(String, Long, String, Long)].collect().toSet
+
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(5)}, batch-only: ${(batch -- streamed).take(5)}")
+    } finally query.stop()
+  }
 }
