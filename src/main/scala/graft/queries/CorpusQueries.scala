@@ -574,6 +574,43 @@ object CorpusQueries {
           size(col("toks")).cast("long").as("n_tokens"),
           (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
           array_join(col("kept"), " ").as("scrubbed"))
+    },
+
+    // q100: the shard MANIFEST — the validation artifact the training-
+    // shard publish ([[graft.sources.Sources.writeTrainingShards]])
+    // pairs with its files: per-shard doc/token/byte totals plus an
+    // ORDER-INSENSITIVE content checksum (sum of per-doc 32-bit hashes
+    // over id:text), so a restored, re-published, or mirrored shard is
+    // validated by one aggregate instead of a body-for-body diff.
+    // Order-insensitivity is the scale property: the checksum is
+    // invariant to file order, task order, and split boundaries, so any
+    // reader layout verifies. One partial-combined aggregate, 16 output
+    // rows; SourcesSpec pins manifest-from-files ≡ this query after a
+    // real write→read round trip.
+    "q100_shard_manifest" -> QueryDef.of(
+      s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(h) AS BIGINT) AS checksum
+        |FROM (
+        |  SELECT text, $toksSql AS toks,
+        |    ${hashSql("CAST(doc_id AS VARCHAR) || ':shard'")} % 16 AS shard,
+        |    ${hashSql("CAST(doc_id AS VARCHAR) || ':' || text")} AS h
+        |  FROM documents
+        |)
+        |GROUP BY shard
+        |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("text"), F.tokens(col("text")).as("toks"),
+          (Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":shard"))) % 16)
+            .as("shard"),
+          Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+            .as("h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("n_tokens"),
+          sum(length(col("text"))).cast("long").as("n_bytes"),
+          sum(col("h")).cast("long").as("checksum"))
     }
   )
 }

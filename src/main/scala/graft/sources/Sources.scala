@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 /** Source/sink surface (SURVEY.md §2.D).
   *
@@ -74,5 +75,29 @@ object Sources {
           .sortBy(indexFields.head, indexFields.tail: _*)
       else w
     bucketed.saveAsTable(name)
+  }
+
+  /** Training-shard publish: write documents as `shard=N/` parquet
+    * partitions in the deterministic (hash, doc_id) order q82 defines, so
+    * re-runs produce identically-ordered shards and a training job reads
+    * its shard with one partition-pruned sequential scan. The companion
+    * manifest (q100) is the validation artifact: per-shard row/token/byte
+    * totals plus an ORDER-INSENSITIVE content checksum (sum of per-doc
+    * 32-bit content hashes), so a restored or re-published shard can be
+    * checked without comparing bodies. `repartition(shard)` before the
+    * sort keeps one writer task per shard (no tiny-file spray);
+    * `partitionBy` makes the shard column a directory, prunable at read.
+    */
+  def writeTrainingShards(docs: DataFrame, path: String, nShards: Int = 16): Unit = {
+    val h = graft.operators.Sampling.docHash32(
+      concat(col("doc_id").cast("string"), lit(":shard")))
+    docs
+      .withColumn("h", h)
+      .withColumn("shard", col("h") % nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
   }
 }

@@ -69,4 +69,38 @@ class SourcesSpec extends SpecBase {
       Tables.customer(spark, SfDir)
         .join(Tables.orders(spark, SfDir), col("c_custkey") === col("o_custkey")).count())
   }
+
+  test("training-shard publish: written shards reproduce the q100 manifest") {
+    import graft.operators.Sampling
+    val path = tmp("shards")
+    Sources.writeTrainingShards(
+      Tables.documents(spark, SfDir).select(col("doc_id"), col("text")), path)
+
+    // shard is a real directory column (one dir per shard, prunable)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == 16, s"expected 16 shard dirs, got ${dirs.toSeq}")
+    val one = Sources.readParquet(spark, path).filter(col("shard") === 3)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+
+    // the manifest recomputed FROM THE FILES must equal q100 over the
+    // source table — file order, task order, and split boundaries must
+    // not matter (that is the checksum's whole point)
+    val fromFiles = Sources.readParquet(spark, path)
+      .select(col("shard").cast("long").as("shard"), col("text"),
+        Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+          .as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(graft.functions.F.tokens(col("text")))).cast("long").as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_bytes"),
+        sum(col("h")).cast("long").as("checksum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val fromQuery = SparkEntry.queries("q100_shard_manifest")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(fromFiles == fromQuery,
+      s"files-only: ${(fromFiles -- fromQuery).take(2)}, query-only: ${(fromQuery -- fromFiles).take(2)}")
+  }
 }
