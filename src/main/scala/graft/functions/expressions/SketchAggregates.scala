@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -32,8 +32,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 case class MinHashSketch(child: Expression, k: Int,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+    with ExpectsInputTypes {
 
+  // analysis-time gate: the update loop casts to Long, so a wrong-typed
+  // SQL call must fail in the analyzer, not as a runtime CCE in a task
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
@@ -95,8 +99,10 @@ object MinHashSketch {
 case class SimHashSketch(child: Expression,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+    with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
@@ -186,9 +192,10 @@ case class FreqItemsSketch(child: Expression, capacity: Int, k: Int,
                            mutableAggBufferOffset: Int = 0,
                            inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.HashMap[UTF8String, Long]]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression] with ExpectsInputTypes {
   require(capacity >= 1 && k >= 1, "freq_items_sketch: capacity and k must be >= 1")
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("tok", StringType, nullable = false),
     StructField("cnt", LongType, nullable = false))), containsNull = false)

@@ -573,7 +573,10 @@ object CorpusQueries {
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
-          array_join(col("kept"), " ").as("scrubbed"))
+          // coalesce mirrors the oracle's COALESCE(array_to_string(..),'')
+          // so a null-text row yields '' on both engines (array_join
+          // propagates null; DuckDB's string_agg-backed join does too)
+          coalesce(array_join(col("kept"), " "), lit("")).as("scrubbed"))
     },
 
     // q100: the shard MANIFEST — the validation artifact the training-
