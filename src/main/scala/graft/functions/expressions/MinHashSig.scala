@@ -80,12 +80,16 @@ object MinHashSig {
     val n = shingles.numElements()
     var j = 0
     while (j < n) {
-      val h = XXH64.hashUTF8String(shingles.getUTF8String(j), 42L)
-      var i = 0
-      while (i < k) {
-        val acc = XXH64.hashLong(h, salts(i))
-        if (acc < mins(i)) mins(i) = acc
-        i += 1
+      // null shingle -> skipped, matching the aggregate twin (its update
+      // ignores null input rows), not an NPE
+      if (!shingles.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(shingles.getUTF8String(j), 42L)
+        var i = 0
+        while (i < k) {
+          val acc = XXH64.hashLong(h, salts(i))
+          if (acc < mins(i)) mins(i) = acc
+          i += 1
+        }
       }
       j += 1
     }

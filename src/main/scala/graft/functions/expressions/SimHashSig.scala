@@ -52,11 +52,14 @@ object SimHashSig {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
-      var j = 0
-      while (j < 64) {
-        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
-        j += 1
+      // null token -> skipped, matching the aggregate twin's null-row skip
+      if (!tokens.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
       }
       i += 1
     }

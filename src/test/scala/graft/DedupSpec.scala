@@ -132,6 +132,27 @@ class DedupSpec extends SpecBase {
     assert(!plan.toLowerCase.contains("aggregate"), plan.take(600))
   }
 
+  test("scalar signatures skip null array elements, matching the aggregates' null-row skip") {
+    import graft.functions.expressions.{MinHashSig, SimHashSig}
+    // the aggregate twins never see null rows from explode+xxhash64 of a
+    // null element (xxhash64(null) is null and the sketch update skips it),
+    // so the scalar forms must ignore null slots rather than NPE
+    val withNulls = Seq(
+      (1L, Seq("alpha", null, "beta", null)),
+      (2L, Seq[String](null, null)),
+      (3L, Seq("gamma"))
+    ).toDF("id", "arr")
+    val cleaned = Seq(
+      (1L, Seq("alpha", "beta")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("gamma"))
+    ).toDF("id", "arr")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", MinHashSig($"arr", 8).as("mh"), SimHashSig($"arr").as("sh"))
+        .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(sigs(withNulls) == sigs(cleaned))
+  }
+
   test("SimHashSketch aggregate is bit-identical to the 64-column vote form") {
     import org.apache.spark.sql.functions._
     import graft.functions.expressions.SimHashSketch
