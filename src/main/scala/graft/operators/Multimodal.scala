@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * columns plus a typed metadata struct, with decode/feature-extract as
   * partition-batched functions.
   *
-  * The container has no image/audio codecs, so the decode step is STUBBED
-  * with a deterministic fake (clearly marked below). Everything around it —
+  * This module's decode step is a deterministic byte-fold STUB (clearly
+  * marked below) so q32 can carry a full DuckDB oracle over arbitrary
+  * payloads; the REAL codec paths live in [[MediaCodec]] — JDK
+  * `javax.imageio` (PNG/JPEG/BMP/GIF) and `javax.sound.sampled` (PCM WAV)
+  * decoding, hash-oracled end to end by q101/q102. Everything here —
   * schema, batching shape, partition-level iteration, explode-based frame
-  * sampling — is the real Spark plumbing a codec-backed implementation
-  * would use unchanged (swap `stubDecode` for the JNI/codec call).
+  * sampling — is the same Spark plumbing those codec-backed paths use
+  * (only video remains stub-only: the JDK ships no video codec).
   */
 object Multimodal {
 

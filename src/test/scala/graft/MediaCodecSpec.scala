@@ -1,0 +1,82 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import graft.operators.MediaCodec
+import graft.operators.MediaCodec.Payload
+
+/** Pins the REAL JDK codec paths (q101/q102): PNG and WAV round trips are
+  * lossless, features match hand-computed values, RGB payloads take the
+  * luminance path, and undecodable bytes are dropped rather than crashing
+  * the stage. */
+class MediaCodecSpec extends SpecBase {
+  import spark.implicits._
+
+  test("PNG round trip is lossless: decoded grid means equal raster arithmetic") {
+    val ids = Seq(0L, 1L, 7L, 12345L).toDF("id")
+    val media = MediaCodec.renderPng(spark, ids, w = 16, h = 16)
+    val feats = MediaCodec.imageGridFeatures(spark, media, grid = 4).collect()
+    assert(feats.length == 4 * 16)
+    assert(feats.forall(f => f.width == 16 && f.height == 16))
+    for (f <- feats) {
+      val cy = f.cell / 4; val cx = f.cell % 4
+      var sum = 0L
+      for (y <- cy * 4 until cy * 4 + 4; x <- cx * 4 until cx * 4 + 4)
+        sum += MediaCodec.pixel(f.id, x, y)
+      assert(f.mean_lum == sum.toDouble / 16,
+        s"cell ${f.cell} of id ${f.id}: got ${f.mean_lum}, want ${sum.toDouble / 16}")
+    }
+  }
+
+  test("decoder handles RGB payloads (band-average luminance) and odd sizes") {
+    // A 10x6 TYPE_INT_RGB image — not the synthetic gray path: proves the
+    // decoder is a general ImageIO consumer, not a round-trip-only toy.
+    val img = new BufferedImage(10, 6, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 10)
+      img.setRGB(x, y, ((x * 20) << 16) | ((y * 30) << 8) | 40)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val media = Seq(Payload(5L, out.toByteArray)).toDS()
+    val feats = MediaCodec.imageGridFeatures(spark, media, grid = 2).collect()
+    assert(feats.length == 4)
+    assert(feats.forall(f => f.width == 10 && f.height == 6))
+    // cell 0 covers x in [0,4], y in [0,2] (cw=5, ch=3)
+    val c0 = feats.find(_.cell == 0).get
+    var sum = 0.0
+    for (y <- 0 until 3; x <- 0 until 5) sum += (x * 20 + y * 30 + 40) / 3.0
+    assert(math.abs(c0.mean_lum - sum / 15) < 1e-9)
+  }
+
+  test("undecodable image payloads are dropped, not fatal") {
+    val media = Seq(
+      Payload(1L, Array[Byte](1, 2, 3, 4)),
+      Payload(2L, "not a png at all".getBytes("UTF-8"))).toDS()
+    assert(MediaCodec.imageGridFeatures(spark, media, grid = 4).count() == 0)
+  }
+
+  test("WAV round trip through AudioSystem recovers exact PCM features") {
+    val ids = Seq(0L, 3L, 999L).toDF("id")
+    val media = MediaCodec.renderWav(spark, ids, n = 1024, sampleRate = 8000)
+    val feats = MediaCodec.audioFrameFeatures(spark, media, window = 256).collect()
+    assert(feats.length == 3 * 4)
+    assert(feats.forall(_.n_samples == 1024L))
+    for (f <- feats) {
+      val start = f.frame * 256
+      var sumSq = 0L; var zc = 0L
+      for (t <- start until start + 256) {
+        val v = MediaCodec.sample(f.id, t)
+        sumSq += v.toLong * v
+        if (t > start && MediaCodec.sample(f.id, t - 1) * v < 0) zc += 1
+      }
+      assert(f.mean_square == sumSq.toDouble / 256)
+      assert(f.zero_cross == zc)
+    }
+  }
+
+  test("non-WAV audio payloads are dropped, not fatal") {
+    val media = Seq(Payload(1L, Array.fill[Byte](64)(0x41))).toDS()
+    assert(MediaCodec.audioFrameFeatures(spark, media, window = 256).count() == 0)
+  }
+}
