@@ -28,6 +28,12 @@ object Sampling {
   def stratifiedKeep(key: Column, lang: Column): Column =
     docHash32(key) % 8 < mixingRate8(lang)
 
+  /** Salted per-purpose draw: decorrelates this decision from every other
+    * docHash32 use of the same key (q69 mixing, q82 sharding, q94 split
+    * all draw independently this way). */
+  def saltedHash32(key: Column, salt: String): Column =
+    docHash32(concat(key.cast("string"), lit(":" + salt)))
+
   /** Deterministic train/val/test assignment from a CONTENT hash (never a
     * row id: exact duplicates must land in one split, or held-out docs
     * leak into training through their copies). Hash-bucketing also keeps

@@ -176,6 +176,35 @@ object SamplingQueries {
           Sampling.holdoutSplit(
             md5(trim(regexp_replace(col("text"), "\\s+", " "))),
             valPermille = 10, testPermille = 10).as("split"))
+    },
+
+    // q103: FIXED-SIZE per-stratum sample — "exactly k docs per language"
+    // (the eval-set / human-review draw q69's rate sampling can't
+    // express). Bottom-k-by-salted-hash is the distributed form of
+    // reservoir sampling: uniform because the hash is, deterministic
+    // under reruns/task retries (rand() reservoirs are neither), and
+    // MERGEABLE — each partition's local bottom-k suffices, so it routes
+    // through the TopKPerKey plan node and only ≤ k rows per stratum per
+    // partition ever reach the exchange. (The same bottom-k hash set is
+    // a KMV sketch: growing the draw never evicts earlier picks'
+    // relative order, so k can be raised incrementally.)
+    "q103_sample_fixed_k" -> QueryDef.of(
+      """SELECT doc_id, lang, smp_rank FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS smp_rank
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':smp'), 1, 8)) AS BIGINT) AS h
+        |    FROM documents)
+        |) WHERE smp_rank <= 20
+        |""".stripMargin) { (s, dir) =>
+      import graft.operators.TopK
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Sampling.saltedHash32(col("doc_id"), "smp").as("h"))
+      TopK.topKWithRank(scored, col("lang"), Seq(col("h"), col("doc_id")), k = 20,
+          rankName = "rk")
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("smp_rank"))
     }
   )
 }

@@ -51,6 +51,19 @@ class PlanSpec extends SpecBase {
     assert(shuffles == 1, s"expected exactly 1 hash exchange (trimmed rows only), got $shuffles")
   }
 
+  test("q103's fixed-k stratum sample trims through TopKPerKey; one exchange total") {
+    // Bottom-k-by-hash is mergeable, so only ≤ k rows per stratum per
+    // input partition may reach the exchange — the partial node must
+    // appear, and the rank window must reuse the final phase's
+    // clustering instead of adding its own.
+    val p = plan("q103_sample_fixed_k")
+    assert(p.linesIterator.count(_.contains("TopKPerKey ")) == 2,
+      s"expected partial+final TopKPerKey phases:\n${p.take(700)}")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(shuffles == 1, s"expected exactly 1 hash exchange (trimmed rows only), got $shuffles")
+  }
+
   test("q10's builder runs no data-scan job (lazy construction)") {
     // q10 used to run an eager max(length) aggregate inside its builder
     // (round-2 VERDICT finding #3). spark.read.parquet launches small
