@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   */
 object MediaCodec {
 
+  // ImageIO defaults to DISK-backed stream caching — a temp file per
+  // encode/decode call. Pure-memory payloads never want that; flip it
+  // once per executor JVM (first task to touch the codec wins; the
+  // setting is a JVM-global toggle, not per-stream state).
+  private lazy val imageIoMemoryOnly: Unit = ImageIO.setUseCache(false)
+
   case class Payload(id: Long, media: Array[Byte])
   case class ImageCellFeature(id: Long, width: Int, height: Int, cell: Int, mean_lum: Double)
   case class AudioFrameFeature(id: Long, n_samples: Long, frame: Int, mean_square: Double, zero_cross: Long)
@@ -55,7 +61,7 @@ object MediaCodec {
   def renderPng(spark: SparkSession, ids: DataFrame, w: Int, h: Int): Dataset[Payload] = {
     import spark.implicits._
     ids.select(col("id").cast("long")).as[Long].mapPartitions { it =>
-      // per-partition: ImageIO writer lookup amortizes across the batch
+      imageIoMemoryOnly // per-partition codec init: memory-backed streams
       it.map { id =>
         val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
         val raster = img.getRaster
@@ -81,6 +87,7 @@ object MediaCodec {
   def imageGridFeatures(spark: SparkSession, media: Dataset[Payload], grid: Int): Dataset[ImageCellFeature] = {
     import spark.implicits._
     media.mapPartitions { it =>
+      imageIoMemoryOnly // per-partition codec init: memory-backed streams
       it.flatMap { p =>
         val img = ImageIO.read(new ByteArrayInputStream(p.media))
         if (img == null) Iterator.empty
