@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StringType
 
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.expressions.{FormatPhoneNumbers, FreqItemsSketch, MediaFeatureFold, MinHashSketch,
+import graft.functions.expressions.{BottomKSample, FormatPhoneNumbers, FreqItemsSketch, MediaFeatureFold, MinHashSketch,
   NormalizeTaxonomyIds, PolyHash, QuantizeInt8Csv, Shingles, SimHashSketch,
   SortedMapBitIntersect, TaxonomyParents}
 
@@ -89,6 +89,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             k.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "freq_items_sketch(tok_col, capacity, k) takes 3 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bottom_k_sample"),
+      new ExpressionInfo(classOf[BottomKSample].getName, "bottom_k_sample"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, id, k) =>
+          if (!k.foldable) throw new IllegalArgumentException(
+            "bottom_k_sample: k must be a literal")
+          BottomKSample(h, id, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "bottom_k_sample(hash_col, id_col, k) takes 3 arguments")
       }))
     ext.injectFunction((
       new FunctionIdentifier("sorted_map_bit_intersect"),

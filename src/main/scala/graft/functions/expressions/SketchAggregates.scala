@@ -312,3 +312,119 @@ object FreqItemsSketch {
       new FreqItemsSketch(ColumnBridge.expression(tok), capacity, k)
         .toAggregateExpression())
 }
+
+/** Mergeable bottom-k-by-hash sample — the AGGREGATE realization of the
+  * fixed-size per-stratum draw (q103), and its streaming-legal form.
+  *
+  * Keeps the k (sortKey, payload) pairs with the smallest keys, ties
+  * broken by payload: a bounded max-heap per group, evicting the current
+  * largest when a smaller pair arrives. With a uniform salted hash as the
+  * key this is distributed reservoir sampling (uniform, deterministic,
+  * rerun-stable) and the kept key set is exactly a KMV sketch. Merge is
+  * heap-union-then-trim, so map-side partial aggregation applies: the
+  * shuffle carries ≤ k pairs per group × partition, and in STREAMING the
+  * complete-mode state per group is the serialized ≤ k-pair buffer —
+  * hard-bounded on an open stream, which the TopKPerKey plan node
+  * (batch q103's route) can never be.
+  *
+  * `eval` emits array<struct<h,id>> ascending by (h, id) — position+1 is
+  * the sample rank, so `posexplode` reproduces q103's output exactly.
+  */
+case class BottomKSample(sortKey: Expression, payload: Expression, k: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.PriorityQueue[Array[Long]]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+    with ExpectsInputTypes {
+  require(k >= 1, "bottom_k_sample: k must be >= 1")
+
+  override def left: Expression = sortKey
+  override def right: Expression = payload
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  // max-first on (h, id): peek() is the eviction candidate
+  private def desc = BottomKSample.Desc
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[Array[Long]] =
+    new java.util.PriorityQueue[Array[Long]](k, desc)
+
+  private def offer(buf: java.util.PriorityQueue[Array[Long]], h: Long, id: Long): Unit = {
+    if (buf.size < k) buf.add(Array(h, id))
+    else {
+      val worst = buf.peek()
+      if (h < worst(0) || (h == worst(0) && id < worst(1))) {
+        buf.poll()
+        buf.add(Array(h, id))
+      }
+    }
+  }
+
+  override def update(buf: java.util.PriorityQueue[Array[Long]],
+                      input: InternalRow): java.util.PriorityQueue[Array[Long]] = {
+    val hv = sortKey.eval(input)
+    val pv = payload.eval(input)
+    if (hv != null && pv != null)
+      offer(buf, hv.asInstanceOf[Long], pv.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: java.util.PriorityQueue[Array[Long]],
+                     b: java.util.PriorityQueue[Array[Long]]): java.util.PriorityQueue[Array[Long]] = {
+    val it = b.iterator()
+    while (it.hasNext) { val e = it.next(); offer(a, e(0), e(1)) }
+    a
+  }
+
+  override def eval(buf: java.util.PriorityQueue[Array[Long]]): Any = {
+    val arr = buf.toArray(new Array[Array[Long]](buf.size))
+    java.util.Arrays.sort(arr, desc.reversed()) // ascending (h, id)
+    new GenericArrayData(arr.map(e => new GenericInternalRow(Array[Any](e(0), e(1)))))
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[Array[Long]]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val e = it.next(); bb.putLong(e(0)); bb.putLong(e(1)) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Array[Long]] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val q = new java.util.PriorityQueue[Array[Long]](math.max(n, 1), desc)
+    var i = 0
+    while (i < n) { q.add(Array(bb.getLong(), bb.getLong())); i += 1 }
+    q
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BottomKSample =
+    copy(sortKey = newLeft, payload = newRight)
+  override def prettyName: String = "bottom_k_sample"
+}
+
+object BottomKSample {
+  /** Max-first on (h, id) — a named Serializable class because the
+    * aggregate (and its comparator field) ships inside streaming state
+    * operators, where an anonymous Comparator fails closure cleaning. */
+  private[expressions] object Desc extends java.util.Comparator[Array[Long]] with Serializable {
+    override def compare(a: Array[Long], b: Array[Long]): Int = {
+      val c = java.lang.Long.compare(b(0), a(0))
+      if (c != 0) c else java.lang.Long.compare(b(1), a(1))
+    }
+  }
+
+  /** Aggregate Column: the k smallest (sortKey, payload) pairs ascending. */
+  def apply(sortKey: Column, payload: Column, k: Int): Column =
+    ColumnBridge.column(
+      new BottomKSample(ColumnBridge.expression(sortKey),
+        ColumnBridge.expression(payload), k).toAggregateExpression())
+}

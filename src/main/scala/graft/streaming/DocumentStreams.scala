@@ -95,4 +95,27 @@ object DocumentStreams {
       .select(col("lang"), posexplode(col("top")))
       .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
         col("col.tok").as("tok"), col("col.cnt").as("cnt"))
+
+  /** LIVE fixed-size per-stratum sample (q103's streaming twin): maintain
+    * "exactly k docs per language, uniform over everything seen so far"
+    * as the stream grows. The mergeable [[graft.functions.expressions
+    * .BottomKSample]] aggregate runs in complete mode, so state per
+    * language is the serialized ≤ k-pair buffer — hard-bounded on an
+    * open stream. Batch q103 routes through the TopKPerKey PLAN NODE,
+    * which streaming cannot run; same semantics, realization chosen by
+    * execution mode (the as-of join's batch/streaming split, again).
+    * Bottom-k-by-hash makes the draw PREFIX-CONSISTENT: a doc once
+    * evicted never returns, a doc kept is only ever displaced by a
+    * smaller hash — so consecutive micro-batches agree with the batch
+    * draw over the same prefix (StreamingSpec replays 3 batches).
+    */
+  def fixedKSampleStream(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .select(col("lang"), col("doc_id"),
+        Sampling.saltedHash32(col("doc_id"), "smp").as("h"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.expressions.BottomKSample(col("h"), col("doc_id"), k).as("smp"))
+      .select(col("lang"), posexplode(col("smp")))
+      .select(col("col.id").as("doc_id"), col("lang"),
+        (col("pos") + 1).cast("long").as("smp_rank"))
 }

@@ -73,4 +73,40 @@ class FreqItemsSpec extends SpecBase {
     val rows = df.select($"g", explode($"top")).collect()
     assert(rows.length == 6) // 2 groups x top-3 of 7 distinct
   }
+
+  test("bottom_k_sample equals the TopKPerKey route and plans map-side partials") {
+    // The aggregate is q103's streaming-legal realization; on identical
+    // input the two encodings must pick identical (key, payload) sets
+    // with identical ranks. 8 input partitions force real partial
+    // merges + shuffle serde through the PriorityQueue buffer.
+    import graft.operators.TopK
+    val df = spark.range(0, 50000, 1, 8)
+      .select((col("id") % 7).as("g"),
+        xxhash64(col("id"), lit("smp")).as("h"), col("id"))
+      .cache()
+    df.createOrReplaceTempView("bks_input")
+
+    val viaSql = spark.sql(
+      """SELECT g, smp.id AS id, CAST(pos + 1 AS BIGINT) AS rk
+        |FROM (SELECT g, bottom_k_sample(h, id, 15) AS arr FROM bks_input GROUP BY g)
+        |LATERAL VIEW posexplode(arr) AS pos, smp""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val viaNode = TopK.topKWithRank(df.toDF(), col("g"), Seq(col("h"), col("id")), k = 15,
+        rankName = "rk")
+      .select(col("g"), col("id"), col("rk").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(viaSql.size == 7 * 15)
+    assert(viaSql == viaNode,
+      s"sql-only: ${(viaSql -- viaNode).take(5)}, node-only: ${(viaNode -- viaSql).take(5)}")
+
+    // partial merge must appear (ObjectHashAggregate partial_bottom_k_sample)
+    val plan = spark.sql(
+      "SELECT g, bottom_k_sample(h, id, 15) FROM bks_input GROUP BY g")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bottom_k_sample"),
+      s"expected a map-side partial phase:\n${plan.take(600)}")
+    df.unpersist()
+  }
 }

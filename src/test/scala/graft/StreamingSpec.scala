@@ -392,6 +392,42 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("streaming fixed-k sample matches batch q103 across micro-batches") {
+    import graft.streaming.DocumentStreams
+    import graft.streaming.DocumentStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+
+    // BottomKSample state per language is the <= k-pair buffer; after all
+    // data arrives the complete-mode table must EQUAL batch q103 (which
+    // routes through the TopKPerKey plan node) for any micro-batch split
+    val docs = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[String]("lang"), r.getAs[String]("source"),
+          new Timestamp(1700000000000L + i * 1000L))
+      }
+
+    val stream = MemoryStream[Doc]
+    val query = DocumentStreams.fixedKSampleStream(stream.toDF())
+      .writeStream.format("memory").queryName("fixedk_stream_test")
+      .outputMode("complete").start()
+    try {
+      val thirds = docs.grouped((docs.length + 2) / 3).toSeq
+      thirds.foreach { b => stream.addData(b.toSeq); query.processAllAvailable() }
+      val streamed = spark.table("fixedk_stream_test")
+        .as[(Long, String, Long)].collect().toSet
+
+      val batch = SparkEntry.queries("q103_sample_fixed_k")(spark, SfDir)
+        .as[(Long, String, Long)].collect().toSet
+
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(5)}, batch-only: ${(batch -- streamed).take(5)}")
+    } finally query.stop()
+  }
+
   test("streaming heavy-hitter profile matches batch q98 across micro-batches") {
     import graft.streaming.DocumentStreams
     import graft.streaming.DocumentStreams.Doc
