@@ -13,7 +13,8 @@ object SparkEntry {
       TaggingQueries.defs ++ GeoQueries.defs ++ EsQueries.defs ++
       CurationQueries.defs ++ ToolsQueries.defs ++ PipelineQueries.defs ++
       PreprocessQueries.defs ++ SamplingQueries.defs ++ CleaningQueries.defs ++
-      CorpusQueries.defs ++ PlacesQueries.defs ++ MediaQueries.defs
+      CorpusQueries.defs ++ PlacesQueries.defs ++ MediaQueries.defs ++
+      ProfileQueries.defs
 
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * full card-derivation pipeline — the reference's to_dp.py flow

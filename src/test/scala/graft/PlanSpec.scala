@@ -64,6 +64,18 @@ class PlanSpec extends SpecBase {
     assert(shuffles == 1, s"expected exactly 1 hash exchange (trimmed rows only), got $shuffles")
   }
 
+  test("q104's profiler plans two scans and never an Expand") {
+    // N count(DISTINCT) aggregates in one pass would plan an Expand —
+    // every scanned row multiplied by the distinct-agg count BEFORE any
+    // combine. The profiler's contract is two scans (stats pass +
+    // unpivot-distinct pass) regardless of column count, with the
+    // distinct side collapsing in a partial aggregate.
+    val p = plan("q104_table_profile")
+    assert(!p.contains("Expand"), s"multi-distinct Expand leaked into the profile plan:\n${p.take(700)}")
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 2, s"expected exactly 2 scans of the table, got $scans")
+  }
+
   test("q10's builder runs no data-scan job (lazy construction)") {
     // q10 used to run an eager max(length) aggregate inside its builder
     // (round-2 VERDICT finding #3). spark.read.parquet launches small
