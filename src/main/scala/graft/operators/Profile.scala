@@ -38,10 +38,22 @@ object Profile {
   }
 
   /** Profile `cols` of `df`: one row per column —
-    * (col_name, n_rows, n_nulls, n_distinct, min_s, max_s). */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * (col_name, n_rows, n_nulls, n_distinct, min_s, max_s).
+    *
+    * `repartitionTo`: the SMALL-SPLIT regime knob. Both passes are
+    * compute-heavy per row (#cols aggregate updates / renders), so on a
+    * table with fewer parquet splits than cores they run single-threaded;
+    * repartitioning first makes parallelism follow CPU — and because both
+    * passes then consume the IDENTICAL exchange, Catalyst's ReuseExchange
+    * collapses the plan to ONE scan + one shuffle + two aggregate
+    * consumers (PlanSpec pins it). At 100 TB splits are plentiful and a
+    * full-table shuffle is the wrong trade: leave it None there — the
+    * plan becomes two shuffle-free scans instead. */
+  def profile(df: DataFrame, cols: Seq[String], repartitionTo: Option[Int] = None): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
     val types = cols.map(c => c -> df.schema(c).dataType).toMap
+    val projected = df.select(cols.map(col): _*)
+    val base = repartitionTo.map(projected.repartition(_)).getOrElse(projected)
 
     // pass A: single aggregate row, then stack it back out to per-column rows
     val aggs = cols.flatMap { c =>
@@ -49,7 +61,7 @@ object Profile {
         render(min(col(c)), types(c)).as(s"${c}__min"),
         render(max(col(c)), types(c)).as(s"${c}__max"))
     }
-    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val one = base.agg(count(lit(1)).as("__rows"), aggs: _*)
     val stackArgs = cols.flatMap { c =>
       Seq(lit(c), col(s"${c}__n"), col(s"${c}__min"), col(s"${c}__max"))
     }
@@ -59,9 +71,12 @@ object Profile {
       .select(col("col_name"), col("__rows").as("n_rows"),
         (col("__rows") - col("n_vals")).as("n_nulls"), col("min_s"), col("max_s"))
 
-    // pass B: unpivot + grouped exact distinct (partial-combined, no Expand)
+    // pass B: unpivot + grouped exact distinct — partial-combined on
+    // (col_name, value) before the exchange, never the multi-distinct
+    // Expand (which would multiply every scanned row by #cols pre-combine)
     val unpivotArgs = cols.flatMap { c => Seq(lit(c), render(col(c), types(c))) }
-    val passB = df.select(stack((Seq(lit(cols.size)) ++ unpivotArgs): _*)
+    val passB = base
+      .select(stack((Seq(lit(cols.size)) ++ unpivotArgs): _*)
         .as(Seq("col_name", "v")))
       .groupBy(col("col_name"))
       .agg(count_distinct(col("v")).as("n_distinct"))
@@ -69,6 +84,34 @@ object Profile {
     // both sides are #cols rows — broadcast join, deterministic output
     passA.join(broadcast(passB), Seq("col_name"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_s"), col("max_s"))
+  }
+
+  /** ONE-pass variant for the sketch regime: approx NDV
+    * (HyperLogLog++, rsd 2%) rides the same aggregate row as the stats,
+    * so the whole profile is a single scan with no unpivot, no second
+    * exchange, and ~KB of aggregate state per column. Sketch values are
+    * engine-specific (not oracle-replayable) — q104 registers the exact
+    * form; this is the 100 TB swap, same posture as q74's
+    * percentile_approx note. */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val types = cols.map(c => c -> df.schema(c).dataType).toMap
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        approx_count_distinct(render(col(c), types(c)), rsd = 0.02).as(s"${c}__d"),
+        render(min(col(c)), types(c)).as(s"${c}__min"),
+        render(max(col(c)), types(c)).as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stackArgs = cols.flatMap { c =>
+      Seq(lit(c), col(s"${c}__n"), col(s"${c}__d"), col(s"${c}__min"), col(s"${c}__max"))
+    }
+    one.select(col("__rows"),
+        stack((Seq(lit(cols.size)) ++ stackArgs): _*)
+          .as(Seq("col_name", "n_vals", "n_distinct", "min_s", "max_s")))
+      .select(col("col_name"), col("__rows").as("n_rows"),
+        (col("__rows") - col("n_vals")).as("n_nulls"), col("n_distinct"),
         col("min_s"), col("max_s"))
   }
 }

@@ -35,7 +35,9 @@ object ProfileQueries {
   val defs: Map[String, QueryDef] = Map(
     "q104_table_profile" -> QueryDef.of(
       AllCols.map(c => colSql(c, DblCols.contains(c))).mkString("", "\nUNION ALL\n", "\n")) {
-      (s, dir) => Profile.profile(Tables.lineitem(s, dir), AllCols)
+      (s, dir) => Profile.profile(Tables.lineitem(s, dir), AllCols,
+        // test tables are single-split: parallelism must follow CPU
+        repartitionTo = Some(s.sparkContext.defaultParallelism))
     }
   )
 }

@@ -70,10 +70,18 @@ class PlanSpec extends SpecBase {
     // combine. The profiler's contract is two scans (stats pass +
     // unpivot-distinct pass) regardless of column count, with the
     // distinct side collapsing in a partial aggregate.
-    val p = plan("q104_table_profile")
+    // exchange reuse is an AQE runtime decision: run the query, then
+    // read the FINAL adaptive plan (the section before "Initial Plan")
+    val df = SparkEntry.queries("q104_table_profile")(spark, SfDir)
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    val p = whole.split("== Initial Plan ==")(0)
     assert(!p.contains("Expand"), s"multi-distinct Expand leaked into the profile plan:\n${p.take(700)}")
+    // in the small-split regime both passes consume one repartition
+    // exchange, which reuse dedupes: ONE scan feeds both
     val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan"))
-    assert(scans == 2, s"expected exactly 2 scans of the table, got $scans")
+    assert(scans == 1, s"expected the reused-exchange single scan, got $scans:\n${p.take(900)}")
+    assert(p.contains("ReusedExchange"), s"expected ReusedExchange between the two passes:\n${p.take(900)}")
   }
 
   test("q10's builder runs no data-scan job (lazy construction)") {

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Profile
+
+/** The table profiler: exact and approx forms agree (within the HLL
+  * bound), and the approx form is genuinely one-pass. */
+class ProfileSpec extends SpecBase {
+
+  private val Cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+  test("approx profile matches the exact profile within the sketch bound") {
+    val exact = Profile.profile(Tables.lineitem(spark, SfDir), Cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Profile.profileApprox(Tables.lineitem(spark, SfDir), Cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == Cols.toSet && approx.keySet == Cols.toSet)
+    for (c <- Cols) {
+      val (e, a) = (exact(c), approx(c))
+      // counts, nulls, min/max renders are exact in both forms
+      assert(e.getLong(1) == a.getLong(1) && e.getLong(2) == a.getLong(2))
+      assert(e.getString(4) == a.getString(4) && e.getString(5) == a.getString(5))
+      val (en, an) = (e.getLong(3), a.getLong(3))
+      assert(math.abs(en - an) <= math.max(1L, (en * 0.05).toLong),
+        s"$c: approx ndv $an vs exact $en beyond 5%")
+    }
+  }
+
+  test("approx profile is one scan, no join, no unpivot exchange") {
+    val p = Profile.profileApprox(Tables.lineitem(spark, SfDir), Cols)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 1, s"expected a single scan, got $scans")
+    assert(!p.contains("Join"), "one aggregate row needs no join")
+  }
+}
