@@ -32,7 +32,44 @@ object ProfileQueries {
        |  $minS AS min_s, $maxS AS max_s FROM lineitem""".stripMargin
   }
 
+  // q105: the relation-constraint report — PK uniqueness + FK integrity
+  // over the warehouse tables, one summary row per check. NULL child keys
+  // count as FK violations (a NOT-IN/anti-join would silently pass them);
+  // the oracle replays that with an explicit IS NULL arm.
+  private val RefChecks = Seq(
+    ("fk_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("fk_lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("fk_lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("fk_lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+  private val PkChecks = Seq(
+    ("pk_customer", "customer", "c_custkey"),
+    ("pk_orders", "orders", "o_orderkey"),
+    ("pk_part", "part", "p_partkey"),
+    ("pk_supplier", "supplier", "s_suppkey"),
+    ("pk_documents", "documents", "doc_id"))
+
+  private def pkSql(name: String, t: String, k: String): String =
+    s"""SELECT '$name' AS check_name, COUNT(*) AS n_checked,
+       |  COUNT(*) FILTER (WHERE n > 1) AS n_violations
+       |FROM (SELECT $k, COUNT(*) AS n FROM $t GROUP BY $k)""".stripMargin
+
+  private def fkSql(name: String, ct: String, ck: String, pt: String, pk: String): String =
+    s"""SELECT '$name' AS check_name, COUNT(*) AS n_checked,
+       |  COUNT(*) FILTER (WHERE p.$pk IS NULL) AS n_violations
+       |FROM $ct c LEFT JOIN (SELECT DISTINCT $pk FROM $pt) p ON c.$ck = p.$pk""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q105_constraint_check" -> QueryDef.of(
+      (PkChecks.map((pkSql _).tupled) ++ RefChecks.map((fkSql _).tupled))
+        .mkString("", "\nUNION ALL\n", "\n")) { (s, dir) =>
+      import graft.operators.Constraints
+      def t(n: String) = graft.Tables.table(s, dir, n)
+      Constraints.report(
+        PkChecks.map { case (name, tb, k) => Constraints.uniqueKey(t(tb), k, name) } ++
+        RefChecks.map { case (name, ct, ck, pt, pk) =>
+          Constraints.referential(t(ct), ck, t(pt), pk, name) })
+    },
+
     "q104_table_profile" -> QueryDef.of(
       AllCols.map(c => colSql(c, DblCols.contains(c))).mkString("", "\nUNION ALL\n", "\n")) {
       (s, dir) => Profile.profile(Tables.lineitem(s, dir), AllCols,

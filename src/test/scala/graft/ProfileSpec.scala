@@ -25,6 +25,25 @@ class ProfileSpec extends SpecBase {
     }
   }
 
+  test("constraint checks count manufactured dups, orphans, and null FKs") {
+    import spark.implicits._
+    import graft.operators.Constraints
+    // the warehouse tables are clean (q105 reads all zeros), so the
+    // violation arms need dirty data to prove they actually count
+    val child = Seq((1L, Some(10L)), (2L, Some(10L)), (3L, Some(99L)),
+      (4L, None), (5L, Some(20L))).toDF("id", "fk")
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val dupes = Seq(1L, 1L, 2L, 3L, 3L, 3L, 4L).toDF("k")
+
+    val fk = Constraints.referential(child, "fk", parent, "pk", "fk_test")
+      .as[(String, Long, Long)].head()
+    assert(fk == (("fk_test", 5L, 2L)), s"orphan 99 + null fk must both violate: $fk")
+
+    val pk = Constraints.uniqueKey(dupes, "k", "pk_test")
+      .as[(String, Long, Long)].head()
+    assert(pk == (("pk_test", 4L, 2L)), s"keys 1 and 3 are dup'd of 4 distinct: $pk")
+  }
+
   test("approx profile is one scan, no join, no unpivot exchange") {
     val p = Profile.profileApprox(Tables.lineitem(spark, SfDir), Cols)
       .queryExecution.executedPlan.toString
