@@ -69,6 +69,90 @@ object CorpusQueries {
           round(sum(col("cnt") * col("lp")) * 10000, 0).cast("long").as("logprob_1e4_sum"))
     },
 
+    // q106: bigram-LM scoring with stupid backoff — the level-2
+    // model-based quality filter (q80 is the unigram floor; real
+    // perplexity filters are n-gram). The model TRAINS on a 90%
+    // hash-split of the corpus and scores ALL docs, so held-out docs hit
+    // genuinely unseen bigrams and the backoff arm is live, oracled data
+    // (n_backoff > 0), not dead code. Scale shapes: per-pair logprob
+    // ln(B/U(prev)) precomputes INTO the model at build time (B⋈U once,
+    // not per scored occurrence); doc bigrams pre-aggregate to
+    // (doc, p, c, cnt) before any model join; the backoff unigram join
+    // keys on `c` (linear, partial-combined — a 100 TB vocab never
+    // broadcasts); corpus total is a broadcast 1-row frame. Same
+    // round-4dp + 1e4-integer-sum float portability as q80.
+    "q106_bigram_logprob" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |), pr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> {'p': toks[i], 'c': toks[i+1]}), recursive := true)
+        |  FROM t WHERE len(toks) >= 2
+        |), dp AS (
+        |  SELECT doc_id, p, c, COUNT(*) AS cnt FROM pr GROUP BY doc_id, p, c
+        |), train AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE ${hashSql("CAST(doc_id AS VARCHAR) || ':lm'")} % 10 < 9
+        |), tb AS (
+        |  SELECT p, c, SUM(cnt) AS bcnt FROM dp JOIN train USING (doc_id) GROUP BY p, c
+        |), tuc AS (
+        |  SELECT tok, COUNT(*) AS ucnt
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u JOIN train USING (doc_id)
+        |  GROUP BY tok
+        |), tot AS (
+        |  SELECT SUM(ucnt) AS total FROM tuc
+        |), model AS (
+        |  SELECT p, c, round(ln(CAST(bcnt AS DOUBLE) / CAST(ucnt AS DOUBLE)), 4) AS lp
+        |  FROM tb JOIN tuc ON tb.p = tuc.tok
+        |), sc AS (
+        |  SELECT dp.doc_id, dp.cnt, model.lp AS lp_pair,
+        |    round(ln(0.4 * CAST(COALESCE(cu.ucnt, 1) AS DOUBLE) / CAST(tot.total AS DOUBLE)), 4) AS lp_back
+        |  FROM dp LEFT JOIN model USING (p, c)
+        |  LEFT JOIN tuc cu ON dp.c = cu.tok
+        |  CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(round(SUM(cnt * COALESCE(lp_pair, lp_back)) * 10000, 0) AS BIGINT) AS logprob_1e4_sum,
+        |  CAST(SUM(CASE WHEN lp_pair IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_backoff
+        |FROM sc GROUP BY doc_id
+        |""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+      val isTrain = Sampling.saltedHash32(col("doc_id"), "lm") % 10 < 9
+      val pairs = base.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), isTrain.as("tr"),
+          explode(arrays_zip(
+            slice(col("toks"), lit(1), size(col("toks")) - 1).as("p"),
+            slice(col("toks"), lit(2), size(col("toks")) - 1).as("c"))).as("pc"))
+        .select(col("doc_id"), col("tr"), col("pc.p").as("p"), col("pc.c").as("c"))
+      val docPairs = pairs.groupBy(col("doc_id"), col("tr"), col("p"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val bigrams = docPairs.filter(col("tr"))
+        .groupBy(col("p"), col("c")).agg(sum(col("cnt")).as("bcnt"))
+      val unigrams = base.filter(isTrain)
+        .select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+      val total = unigrams.agg(sum(col("ucnt")).as("total"))
+      val model = bigrams.join(unigrams, col("p") === col("tok"))
+        .select(col("p"), col("c"),
+          round(log(col("bcnt").cast("double") / col("ucnt").cast("double")), 4).as("lp"))
+      docPairs
+        .join(model, Seq("p", "c"), "left")
+        .join(unigrams.withColumnRenamed("tok", "c").withColumnRenamed("ucnt", "cu"),
+          Seq("c"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("cnt"),
+          col("lp").as("lp_pair"),
+          round(log(lit(0.4) * coalesce(col("cu"), lit(1L)).cast("double")
+            / col("total").cast("double")), 4).as("lp_back"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("n_bigrams"),
+          round(sum(col("cnt") * coalesce(col("lp_pair"), col("lp_back"))) * 10000, 0)
+            .cast("long").as("logprob_1e4_sum"),
+          sum(when(col("lp_pair").isNull, col("cnt")).otherwise(lit(0L)))
+            .cast("long").as("n_backoff"))
+    },
+
     // q81: incremental dedup — the per-sync flow a living corpus actually
     // runs: dedupe the NEW batch against the existing corpus (and within
     // itself) without ever rescanning corpus bodies. The batch split is a
