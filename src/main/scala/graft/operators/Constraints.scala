@@ -43,6 +43,31 @@ object Constraints {
       .select(lit(checkName).as("check_name"), col("n_checked"), col("n_violations"))
   }
 
+  /** N referential checks against ONE scan of the child — the shape that
+    * matters when the child is the fact table: project all checked keys,
+    * broadcast-probe every parent key set in the same pass, and stack the
+    * per-check counters out of a single aggregate row. At 100 TB the
+    * dimension scans are noise but the fact table must be read once, not
+    * once per FK. Specs: (checkName, childKey, parent, parentKey). */
+  def referentialAll(child: DataFrame,
+                     specs: Seq[(String, String, DataFrame, String)]): DataFrame = {
+    require(specs.nonEmpty, "referentialAll: need at least one check")
+    val projected = child.select(specs.map(_._2).distinct.map(col): _*)
+    val joined = specs.zipWithIndex.foldLeft(projected) { case (df, ((_, ck, parent, pk), i)) =>
+      df.join(broadcast(parent.select(col(pk).as(s"__pk_$i")).distinct()),
+        col(ck) === col(s"__pk_$i"), "left")
+    }
+    val counters = specs.indices.map(i =>
+      count(when(col(s"__pk_$i").isNull, 1)).as(s"__viol_$i"))
+    val one = joined.agg(count(lit(1)).as("__n"), counters: _*)
+    val stackArgs = specs.zipWithIndex.flatMap { case ((name, _, _, _), i) =>
+      Seq(lit(name), col(s"__viol_$i"))
+    }
+    one.select(col("__n"),
+        stack((Seq(lit(specs.size)) ++ stackArgs): _*).as(Seq("check_name", "n_violations")))
+      .select(col("check_name"), col("__n").as("n_checked"), col("n_violations"))
+  }
+
   /** Union a report from individual checks (each side is one summary
     * row; the union is scan-parallel — Spark runs the legs as
     * independent stages). */

@@ -64,10 +64,16 @@ object ProfileQueries {
         .mkString("", "\nUNION ALL\n", "\n")) { (s, dir) =>
       import graft.operators.Constraints
       def t(n: String) = graft.Tables.table(s, dir, n)
+      // the three lineitem FKs probe ONE scan of the fact table
+      // (referentialAll); the orders FK and the PK checks each scan a
+      // dimension — noise at any scale
+      val (factChecks, dimChecks) = RefChecks.partition(_._2 == "lineitem")
       Constraints.report(
         PkChecks.map { case (name, tb, k) => Constraints.uniqueKey(t(tb), k, name) } ++
-        RefChecks.map { case (name, ct, ck, pt, pk) =>
-          Constraints.referential(t(ct), ck, t(pt), pk, name) })
+        dimChecks.map { case (name, ct, ck, pt, pk) =>
+          Constraints.referential(t(ct), ck, t(pt), pk, name) } :+
+        Constraints.referentialAll(t("lineitem"),
+          factChecks.map { case (name, _, ck, pt, pk) => (name, ck, t(pt), pk) }))
     },
 
     "q104_table_profile" -> QueryDef.of(

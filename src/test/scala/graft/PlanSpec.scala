@@ -64,6 +64,14 @@ class PlanSpec extends SpecBase {
     assert(shuffles == 1, s"expected exactly 1 hash exchange (trimmed rows only), got $shuffles")
   }
 
+  test("q105 scans the fact table exactly once for its three FK checks") {
+    val p = plan("q105_constraint_check")
+    val lineitemScans = p.linesIterator.count(l =>
+      (l.contains("Scan parquet") || l.contains("FileScan")) && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"3 FK probes must share one fact-table scan, got $lineitemScans scans")
+  }
+
   test("q104's profiler plans two scans and never an Expand") {
     // N count(DISTINCT) aggregates in one pass would plan an Expand —
     // every scanned row multiplied by the distinct-agg count BEFORE any
@@ -165,12 +173,12 @@ class PlanSpec extends SpecBase {
   test("nested-loop joins appear only where semantics require them") {
     // q26: brute-force ANN baseline (the point of the query); q38: rule
     // matching is non-equi (ends-with/contains) over a tiny broadcast rule
-    // table — the same per-row rule scan the reference does; q80/q93: a
-    // broadcast 1-row cross join attaching a scalar aggregate (no other
+    // table — the same per-row rule scan the reference does; q80/q93/q106:
+    // a broadcast 1-row cross join attaching a scalar aggregate (no other
     // way without a driver collect) — the range join ITSELF is the hash
-    // join RangeJoinSpec pins.
+    // join RangeJoinSpec pins, and q106's model joins are hash joins.
     val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob",
-      "q93_range_join")
+      "q93_range_join", "q106_bigram_logprob")
     val offenders = SparkEntry.queries.keys.filter { name =>
       try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
       catch { case _: Throwable => false }
