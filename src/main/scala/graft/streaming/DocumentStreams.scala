@@ -109,6 +109,20 @@ object DocumentStreams {
     * smaller hash — so consecutive micro-batches agree with the batch
     * draw over the same prefix (StreamingSpec replays 3 batches).
     */
+  /** LIVE per-language cardinality report (q86's streaming twin): HLL++
+    * sketches are deterministic (hash-based, no randomness) and their
+    * merge is commutative/associative, so the complete-mode table EQUALS
+    * batch q86 under any micro-batch split — and state per language is
+    * the ~KB sketch, constant on an open stream (exact COUNT(DISTINCT)
+    * state grows with every new distinct hash forever). */
+  def cardinalityStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("docs"),
+        approx_count_distinct(col("text_hash"), 0.02).as("approx_uniq"))
+
   def fixedKSampleStream(docs: DataFrame, k: Int = 20): DataFrame =
     docs
       .select(col("lang"), col("doc_id"),

@@ -392,6 +392,41 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("streaming cardinality report matches batch q86 across micro-batches") {
+    import graft.streaming.DocumentStreams
+    import graft.streaming.DocumentStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+
+    // HLL++ is deterministic and merge-commutative: any micro-batch split
+    // must produce the same sketch estimate as the one-shot batch
+    val docs = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[String]("lang"), r.getAs[String]("source"),
+          new Timestamp(1700000000000L + i * 1000L))
+      }
+
+    val stream = MemoryStream[Doc]
+    val query = DocumentStreams.cardinalityStream(stream.toDF())
+      .writeStream.format("memory").queryName("card_stream_test")
+      .outputMode("complete").start()
+    try {
+      val thirds = docs.grouped((docs.length + 2) / 3).toSeq
+      thirds.foreach { b => stream.addData(b.toSeq); query.processAllAvailable() }
+      val streamed = spark.table("card_stream_test")
+        .as[(String, Long, Long)].collect().toSet
+
+      val batch = SparkEntry.queries("q86_cardinality_hll")(spark, SfDir)
+        .as[(String, Long, Long)].collect().toSet
+
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(5)}, batch-only: ${(batch -- streamed).take(5)}")
+    } finally query.stop()
+  }
+
   test("streaming fixed-k sample matches batch q103 across micro-batches") {
     import graft.streaming.DocumentStreams
     import graft.streaming.DocumentStreams.Doc
