@@ -234,4 +234,43 @@ class PropertySpec extends SpecBase {
       }
     }
   }
+
+  test("bottom_k_sample equals the sort-based reference on random data") {
+    // law: for ANY (hash, id) multiset and any k, the aggregate's output
+    // is exactly the first k pairs of the (h, id)-sorted distinct-row
+    // stream — including tie groups on h and k > group size
+    import graft.functions.expressions.BottomKSample
+    val pair: Gen[(Long, Long, Long)] = for {
+      g <- Gen.choose(0L, 3L)
+      h <- Gen.choose(0L, 20L) // small range forces h-ties
+      id <- Gen.choose(0L, 1000L)
+    } yield (g, h, id)
+    val rows = cases(pair, 600).distinct
+    for (k <- Seq(1, 5, 50)) {
+      val got = rows.toDF("g", "h", "id").repartition(7)
+        .groupBy($"g").agg(BottomKSample($"h", $"id", k).as("smp"))
+        .select($"g", posexplode($"smp"))
+        .select($"g", $"pos", $"col.h", $"col.id")
+        .as[(Long, Int, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toList).toMap
+      val want = rows.groupBy(_._1).view.mapValues(
+        _.map(t => (t._2, t._3)).distinct.sorted.take(k)).toMap
+      assert(got.keySet == want.keySet)
+      for (g <- want.keySet)
+        assert(got(g) == want(g), s"k=$k group $g: ${got(g)} != ${want(g)}")
+    }
+  }
+
+  test("image grid features are invariant to partitioning and batch order") {
+    // law: the codec path is per-row pure — repartitioning the payloads
+    // (different batches, different order, different thread interleaving)
+    // must produce the identical feature set
+    import graft.operators.MediaCodec
+    val ids = cases(Gen.choose(0L, 100000L), 40).distinct.toDF("id")
+    val media = MediaCodec.renderPng(spark, ids, w = 16, h = 16)
+    def feats(parts: Int) =
+      MediaCodec.imageGridFeatures(spark, media.repartition(parts), grid = 4)
+        .collect().map(f => (f.id, f.cell, f.mean_lum)).toSet
+    assert(feats(1) == feats(13))
+  }
 }
