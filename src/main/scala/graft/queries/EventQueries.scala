@@ -140,6 +140,46 @@ object EventQueries {
         errors, "ts", hot, "w_start", "w_end", binWidth = 30L * 60 * 1000000)
         .select(col("w_start"), col("w_end"), col("w_events"),
           col("event_id"), col("ts"), col("user_id"))
+    },
+
+    // q107: FUNNEL analysis — earliest greedy progression through
+    // view → click → purchase per user (the event-analytics report
+    // sessionization doesn't answer: how far did each user get, and
+    // when). Greedy-first is the standard semantics and is optimal
+    // (the earliest stage-N completion enables the earliest stage-N+1).
+    // Plan shape: ONE exchange on user_id — events collect to a per-user
+    // time-sorted array and a single fold walks the state machine; the
+    // oracle replays the same greedy with three correlated min-joins.
+    // The array is bounded by per-user event history (fine for
+    // entity-keyed analytics; an unbounded-history corpus would run the
+    // oracle's join-chain form instead: three aggregates co-located on
+    // one user_id repartition). Stage times emit as epoch millis: ns →
+    // µs (Tables.events) → ms floors compose identically to DuckDB's
+    // epoch_ms on the raw TIMESTAMP_NS column.
+    "q107_funnel" -> QueryDef.of(
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+        |)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+        |  epoch_ms(t1) AS t1_ms, epoch_ms(t2) AS t2_ms, epoch_ms(t3) AS t3_ms
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |""".stripMargin) { (s, dir) =>
+      val stageIdx = when(col("event_type") === "view", 0)
+        .when(col("event_type") === "click", 1)
+        .when(col("event_type") === "purchase", 2)
+      graft.operators.Funnel.greedy(
+        Tables.events(s, dir), col("user_id"), unix_millis(col("ts")), stageIdx,
+        nStages = 3)
+        .withColumnRenamed("__e", "user_id")
     }
   )
 }

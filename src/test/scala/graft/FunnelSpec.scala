@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Funnel
+
+/** The greedy funnel fold: the test-table events complete every funnel
+  * (depth 3 for all 150 users), so the partial-depth and ordering arms
+  * need synthetic streams. */
+class FunnelSpec extends SpecBase {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long, Integer)]) =
+    Funnel.greedy(rows.toDF("u", "t", "k"), col("u"), col("t"), col("k"), nStages = 3)
+      .select(col("__e"), col("depth"), col("t1_ms"), col("t2_ms"), col("t3_ms"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+
+  test("every depth and the strict-order rules") {
+    val out = run(Seq(
+      ("full", 1L, 0: Integer), ("full", 2L, 1: Integer), ("full", 3L, 2: Integer),
+      // click BEFORE the first view never counts; no click after → depth 1
+      ("early_click", 1L, 1: Integer), ("early_click", 2L, 0: Integer), ("early_click", 3L, 2: Integer),
+      ("view_only", 5L, 0: Integer),
+      ("no_stage", 7L, null.asInstanceOf[Integer]),
+      // a purchase before the funnel restarts later: greedy takes t1=2
+      ("restart", 1L, 2: Integer), ("restart", 2L, 0: Integer),
+      ("restart", 3L, 1: Integer), ("restart", 4L, 2: Integer),
+      // same-time stage-2 event does NOT advance (strict >)
+      ("tie", 5L, 0: Integer), ("tie", 5L, 1: Integer), ("tie", 6L, 2: Integer)))
+    assert(out("full") == ((3L, Some(1L), Some(2L), Some(3L))))
+    // early_click's purchase@3: t2 never set, so depth stays 1
+    assert(out("early_click") == ((1L, Some(2L), None, None)))
+    assert(out("view_only") == ((1L, Some(5L), None, None)))
+    assert(out("no_stage") == ((0L, None, None, None)))
+    assert(out("restart") == ((3L, Some(2L), Some(3L), Some(4L))))
+    assert(out("tie") == ((1L, Some(5L), None, None)))
+  }
+
+  test("greedy-first beats any later start (optimality on a crafted trap)") {
+    // view@1 then view@10: starting at 10 would catch click@11 but the
+    // greedy start at 1 catches the EARLIER click@2 — and a greedy
+    // stage-2 at 2 still reaches purchase@12: greedy never loses depth
+    val out = run(Seq(
+      ("u", 1L, 0: Integer), ("u", 2L, 1: Integer), ("u", 10L, 0: Integer),
+      ("u", 11L, 1: Integer), ("u", 12L, 2: Integer)))
+    assert(out("u") == ((3L, Some(1L), Some(2L), Some(12L))))
+  }
+}
