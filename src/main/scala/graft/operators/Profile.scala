@@ -9,26 +9,26 @@ import org.apache.spark.sql.types._
   * stats; a 100 TB corpus needs the same numbers without rescanning per
   * column).
   *
-  * TWO scans total regardless of column count:
-  *   - pass A: ONE map-only aggregate row carrying row count + per-column
+  * TWO passes regardless of column count, split on a MEASURED rule
+  * (ProfProfile, 20M rows × 8 columns, noop sink — a count() sink lets
+  * Catalyst prune no-group aggregates and "measure" 97 ms):
+  *   - pass A: ONE aggregate row carrying row count + per-column
   *     non-null count and typed min/max (rendered to strings post-agg);
-  *   - pass B: unpivot to (col_name, value) and count distincts grouped
-  *     by column — Catalyst plans it as partial-distinct on
-  *     (col_name, value) before the exchange, so the wire carries each
-  *     distinct value once per partition, NEVER the raw rows.
+  *   - pass B: ONE distinct-only aggregate row — the N count(DISTINCT)
+  *     Expand rewrite, hash-aggregable, partial distinct on (gid, value)
+  *     collapsing before any exchange: 3.5–5.5 s, the fastest exact
+  *     encoding (beats an unpivot-to-(col_name, value) by ~25% — no
+  *     per-cell string render).
   *
-  * Why not one pass with N count(DISTINCT col) aggregates: multiple
-  * distinct aggregates plan through Expand, which multiplies every
-  * scanned row by the number of distinct aggregates BEFORE any combine —
-  * at 16 columns that is a 16× row blowup feeding the shuffle. The
-  * unpivot pays the same 16× only into an immediately-collapsing partial
-  * aggregate, which is the difference between wire volume O(distincts)
-  * and O(rows × cols).
+  * Why the split is load-bearing: putting the string-buffered min/max in
+  * the SAME aggregate as the distincts forces a SortAggregate over the
+  * Expand-replicated stream — a SORT of rows × (N+1) replicas — measured
+  * at 43–52 s, a 7× disaster. Keep non-hashable aggregation buffers out
+  * of any pass that Expands.
   *
-  * Floats render through DECIMAL(18,2) so the report is engine-portable
-  * (shortest-roundtrip double printing differs across engines); NDV for
-  * floats counts the rendered value — injective for fixed-2-decimal data,
-  * documented as render-space NDV otherwise.
+  * Floats render through DECIMAL(18,2) for min/max output so the report
+  * is engine-portable (shortest-roundtrip double printing differs across
+  * engines); NDV counts RAW values — no render distortion.
   */
 object Profile {
 
@@ -71,15 +71,13 @@ object Profile {
       .select(col("col_name"), col("__rows").as("n_rows"),
         (col("__rows") - col("n_vals")).as("n_nulls"), col("min_s"), col("max_s"))
 
-    // pass B: unpivot + grouped exact distinct — partial-combined on
-    // (col_name, value) before the exchange, never the multi-distinct
-    // Expand (which would multiply every scanned row by #cols pre-combine)
-    val unpivotArgs = cols.flatMap { c => Seq(lit(c), render(col(c), types(c))) }
-    val passB = base
-      .select(stack((Seq(lit(cols.size)) ++ unpivotArgs): _*)
-        .as(Seq("col_name", "v")))
-      .groupBy(col("col_name"))
-      .agg(count_distinct(col("v")).as("n_distinct"))
+    // pass B: distinct-only Expand aggregate on RAW values (hash-
+    // aggregable — no string buffers here, see scaladoc), stacked out
+    val oneD = base.agg(count_distinct(col(cols.head)).as(s"${cols.head}__d"),
+      cols.tail.map(c => count_distinct(col(c)).as(s"${c}__d")): _*)
+    val dArgs = cols.flatMap { c => Seq(lit(c), col(s"${c}__d")) }
+    val passB = oneD.select(
+      stack((Seq(lit(cols.size)) ++ dArgs): _*).as(Seq("col_name", "n_distinct")))
 
     // both sides are #cols rows — broadcast join, deterministic output
     passA.join(broadcast(passB), Seq("col_name"))
@@ -99,7 +97,7 @@ object Profile {
     val types = cols.map(c => c -> df.schema(c).dataType).toMap
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__n"),
-        approx_count_distinct(render(col(c), types(c)), rsd = 0.02).as(s"${c}__d"),
+        approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__d"),
         render(min(col(c)), types(c)).as(s"${c}__min"),
         render(max(col(c)), types(c)).as(s"${c}__max"))
     }

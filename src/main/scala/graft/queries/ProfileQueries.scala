@@ -4,9 +4,9 @@ import graft.{QueryDef, Tables}
 import graft.operators.Profile
 
 /** q104: the table profiler over the widest test table ([[graft.operators
-  * .Profile]] — two scans for any column count; see the operator scaladoc
-  * for why N count(DISTINCT) aggregates in one pass would Expand-blow-up
-  * the scan instead).
+  * .Profile]] — two passes for any column count; see the operator scaladoc
+  * for the measured pass split: string min/max buffers must stay OUT of
+  * the Expand-planned distinct pass).
   *
   * The oracle is the blunt per-column UNION ALL — 11 separate full-column
   * aggregates. That asymmetry is the point: DuckDB replays the SEMANTICS
@@ -20,15 +20,15 @@ object ProfileQueries {
   private val OthCols = Seq("l_returnflag", "l_linestatus", "l_shipdate")
   private val AllCols = IntCols ++ DblCols ++ OthCols
 
-  // per-column oracle row; floats render through DECIMAL(18,2) on both
-  // engines (shortest-roundtrip double printing is engine-specific)
+  // per-column oracle row; NDV counts RAW values; floats render through
+  // DECIMAL(18,2) for min/max output on both engines (shortest-roundtrip
+  // double printing is engine-specific)
   private def colSql(c: String, isDouble: Boolean): String = {
-    val rendered = if (isDouble) s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)" else s"CAST($c AS VARCHAR)"
     val minS = if (isDouble) s"CAST(CAST(MIN($c) AS DECIMAL(18,2)) AS VARCHAR)" else s"CAST(MIN($c) AS VARCHAR)"
     val maxS = if (isDouble) s"CAST(CAST(MAX($c) AS DECIMAL(18,2)) AS VARCHAR)" else s"CAST(MAX($c) AS VARCHAR)"
     s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
        |  COUNT(*) - COUNT($c) AS n_nulls,
-       |  COUNT(DISTINCT $rendered) AS n_distinct,
+       |  COUNT(DISTINCT $c) AS n_distinct,
        |  $minS AS min_s, $maxS AS max_s FROM lineitem""".stripMargin
   }
 

@@ -72,24 +72,26 @@ class PlanSpec extends SpecBase {
       s"3 FK probes must share one fact-table scan, got $lineitemScans scans")
   }
 
-  test("q104's profiler plans two scans and never an Expand") {
-    // N count(DISTINCT) aggregates in one pass would plan an Expand —
-    // every scanned row multiplied by the distinct-agg count BEFORE any
-    // combine. The profiler's contract is two scans (stats pass +
-    // unpivot-distinct pass) regardless of column count, with the
-    // distinct side collapsing in a partial aggregate.
+  test("q104's profiler: one scan via reused exchange; Expand only in the distinct pass") {
     // exchange reuse is an AQE runtime decision: run the query, then
-    // read the FINAL adaptive plan (the section before "Initial Plan")
+    // read the FINAL adaptive plan (the section before "Initial Plan").
+    // The distinct pass PLANS via Expand (measured fastest exact
+    // encoding); the stats pass with its string min/max buffers must
+    // stay out of it (mixed = SortAggregate over the Expand, 7x slower
+    // -- ProfProfile).
     val df = SparkEntry.queries("q104_table_profile")(spark, SfDir)
     df.collect()
     val whole = df.queryExecution.executedPlan.toString
     val p = whole.split("== Initial Plan ==")(0)
-    assert(!p.contains("Expand"), s"multi-distinct Expand leaked into the profile plan:\n${p.take(700)}")
-    // in the small-split regime both passes consume one repartition
-    // exchange, which reuse dedupes: ONE scan feeds both
     val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan"))
     assert(scans == 1, s"expected the reused-exchange single scan, got $scans:\n${p.take(900)}")
     assert(p.contains("ReusedExchange"), s"expected ReusedExchange between the two passes:\n${p.take(900)}")
+    assert(p.contains("Expand"), "distinct pass should plan via Expand")
+    // the Expand must never feed a SortAggregate (the measured disaster)
+    val expandIdx = p.indexOf("Expand")
+    assert(!p.substring(0, expandIdx).linesIterator.toList.reverse.takeWhile(!_.contains("Exchange"))
+      .exists(_.contains("SortAggregate")),
+      "no SortAggregate directly above the Expand")
   }
 
   test("q10's builder runs no data-scan job (lazy construction)") {
