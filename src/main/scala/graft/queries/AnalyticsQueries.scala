@@ -78,6 +78,36 @@ object AnalyticsQueries {
         count(col("n")).over(w).cast("long").as("trail_days"))
     },
 
+    // q112: GROUP-WISE LINEAR REGRESSION — per-event-type trend of daily
+    // volume over the month (is error volume growing?). The slope
+    // emits as an EXACT INTEGER FRACTION: num = n·Sxy − Sx·Sy,
+    // den = n·Sxx − Sx² over integer day/count sums — no float ever
+    // crosses the engine boundary, unlike regr_slope whose double
+    // rendering is engine-specific. Magnitudes: day ≈ 19.7k, 30 days →
+    // den ≈ 1e10, num ≈ 1e12 — longs throughout. One rollup + one
+    // #types-row aggregate; the regression math is free at any scale.
+    "q112_groupwise_regression" -> QueryDef.of(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS x, COUNT(*) AS y
+        |  FROM events GROUP BY event_type, x
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+        |  CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+        |FROM daily GROUP BY event_type
+        |""".stripMargin) { (s, dir) =>
+      val day = (unix_millis(col("ts")) / lit(86400000L)).cast("long")
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), day.as("x"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          (count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y")))
+            .cast("long").as("slope_num"),
+          (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x")))
+            .cast("long").as("slope_den"))
+    },
+
     // q110: PIVOT (crosstab) — documents counted lang × source with the
     // source list as explicit pivot values (deterministic column order;
     // an unlisted-values pivot runs a driver-side distinct scan first —

@@ -205,6 +205,38 @@ object SamplingQueries {
       TopK.topKWithRank(scored, col("lang"), Seq(col("h"), col("doc_id")), k = 20,
           rankName = "rk")
         .select(col("doc_id"), col("lang"), col("rk").cast("long").as("smp_rank"))
+    },
+
+    // q111: WEIGHTED sampling without replacement (Efraimidis-Spirakis):
+    // per language, 20 docs drawn with probability proportional to
+    // length — the quality/importance-weighted corpus-mixing draw q103's
+    // uniform form can't express. Key = ln(u)/w with u a salted-hash
+    // uniform in (0,1): top-k by key IS an exact without-replacement
+    // weighted draw (ES 2006), deterministic under reruns, and still
+    // mergeable — so it routes through the same TopKPerKey trim. The
+    // float key never crosses the engine boundary (output is integers;
+    // u is exactly representable; ties broken by doc_id).
+    "q111_weighted_sample" -> QueryDef.of(
+      """SELECT doc_id, lang, n_chars, smp_rank FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS BIGINT) AS smp_rank
+        |  FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+        |        / n_chars AS key
+        |    FROM documents)
+        |) WHERE smp_rank <= 20
+        |""".stripMargin) { (s, dir) =>
+      import graft.operators.TopK
+      val u = (Sampling.saltedHash32(col("doc_id"), "ws").cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (log(u) / col("n_chars")).as("key"))
+      TopK.topKWithRank(scored, col("lang"), Seq(col("key").desc, col("doc_id")), k = 20,
+          rankName = "rk")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("rk").cast("long").as("smp_rank"))
     }
   )
 }

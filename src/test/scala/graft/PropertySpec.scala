@@ -273,4 +273,22 @@ class PropertySpec extends SpecBase {
         .collect().map(f => (f.id, f.cell, f.mean_lum)).toSet
     assert(feats(1) == feats(13))
   }
+
+  test("weighted bottom-k draw over-selects heavy items (ES key law)") {
+    // 200 items per group: half weight 100, half weight 1. A k=20
+    // Efraimidis-Spirakis draw should be dominated by heavy items
+    // (expected heavy share ~= 99%); uniform q103-style draws sit at 50%.
+    import graft.operators.{Sampling, TopK}
+    val df = spark.range(0, 400).select(
+      (col("id") % 2).as("g"), col("id"),
+      when(col("id") % 4 < 2, 100L).otherwise(1L).as("w"))
+    val u = (Sampling.saltedHash32(col("id"), "ws").cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val scored = df.select(col("g"), col("id"), col("w"),
+      (log(u) / col("w")).as("key"))
+    val sample = TopK.topKPerKey(scored.toDF(), Seq(col("g")),
+      Seq(col("key").desc, col("id")), k = 20)
+    val heavy = sample.filter(col("w") === 100L).count().toDouble
+    assert(heavy / 40.0 > 0.8, s"heavy share ${heavy / 40.0} should dominate")
+  }
 }
