@@ -108,6 +108,27 @@ object AnalyticsQueries {
             .cast("long").as("slope_den"))
     },
 
+    // q113: ROLLUP (grouping sets) — doc counts and token volume at
+    // (lang, source), per-lang subtotal, and grand total in ONE pass:
+    // Catalyst plans rollup via Expand (3 replicas per row here), which
+    // is the RIGHT use of Expand — the alternative is three separate
+    // aggregation passes over the corpus. grouping_id() disambiguates
+    // subtotal rows from real NULL groups. (DuckDB's GROUPING() takes
+    // the columns; Spark's grouping_id() packs the same bits.)
+    "q113_rollup" -> QueryDef.of(
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).cast("long").as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .select(col("lang"), col("source"), col("gid"), col("docs"), col("chars"))
+    },
+
     // q110: PIVOT (crosstab) — documents counted lang × source with the
     // source list as explicit pivot values (deterministic column order;
     // an unlisted-values pivot runs a driver-side distinct scan first —
