@@ -26,6 +26,9 @@ object SamplingQueries {
 
   private def rate8 = Sampling.mixingRate8(col("lang"))
 
+  private val stopList =
+    graft.operators.TextAnalysis.EnglishStopwords.map(s => s"'$s'").mkString(", ")
+
   private val rate8Sql =
     "CASE WHEN lang = 'en' THEN 4 WHEN lang IN ('zh','es','de','fr') THEN 2 ELSE 1 END"
 
@@ -237,6 +240,38 @@ object SamplingQueries {
           rankName = "rk")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("rk").cast("long").as("smp_rank"))
+    },
+
+    // q114: CURRICULUM buckets — per-language quality deciles via
+    // ntile(10): the stage assignment a curriculum-ordered training run
+    // reads (easy→hard = decile order), and the equal-population cut
+    // quantile bucketing can't give on skewed scores. Deterministic
+    // because the order key is total (quality is 4dp-rounded, doc_id
+    // tie-break); one exchange on lang. At 100 TB the same assignment
+    // comes from percentile_approx bounds + a map-side bucket lookup —
+    // the window is the small/medium-stratum form.
+    "q114_curriculum_buckets" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang,
+        |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS BIGINT) AS bucket
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    round((CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks)) * 0.5
+        |          + (CAST(least(len(toks), 100) AS DOUBLE) / 100.0) * 0.5, 4) AS quality
+        |  FROM t)
+        |""".stripMargin) { (s, dir) =>
+      import graft.operators.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      val toks = graft.functions.F.tokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextAnalysis.qualityScore(toks).as("quality"))
+      scored.select(col("doc_id"), col("lang"),
+        ntile(10).over(Window.partitionBy(col("lang"))
+          .orderBy(col("quality"), col("doc_id"))).cast("long").as("bucket"))
     }
   )
 }

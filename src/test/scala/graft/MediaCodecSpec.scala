@@ -49,6 +49,24 @@ class MediaCodecSpec extends SpecBase {
     assert(math.abs(c0.mean_lum - sum / 15) < 1e-9)
   }
 
+  test("BMP payloads decode through the same path (format-agnostic consumer)") {
+    // ImageIO sniffs the container from the bytes — the decoder never
+    // branches on format; a 24-bit BMP (also lossless) must produce the
+    // same features as its PNG twin
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, (x * 30 << 16) | (y * 30 << 8) | ((x + y) * 15))
+    val png = new ByteArrayOutputStream(); ImageIO.write(img, "png", png)
+    val bmp = new ByteArrayOutputStream(); ImageIO.write(img, "bmp", bmp)
+    assert(!png.toByteArray.sameElements(bmp.toByteArray))
+    val media = Seq(Payload(1L, png.toByteArray), Payload(2L, bmp.toByteArray)).toDS()
+    val feats = MediaCodec.imageGridFeatures(spark, media, grid = 2).collect()
+    val byId = feats.groupBy(_.id)
+    assert(byId(1L).map(f => (f.cell, f.mean_lum)).toSet ==
+      byId(2L).map(f => (f.cell, f.mean_lum)).toSet,
+      "lossless containers must decode to identical features")
+  }
+
   test("undecodable image payloads are dropped, not fatal") {
     val media = Seq(
       Payload(1L, Array[Byte](1, 2, 3, 4)),
