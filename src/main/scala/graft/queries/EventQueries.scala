@@ -153,9 +153,12 @@ object EventQueries {
     // The array is bounded by per-user event history (fine for
     // entity-keyed analytics; an unbounded-history corpus would run the
     // oracle's join-chain form instead: three aggregates co-located on
-    // one user_id repartition). Stage times emit as epoch millis: ns →
-    // µs (Tables.events) → ms floors compose identically to DuckDB's
-    // epoch_ms on the raw TIMESTAMP_NS column.
+    // one user_id repartition — measured ~1.5× slower, ProfFunnel).
+    // Stage times emit as epoch MICROS — the exact precision the loader
+    // produces (ns → µs floor, Tables.events), composing identically to
+    // DuckDB's epoch_us on the raw TIMESTAMP_NS column, so the strict-
+    // order comparisons run at full stored precision on both engines
+    // (and the data has no (user, µs) collisions at any SF anyway).
     "q107_funnel" -> QueryDef.of(
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -169,7 +172,7 @@ object EventQueries {
         |SELECT u.user_id,
         |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
         |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
-        |  epoch_ms(t1) AS t1_ms, epoch_ms(t2) AS t2_ms, epoch_ms(t3) AS t3_ms
+        |  epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |""".stripMargin) { (s, dir) =>
@@ -177,9 +180,11 @@ object EventQueries {
         .when(col("event_type") === "click", 1)
         .when(col("event_type") === "purchase", 2)
       graft.operators.Funnel.greedy(
-        Tables.events(s, dir), col("user_id"), unix_millis(col("ts")), stageIdx,
+        Tables.events(s, dir), col("user_id"), unix_micros(col("ts")), stageIdx,
         nStages = 3)
         .withColumnRenamed("__e", "user_id")
+        .withColumnRenamed("t1_ms", "t1_us").withColumnRenamed("t2_ms", "t2_us")
+        .withColumnRenamed("t3_ms", "t3_us")
     }
   )
 }
