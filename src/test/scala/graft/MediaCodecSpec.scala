@@ -93,6 +93,29 @@ class MediaCodecSpec extends SpecBase {
     }
   }
 
+  test("AIFF payloads decode through the big-endian branch with identical features") {
+    // AIFF stores PCM big-endian; AudioSystem reports it via
+    // fmt.isBigEndian and the decoder must flip byte order — the branch
+    // a WAV-only test never executes. Same samples → same features.
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioFileFormat, AudioSystem}
+    val n = 512
+    val pcmBE = java.nio.ByteBuffer.allocate(n * 2).order(java.nio.ByteOrder.BIG_ENDIAN)
+    for (t <- 0 until n) pcmBE.putShort(MediaCodec.sample(42L, t).toShort)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, true)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBE.array()), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.AIFF, out)
+
+    val wav = MediaCodec.renderWav(spark, Seq(42L).toDF("id"), n = 512, sampleRate = 8000)
+    val aiff = Seq(Payload(42L, out.toByteArray)).toDS()
+    def feats(m: org.apache.spark.sql.Dataset[Payload]) =
+      MediaCodec.audioFrameFeatures(spark, m, window = 256)
+        .collect().map(f => (f.frame, f.mean_square, f.zero_cross)).toSet
+    assert(feats(aiff) == feats(wav),
+      "big-endian AIFF must decode to the same features as little-endian WAV")
+  }
+
   test("non-WAV audio payloads are dropped, not fatal") {
     val media = Seq(Payload(1L, Array.fill[Byte](64)(0x41))).toDS()
     assert(MediaCodec.audioFrameFeatures(spark, media, window = 256).count() == 0)

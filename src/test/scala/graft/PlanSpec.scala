@@ -72,6 +72,17 @@ class PlanSpec extends SpecBase {
       s"3 FK probes must share one fact-table scan, got $lineitemScans scans")
   }
 
+  test("q107's funnel runs in exactly one exchange") {
+    // the fold realization's whole point (ProfFunnel: ~1.5x over the
+    // join chain): events shuffle once on user_id, the sort happens
+    // inside sort_array per group, and no join ever touches the events
+    val p = plan("q107_funnel")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(shuffles == 1, s"expected exactly 1 exchange, got $shuffles")
+    assert(!p.contains("Join"), "the fold form must not join")
+  }
+
   test("q104's profiler: one scan via reused exchange; Expand only in the distinct pass") {
     // exchange reuse is an AQE runtime decision: run the query, then
     // read the FINAL adaptive plan (the section before "Initial Plan").
