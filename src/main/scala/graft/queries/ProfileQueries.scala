@@ -76,6 +76,44 @@ object ProfileQueries {
           factChecks.map { case (name, _, ck, pt, pk) => (name, ck, t(pt), pk) }))
     },
 
+    // q115: PROFILE DRIFT — the per-column monitoring report between two
+    // corpus snapshots (q87 tells WHICH docs changed; this tells whether
+    // the SHAPE of each column moved: volume, nulls, cardinality). Pure
+    // composition: Profile.profile over each q87-style snapshot, joined
+    // on col_name — operator reuse is the point. Drift thresholds on
+    // these deltas are what a production pipeline alerts on.
+    "q115_profile_drift" -> QueryDef.of {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val legs = cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  (SELECT COUNT($c) FROM v1) AS n1, (SELECT COUNT($c) FROM v2) AS n2,
+           |  (SELECT COUNT(DISTINCT $c) FROM v1) AS ndv1,
+           |  (SELECT COUNT(DISTINCT $c) FROM v2) AS ndv2""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\n")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v'), 1, 8)) AS BIGINT) % 10 AS slot
+         |  FROM documents
+         |), v1 AS (SELECT * FROM base WHERE slot <> 0),
+         |v2 AS (SELECT * FROM base WHERE slot <> 1)
+         |$legs""".stripMargin
+    } { (s, dir) =>
+      import graft.operators.{Profile, Sampling}
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val base = Tables.documents(s, dir)
+        .withColumn("slot",
+          Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":v"))) % 10)
+      def prof(snap: org.apache.spark.sql.DataFrame, suffix: String) =
+        Profile.profile(snap, cols, repartitionTo = Some(s.sparkContext.defaultParallelism))
+          .select(col("col_name"),
+            (col("n_rows") - col("n_nulls")).as("n" + suffix),
+            col("n_distinct").as("ndv" + suffix))
+      prof(base.filter(col("slot") =!= 0), "1")
+        .join(prof(base.filter(col("slot") =!= 1), "2"), "col_name")
+        .select(col("col_name"), col("n1"), col("n2"), col("ndv1"), col("ndv2"))
+    },
+
     "q104_table_profile" -> QueryDef.of(
       AllCols.map(c => colSql(c, DblCols.contains(c))).mkString("", "\nUNION ALL\n", "\n")) {
       (s, dir) => Profile.profile(Tables.lineitem(s, dir), AllCols,
