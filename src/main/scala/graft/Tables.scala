@@ -24,23 +24,36 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and
-    * truncate to microsecond timestamps — the same floor-truncation DuckDB
-    * applies when converting TIMESTAMP_NS, so oracles stay exact.
+  /** `events.ts` has shipped in two parquet layouts across driver data
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long via the legacy conf and floor-truncate
+    * to micros, the same truncation DuckDB applies to TIMESTAMP_NS) and
+    * plain TIMESTAMP(MICROS, unadjusted) (which resolves natively as
+    * TIMESTAMP_NTZ). Dispatch on the footer-resolved type and normalize
+    * BOTH to session-timezone TIMESTAMP — the engine runs UTC, so the
+    * NTZ→LTZ cast is instant-preserving and every downstream plan,
+    * written schema, and oracle (`epoch_ms`/`epoch_us`) sees the exact
+    * values either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Scope the legacy conf to this read: schema resolution happens
     // eagerly inside spark.read.parquet, so set/restore cannot leak the
-    // setting into unrelated reads in the same session.
+    // setting into unrelated reads in the same session. (With a MICROS
+    // footer the conf is a no-op.)
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try
-      table(spark, dir, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    finally prev match {
+    try {
+      val raw = table(spark, dir, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      }
+    } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }

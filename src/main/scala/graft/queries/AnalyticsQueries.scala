@@ -129,6 +129,27 @@ object AnalyticsQueries {
         .select(col("lang"), col("source"), col("gid"), col("docs"), col("chars"))
     },
 
+    // q116: CUBE — q113's rollup plus the per-source subtotal slice, i.e.
+    // all four grouping sets of (lang, source) in ONE Expand pass (4
+    // replicas per row). The marginal cost over ROLLUP is one more
+    // replica, still strictly cheaper than the four separate corpus
+    // passes it replaces; partial-combines collapse every grouping set
+    // before the single exchange, so the shuffle carries group-sized
+    // rows for all four sets at once.
+    "q116_cube" -> QueryDef.of(
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).cast("long").as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .select(col("lang"), col("source"), col("gid"), col("docs"), col("chars"))
+    },
+
     // q110: PIVOT (crosstab) — documents counted lang × source with the
     // source list as explicit pivot values (deterministic column order;
     // an unlisted-values pivot runs a driver-side distinct scan first —
