@@ -203,6 +203,47 @@ object CleaningQueries {
           round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
           round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
           round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+    },
+
+    // q120: LENGTH-OUTLIER report — documents whose length deviates from
+    // their language's distribution (truncated crawls, concatenation
+    // bugs, boilerplate walls: the anomaly pass next to q74's quantile
+    // report). The z² test runs as an EXACT INTEGER inequality:
+    // z² > k  ⇔  (n·x − S)² > k·(n·Sxx − S²) over the per-language
+    // (count, sum, sum-of-squares) — no float division or sqrt crosses
+    // the engine boundary. k = 2 here: the synthetic corpus is uniform
+    // per language (max |z| = √3 ≈ 1.73), so the classical 3σ gate is
+    // structurally empty — the threshold is a parameter, the shape is
+    // the operator. One corpus scan for the stats (partial-combined,
+    // #langs rows), broadcast back, filter — map-side everything else.
+    // At extreme corpus sizes (n·Sxx approaching 2^63) the sums move to
+    // DECIMAL(38,0); longs are exact at any realistic per-doc length.
+    "q120_length_outliers" -> QueryDef.of(
+      """WITH st AS (
+        |  SELECT lang, COUNT(*) AS n, SUM(n_chars) AS s,
+        |    SUM(n_chars * n_chars) AS sxx
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |  CAST(st.n * d.n_chars - st.s AS BIGINT) AS dev_num,
+        |  CAST(st.n AS BIGINT) AS n_lang
+        |FROM documents d JOIN st USING (lang)
+        |WHERE st.n >= 2 AND (st.n * d.n_chars - st.s) * (st.n * d.n_chars - st.s)
+        |  > 2 * (st.n * st.sxx - st.s * st.s)
+        |""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val st = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      val dev = col("n") * col("n_chars") - col("s")
+      docs.join(broadcast(st), "lang")
+        .filter(col("n") >= 2 &&
+          dev * dev > lit(2L) * (col("n") * col("sxx") - col("s") * col("s")))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          dev.cast("long").as("dev_num"),
+          col("n").cast("long").as("n_lang"))
     }
   )
 }

@@ -674,6 +674,100 @@ object CorpusQueries {
     // reader layout verifies. One partial-combined aggregate, 16 output
     // rows; SourcesSpec pins manifest-from-files ≡ this query after a
     // real write→read round trip.
+    // q117: INVERTED INDEX build — token → document frequency + the
+    // first-16 posting sample, the search/retrieval artifact next to
+    // q42's autocomplete corpus. Scale shapes: (doc, tok) pre-distincts
+    // with map-side partial combine before any aggregation; df is a
+    // plain count; the posting sample goes through the mergeable
+    // [[graft.functions.expressions.BottomKSample]] aggregate, so the
+    // shuffle carries ≤16 postings per token per partition — a stopword
+    // token with a billion postings costs the exchange exactly what a
+    // rare token costs. (Full posting lists at scale are stored SHARDED
+    // — q82's assignment — never as one array row; the capped sample is
+    // the browsable index surface.) Oracle replays with an ordered list
+    // slice.
+    "q117_inverted_index" -> QueryDef.of(
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  WHERE len(tok) >= 3
+         |)
+         |SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         |  array_to_string((list(doc_id ORDER BY doc_id))[1:16], ',') AS postings
+         |FROM dt GROUP BY tok
+         |""".stripMargin) { (s, dir) =>
+      import graft.functions.expressions.BottomKSample
+      val dt = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(F.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 3)
+        .distinct()
+      dt.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("df"),
+          BottomKSample(col("doc_id"), col("doc_id"), 16).as("smp"))
+        .select(col("tok"), col("df"),
+          // CSV-serialized: the driver's pandas compare can't sort list
+          // columns (same contract as q04's set aggregation outputs)
+          expr("array_join(transform(smp, x -> x.id), ',')").as("postings"))
+    },
+
+    // q118: TOKEN CO-OCCURRENCE counts — the PMI/word-association input
+    // (collocation mining, embedding-training statistics). Emits the
+    // EXACT INTEGER components (c_ab, c_a, c_b, n_docs) — PMI itself is
+    // log(n·c_ab/(c_a·c_b)), a client-side divide of these; no float
+    // ever crosses the engine boundary (the q112 fraction posture).
+    // Scale shapes: the quadratic step (per-document token pairing) is
+    // bounded by the VOCABULARY band, not the corpus — tokens below
+    // minDF drop before pairing, and on a real corpus the band also
+    // caps ubiquitous stopwords (this synthetic corpus is 30 tokens of
+    // all-stopwords, so the upper cut is left open to keep the report
+    // non-empty; the df≥5 gate is the structural guard). Pair counts
+    // partial-combine; c_a/c_b ride the pair rows as min() so no second
+    // join against the frequency table is needed; n_docs joins as a
+    // broadcast 1-row frame (never a driver collect).
+    "q118_cooccurrence" -> QueryDef.of(
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  WHERE len(tok) >= 3
+         |), dfreq AS (
+         |  SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok
+         |), kept AS (
+         |  SELECT dt.doc_id, dt.tok, dfreq.c
+         |  FROM dt JOIN dfreq USING (tok) WHERE dfreq.c >= 5
+         |), pairs AS (
+         |  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab,
+         |    MIN(a.c) AS c_a, MIN(b.c) AS c_b
+         |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY tok_a, tok_b
+         |)
+         |SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab,
+         |  CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+         |  CAST(n.n_docs AS BIGINT) AS n_docs
+         |FROM pairs, (SELECT COUNT(*) AS n_docs FROM documents) n
+         |WHERE c_ab >= 5
+         |""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dt = docs
+        .select(col("doc_id"), explode(F.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 3)
+        .distinct()
+      val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val kept = dt.join(dfreq.filter(col("c") >= 5), "tok")
+      val a = kept.select(col("doc_id"), col("tok").as("tok_a"), col("c").as("ca"))
+      val b = kept.select(col("doc_id").as("doc_id_b"), col("tok").as("tok_b"),
+        col("c").as("cb"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      a.join(b, col("doc_id") === col("doc_id_b") && col("tok_a") < col("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b"))
+        .agg(count(lit(1)).cast("long").as("c_ab"),
+          min(col("ca")).cast("long").as("c_a"),
+          min(col("cb")).cast("long").as("c_b"))
+        .filter(col("c_ab") >= 5)
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
+          col("n_docs").cast("long").as("n_docs"))
+    },
+
     "q100_shard_manifest" -> QueryDef.of(
       s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
