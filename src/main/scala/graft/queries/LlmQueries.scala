@@ -315,6 +315,32 @@ object LlmQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     },
 
+    // q119: CLUSTER-BALANCED draw — the diversity-sampling step of an
+    // eval-set/curation pipeline: partition the corpus semantically
+    // (the SAME coarse k-means quantizer q40's IVF index already
+    // maintains — one trained model serves both ANN search and
+    // diversity sampling, the index-lifecycle point) and cap the draw
+    // per cluster, so no semantic region dominates the sample no matter
+    // how skewed the corpus is. Per-cluster winners are the salted-hash
+    // bottom-k (rerun-deterministic, mergeable — ≤cap ids per cluster
+    // per partition reach the exchange). Rows-only: k-means centroids
+    // are float-iterative; SimilaritySpec pins determinism, cover,
+    // cap arithmetic, and kept-ids membership.
+    "q119_cluster_balance" -> QueryDef.rowsOnly { (s, dir) =>
+      import graft.functions.expressions.BottomKSample
+      import graft.operators.Sampling
+      val cap = 16
+      val assigned = Similarity.ivfIndex(Tables.embeddings(s, dir)).assigned
+      assigned
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          BottomKSample(Sampling.saltedHash32(col("vec_id"), "balance"),
+            col("vec_id"), cap).as("smp"))
+        .select(col("cell").cast("long").as("cluster"), col("n_members"),
+          least(col("n_members"), lit(cap.toLong)).as("n_kept"),
+          expr("array_join(transform(smp, x -> x.id), ',')").as("kept_ids"))
+    },
+
     // q59: embedding-cosine near-dup PAIRS — the threshold-dedup shape
     // (q26/q27/q40 are top-k). Hyperplane-sign blocking bounds the join
     // (never an unblocked cross product); pairs within a bucket score

@@ -211,6 +211,54 @@ object EventStreams {
     t
   }
 
+  case class FunnelProgress(user_id: Long, depth: Long,
+                            t1_us: Option[Long], t2_us: Option[Long], t3_us: Option[Long])
+
+  /** Streaming funnel twin (of batch q107 / [[graft.operators.Funnel]]):
+    * the live "how far has each user progressed" dashboard. Per-user
+    * state is exactly `nStages` longs (the earliest greedy stage times —
+    * HARD-bounded per key on an open stream, unlike the batch operator's
+    * per-user event array), updated by folding each micro-batch's events
+    * in event-time order and emitted in UPDATE mode.
+    *
+    * Streaming-legal contract: greedy funnel folds compose — greedy over
+    * (prefix ++ suffix) = greedy-from-state over suffix — so on an
+    * in-order replay the final per-user rows equal the batch operator
+    * exactly (StreamingSpec). Out-of-order arrivals within one
+    * micro-batch are handled by the in-batch sort; an event arriving
+    * AFTER a later-stage event already consumed its slot is the one
+    * divergence from batch (the batch form sees the global order), the
+    * same contract the as-of twin documents.
+    */
+  def funnelStream(spark: SparkSession, events: Dataset[Event],
+                   stages: Seq[String]): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(stages.size == 3, "funnelStream: the typed output row carries 3 stages")
+    val M = Long.MaxValue
+    val stageOf: Map[String, Int] = stages.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Array[Long], FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array.fill(stages.size)(M))
+          val sorted = rows.toSeq
+            .map(e => (toMicros(e.ts), stageOf.getOrElse(e.event_type, -1)))
+            .sortBy(x => (x._1, x._2))
+          for ((t, k) <- sorted if k >= 0) {
+            // strict-> ordering after the previous stage, first hit wins —
+            // the same advance rule as Funnel.greedy
+            if (k == 0) { if (st(0) == M) st(0) = t }
+            else if (st(k) == M && st(k - 1) != M && t > st(k - 1)) st(k) = t
+          }
+          state.update(st)
+          val depth = st.count(_ != M).toLong // stages fill in order
+          FunnelProgress(uid, depth,
+            if (st(0) == M) None else Some(st(0)),
+            if (st(1) == M) None else Some(st(1)),
+            if (st(2) == M) None else Some(st(2)))
+      }
+  }
+
   /** Custom-state sessionization with flatMapGroupsWithState — the shape
     * for session logic the built-in window can't express (per-session
     * ordinals, custom emission rules).

@@ -186,12 +186,13 @@ class PlanSpec extends SpecBase {
   test("nested-loop joins appear only where semantics require them") {
     // q26: brute-force ANN baseline (the point of the query); q38: rule
     // matching is non-equi (ends-with/contains) over a tiny broadcast rule
-    // table — the same per-row rule scan the reference does; q80/q93/q106:
-    // a broadcast 1-row cross join attaching a scalar aggregate (no other
-    // way without a driver collect) — the range join ITSELF is the hash
-    // join RangeJoinSpec pins, and q106's model joins are hash joins.
+    // table — the same per-row rule scan the reference does; q80/q93/q106/
+    // q118: a broadcast 1-row cross join attaching a scalar aggregate (no
+    // other way without a driver collect) — the range join ITSELF is the
+    // hash join RangeJoinSpec pins, q106's model joins are hash joins, and
+    // q118's pairing join is an equi-join on doc_id.
     val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob",
-      "q93_range_join", "q106_bigram_logprob")
+      "q93_range_join", "q106_bigram_logprob", "q118_cooccurrence")
     val offenders = SparkEntry.queries.keys.filter { name =>
       try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
       catch { case _: Throwable => false }

@@ -51,6 +51,30 @@ class SimilaritySpec extends SpecBase {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("q119 cluster-balanced draw: cover, cap arithmetic, membership, determinism") {
+    val q = graft.queries.LlmQueries.defs("q119_cluster_balance").build
+    val out = q(spark, SfDir).collect()
+    val nVecs = emb.count()
+    // every vector lands in exactly one cluster
+    assert(out.map(_.getAs[Long]("n_members")).sum == nVecs)
+    // cap arithmetic + kept ids: n_kept == min(n_members, 16) and the CSV
+    // carries exactly n_kept distinct member ids
+    val assigned = Similarity.ivfIndex(emb).assigned
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    out.foreach { r =>
+      val cluster = r.getAs[Long]("cluster").toInt
+      val kept = r.getAs[String]("kept_ids").split(',').map(_.toLong)
+      assert(r.getAs[Long]("n_kept") == math.min(r.getAs[Long]("n_members"), 16L))
+      assert(kept.length == r.getAs[Long]("n_kept"))
+      assert(kept.distinct.length == kept.length)
+      assert(kept.forall(assigned(cluster).contains))
+    }
+    // rerun-deterministic (the draw is salted-hash, never rand())
+    val again = q(spark, SfDir).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("hyperplane buckets are deterministic across invocations") {
     val b1 = emb.select(Similarity.hyperplaneBucket($"embedding", 64, 8).as("b")).collect().map(_.getLong(0))
     val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 64, 8).as("b")).collect().map(_.getLong(0))

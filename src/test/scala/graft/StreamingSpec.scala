@@ -499,4 +499,36 @@ class StreamingSpec extends SpecBase {
         s"stream-only: ${(streamed -- batch).take(5)}, batch-only: ${(batch -- streamed).take(5)}")
     } finally query.stop()
   }
+
+  test("streaming funnel matches batch q107 on an in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // micros-precision in-order replay (getTime alone floors to ms and
+    // could misorder same-ms events at a chunk boundary)
+    val events = loadEvents()
+      .sortBy(e => ((e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000, e.event_id))
+
+    val stream = MemoryStream[Event]
+    val out = EventStreams.funnelStream(spark, stream.toDS(),
+      stages = Seq("view", "click", "purchase"))
+    val query = out.writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode("update").start()
+    try {
+      events.grouped((events.size + 3) / 4).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      // update mode re-emits a user's row per touched micro-batch: the
+      // LAST emission per user is the live dashboard value
+      val streamed = spark.table("funnel_stream_test")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.get(2), r.get(3), r.get(4))))
+        .toMap // later emissions overwrite — memory sink appends in batch order
+      val batch = SparkEntry.queries("q107_funnel")(spark, SfDir)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          (r.getAs[Long]("depth"), r.get(2), r.get(3), r.get(4)))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${(streamed.toSet -- batch.toSet).take(5)}, " +
+          s"batch-only: ${(batch.toSet -- streamed.toSet).take(5)}")
+    } finally query.stop()
+  }
 }
