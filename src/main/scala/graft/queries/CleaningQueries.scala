@@ -205,6 +205,26 @@ object CleaningQueries {
           round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
     },
 
+    // q121: the 100 TB form of q74, shipped as real code rather than a
+    // comment — percentile_approx (GK sketch: one pass, MERGEABLE,
+    // bounded memory) in place of exact percentile (which buffers every
+    // value per group). Rows-only: the sketch's answer is
+    // accuracy-parametrized, not engine-portable. CorpusSpec pins it
+    // against oracled q74: at accuracy 10000 with n ≤ 10000 values per
+    // group the GK sketch degenerates to exact, so the two reports must
+    // agree on the nearest-rank value (and the approx quantiles must be
+    // monotone and within [min, max] at any accuracy).
+    "q121_length_stats_approx" -> QueryDef.rowsOnly { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("p90"),
+          percentile_approx(col("n_chars"), lit(0.99), lit(10000)).as("p99"))
+    },
+
     // q120: LENGTH-OUTLIER report — documents whose length deviates from
     // their language's distribution (truncated crawls, concatenation
     // bugs, boilerplate walls: the anomaly pass next to q74's quantile

@@ -80,6 +80,39 @@ class CorpusSpec extends SpecBase {
     }
   }
 
+  test("q121 approx percentiles agree with exact q74 in the degenerate-exact regime") {
+    // accuracy 10000 > any per-language group size here, so the GK sketch
+    // holds every value and answers the exact nearest-rank quantile; the
+    // continuous-interpolated q74 value brackets it within one data gap
+    val approx = q("q121_length_stats_approx")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val exact = q("q74_length_stats")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(approx.keySet == exact.keySet)
+    val byLang = Tables.documents(spark, SfDir)
+      .select($"lang", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (lang, (docs, chars, p50, p90, p99)) =>
+      val (eDocs, eChars, e50, e90, e99) = exact(lang)
+      assert(docs == eDocs && chars == eChars)
+      assert(p50 <= p90 && p90 <= p99)
+      val vs = byLang(lang)
+      assert(p50 >= vs.head && p99 <= vs.last)
+      // nearest-rank vs continuous interpolation: within one neighbor gap
+      def gapOk(a: Long, e: Double) = {
+        // neighbors by VALUE (duplicates collapse): e interpolates between
+        // a and one of its adjacent distinct data values
+        val lo = vs.filter(_ < a).lastOption.getOrElse(a)
+        val hi = vs.find(_ > a).getOrElse(a)
+        e >= lo - 1e-9 && e <= hi + 1e-9
+      }
+      assert(gapOk(p50, e50) && gapOk(p90, e90) && gapOk(p99, e99),
+        s"$lang approx ($p50,$p90,$p99) vs exact ($e50,$e90,$e99)")
+    }
+  }
+
   test("q80 logprob totals are finite and n_tokens matches an independent token count") {
     val lp = q("q80_unigram_logprob")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
