@@ -71,6 +71,51 @@ object UpdateQueries {
           col("c_custkey").as("custkey"),
           coalesce(col("new_name"), col("c_name")).as("name"),
           col("fix_id").isNotNull.as("was_fixed"))
+    },
+
+    // q122: row-validity gate (utilities/update.py:3 filter_valid_rows) —
+    // keep rows where at least one watched field is usable, before an
+    // update batch ships. Faithful to the reference's CODE, which
+    // invalidates exactly NULL, float NaN, and trim-lower == 'none'
+    // (its docstring also claims empty strings, but the code keeps them
+    // — the code is the behavior we re-express). The dirty batch is
+    // derived deterministically from `customer` (hash-mod field
+    // corruption) so the oracle reproduces it; the filter itself is one
+    // codegen'd boolean over the row — map-side, zero shuffles at any
+    // scale. Per-field validity flags ride out for the update
+    // accounting the reference logs.
+    "q122_valid_rows" -> QueryDef.of(
+      """WITH dirtied AS (
+        |  SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'None' ELSE c_mktsegment END AS segment,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS name,
+        |    CASE WHEN c_custkey % 11 = 0 THEN CAST('NaN' AS DOUBLE)
+        |         ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+        |  FROM customer
+        |), flagged AS (
+        |  SELECT id,
+        |    (segment IS NOT NULL AND lower(trim(segment)) <> 'none') AS segment_valid,
+        |    (name IS NOT NULL AND lower(trim(name)) <> 'none') AS name_valid,
+        |    (bal IS NOT NULL AND NOT isnan(bal)) AS bal_valid
+        |  FROM dirtied
+        |)
+        |SELECT id, segment_valid, name_valid, bal_valid
+        |FROM flagged WHERE segment_valid OR name_valid OR bal_valid
+        |""".stripMargin) { (s, dir) =>
+      def strValid(c: org.apache.spark.sql.Column) =
+        c.isNotNull && lower(trim(c)) =!= "none"
+      val dirtied = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        when(col("c_custkey") % 5 === 0, "None").otherwise(col("c_mktsegment")).as("segment"),
+        when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % 11 === 0, lit(Double.NaN))
+          .otherwise(col("c_acctbal").cast("double")).as("bal"))
+      dirtied.select(
+        col("id"),
+        strValid(col("segment")).as("segment_valid"),
+        strValid(col("name")).as("name_valid"),
+        (col("bal").isNotNull && !isnan(col("bal"))).as("bal_valid"))
+        .filter(col("segment_valid") || col("name_valid") || col("bal_valid"))
     }
   )
 }
