@@ -183,6 +183,33 @@ class PlanSpec extends SpecBase {
       s"snapshot diff must be an SMJ:\n${p87.take(400)}")
   }
 
+  test("q122's validity gate is map-side: zero exchanges") {
+    val p = plan("q122_valid_rows")
+    assert(!p.contains("Exchange"), s"the row gate must not shuffle:\n${p.take(500)}")
+    assert(p.contains("*(1)"), "the boolean must run inside whole-stage codegen")
+  }
+
+  test("q120's outlier filter is one stats exchange + a broadcast back") {
+    // per-language (n, S, Sxx) partial-combines into #langs rows; the
+    // corpus side joins those by broadcast — the doc-sized stream never
+    // hash-exchanges
+    val p = plan("q120_length_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n${p.take(600)}")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(shuffles == 1, s"expected 1 exchange (the #langs stats agg), got $shuffles")
+  }
+
+  test("q117's posting sample partial-aggregates before its exchange") {
+    // BottomKSample is mergeable: the partial ObjectHashAggregate must
+    // appear below the exchange so ≤16 postings per token per partition
+    // travel, and the (doc, tok) dedup collapses map-side the same way
+    val p = plan("q117_inverted_index")
+    val partials = p.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_bottom_k_sample"))
+    assert(partials >= 1, s"posting sample must partial-combine:\n${p.take(900)}")
+  }
+
   test("nested-loop joins appear only where semantics require them") {
     // q26: brute-force ANN baseline (the point of the query); q38: rule
     // matching is non-equi (ends-with/contains) over a tiny broadcast rule
