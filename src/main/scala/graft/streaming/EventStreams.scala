@@ -117,6 +117,35 @@ object EventStreams {
                        prefix: String = "asof_"): DataFrame =
     graft.operators.AsOf.asofLookup(probe, index, key, time, carryCols, prefix)
 
+  /** Streaming retention twin (of batch q108): the live cohort dashboard —
+    * per (cohort_day, day_offset) distinct-user counts as events arrive.
+    * The cohort assignment (user → signup day) is the STATIC side (a
+    * dimension snapshot, recomputed per deploy like the as-of index);
+    * the stream side distincts (user, day) through
+    * `dropDuplicatesWithinWatermark` BEFORE the join, so a user's
+    * repeat activity within a day adds no state and no output — the
+    * same pre-distinct that keeps the batch join linear. Counts then
+    * aggregate in UPDATE mode keyed by (cohort_day, day_offset) —
+    * state is one long per live report cell, not per user. Exactness
+    * contract: per-day dedup state is watermark-bounded, so an activity
+    * row arriving later than the watermark past its day re-counts (the
+    * documented dedupStream trade-off); inside the horizon the final
+    * update-mode table equals batch q108 under any micro-batch split
+    * (StreamingSpec replay).
+    */
+  def retentionStream(events: DataFrame, cohorts: DataFrame,
+                      watermark: String = "2 days"): DataFrame = {
+    val day = (unix_millis(col("ts")) / lit(86400000L)).cast("long")
+    events
+      .withColumn("day", day)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
+      .join(cohorts, "user_id") // stream-static inner equi-join
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
   /** Streaming range enrichment (twin of the q93 batch semantics): each
     * arriving point pairs with every containing interval of a STATIC
     * interval table, through the same binned encoding as the batch

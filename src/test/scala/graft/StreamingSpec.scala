@@ -500,6 +500,36 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("streaming retention matches batch q108 across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val cohorts = Tables.events(spark, SfDir)
+      .filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(min((unix_millis($"ts") / lit(86400000L)).cast("long")).as("cohort_day"))
+
+    val stream = MemoryStream[Event]
+    val out = EventStreams.retentionStream(stream.toDF(), cohorts, watermark = "400 days")
+    val query = out.writeStream.format("memory").queryName("retention_stream_test")
+      .outputMode("update").start()
+    try {
+      events.grouped((events.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      // update mode re-emits touched cells: last emission per key wins
+      val streamed = spark.table("retention_stream_test")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val batch = SparkEntry.queries("q108_retention")(spark, SfDir)
+        .collect().map(r => ((r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")),
+          r.getAs[Long]("n_users"))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${(streamed.toSet -- batch.toSet).take(5)}, " +
+          s"batch-only: ${(batch.toSet -- streamed.toSet).take(5)}")
+    } finally query.stop()
+  }
+
   test("streaming funnel matches batch q107 on an in-order replay") {
     implicit val sqlCtx = spark.sqlContext
     // micros-precision in-order replay (getTime alone floors to ms and
