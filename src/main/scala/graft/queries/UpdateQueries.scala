@@ -116,6 +116,78 @@ object UpdateQueries {
         strValid(col("name")).as("name_valid"),
         (col("bal").isNotNull && !isnan(col("bal"))).as("bal_valid"))
         .filter(col("segment_valid") || col("name_valid") || col("bal_valid"))
+    },
+
+    // q124: SCD TYPE-2 merge — q36 is the reference's SCD-1 overwrite
+    // (latest value wins, history lost); the type-2 form every
+    // warehouse keeps for auditable dimensions: a changed attribute
+    // CLOSES the open version (valid_to = batch time) and inserts a new
+    // open one, unchanged rows pass through untouched, brand-new ids
+    // open at the batch time. One full-outer join on the key decides
+    // all four fates in a single pass (no per-fate re-scan); the three
+    // outputs are projections of that one joined frame, so the union
+    // is plan-reuse, not re-computation. DECIMAL(18,2) balance
+    // comparisons — never double equality. Scale: the join shuffles on
+    // id (linear), the union adds no exchange.
+    "q124_scd2_merge" -> QueryDef.of(
+      """WITH current AS (
+        |  SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+        |    CAST(0 AS BIGINT) AS valid_from
+        |  FROM customer
+        |), batch AS (
+        |  SELECT o_custkey AS id,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+        |  FROM orders GROUP BY o_custkey
+        |), j AS (
+        |  SELECT coalesce(c.id, b.id) AS id, c.bal AS c_bal, b.bal AS b_bal,
+        |    c.valid_from AS c_from,
+        |    (c.id IS NOT NULL AND b.id IS NOT NULL AND c.bal <> b.bal) AS changed,
+        |    (c.id IS NULL) AS brand_new, (b.id IS NULL) AS untouched
+        |  FROM current c FULL OUTER JOIN batch b ON c.id = b.id
+        |)
+        |SELECT id, CAST(bal AS DOUBLE) AS bal, valid_from, valid_to, is_current FROM (
+        |  SELECT id, c_bal AS bal, c_from AS valid_from,
+        |    CAST(1000 AS BIGINT) AS valid_to, FALSE AS is_current
+        |  FROM j WHERE changed
+        |  UNION ALL
+        |  SELECT id, c_bal AS bal, c_from AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+        |  FROM j WHERE NOT changed AND NOT brand_new
+        |  UNION ALL
+        |  SELECT id, b_bal AS bal, CAST(1000 AS BIGINT) AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+        |  FROM j WHERE changed OR brand_new
+        |)
+        |""".stripMargin) { (s, dir) =>
+      val batchTs = lit(1000L)
+      val current = Tables.customer(s, dir).select(
+        col("c_custkey").as("c_id"), F.money(col("c_acctbal")).as("c_bal"),
+        lit(0L).as("c_from"))
+      val batch = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("b_id"))
+        .agg(sum(F.money(col("o_totalprice"))).cast("decimal(18,2)").as("b_bal"))
+      val j = current.join(batch, col("c_id") === col("b_id"), "full_outer")
+        .select(
+          coalesce(col("c_id"), col("b_id")).as("id"),
+          col("c_bal"), col("b_bal"), col("c_from"),
+          (col("c_id").isNotNull && col("b_id").isNotNull &&
+            col("c_bal") =!= col("b_bal")).as("changed"),
+          col("c_id").isNull.as("brand_new"),
+          col("b_id").isNull.as("untouched"))
+      val closed = j.filter(col("changed")).select(
+        col("id"), col("c_bal").as("bal"), col("c_from").as("valid_from"),
+        batchTs.as("valid_to"), lit(false).as("is_current"))
+      val stillOpen = j.filter(!col("changed") && !col("brand_new")).select(
+        col("id"), col("c_bal").as("bal"), col("c_from").as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+      val opened = j.filter(col("changed") || col("brand_new")).select(
+        col("id"), col("b_bal").as("bal"), batchTs.as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+      closed.unionAll(stillOpen).unionAll(opened)
+        // DECIMAL for the comparison, DOUBLE on the boundary (q36's rule)
+        .withColumn("bal", col("bal").cast("double"))
+        .select(col("id"), col("bal"), col("valid_from"), col("valid_to"),
+          col("is_current"))
     }
   )
 }
