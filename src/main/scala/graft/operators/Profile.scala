@@ -86,18 +86,27 @@ object Profile {
   }
 
   /** ONE-pass variant for the sketch regime: approx NDV
-    * (HyperLogLog++, rsd 2%) rides the same aggregate row as the stats,
-    * so the whole profile is a single scan with no unpivot, no second
-    * exchange, and ~KB of aggregate state per column. Sketch values are
-    * engine-specific (not oracle-replayable) — q104 registers the exact
-    * form; this is the 100 TB swap, same posture as q74's
-    * percentile_approx note. */
-  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * (HyperLogLog++) rides the same aggregate row as the stats, so the
+    * whole profile is a single scan with no unpivot, no second
+    * exchange, and bounded aggregate state per column. Sketch values
+    * are engine-specific (not oracle-replayable) — q104 registers the
+    * exact form; this is the 100 TB swap, same posture as q74's
+    * percentile_approx note.
+    *
+    * `rsd` trades precision against the aggregate ROW WIDTH, not just
+    * sketch memory: the HLL++ buffer is 2^p LONG aggregation-buffer
+    * slots PER COLUMN (rsd 0.02 → p=12 → 4096 longs × 11 columns ≈
+    * 45k buffer attributes — far past codegen field limits). Measured
+    * (ProfHllRsd, sf0.1 lineitem, 11 cols): rsd 0.02 = 2.2–3.7 s /
+    * 2.0% worst error; rsd 0.05 = 1.3 s / 6.0%; rsd 0.1 = 1.2 s
+    * (scan-bound) / 14%. Default 0.05 — the knee. */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
     val types = cols.map(c => c -> df.schema(c).dataType).toMap
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__n"),
-        approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__d"),
+        approx_count_distinct(col(c), rsd = rsd).as(s"${c}__d"),
         render(min(col(c)), types(c)).as(s"${c}__min"),
         render(max(col(c)), types(c)).as(s"${c}__max"))
     }

@@ -122,12 +122,15 @@ object ProfileQueries {
     },
 
     // q123: the 100 TB form of q104 as a registered query (the q121
-    // move): ONE scan, no unpivot, approx NDV (HLL++, rsd 2%) riding the
-    // same aggregate row as the typed stats — ~KB of mergeable state per
-    // column where the exact form buffers distinct values. Rows-only:
-    // sketch estimates are engine-specific; ProfileSpec pins exact-field
-    // equality (n_rows/n_nulls/min/max) and NDV within rsd against the
-    // oracled exact profile.
+    // move): ONE scan, no unpivot, approx NDV (HLL++, rsd 0.05 — the
+    // measured knee, see Profile.profileApprox scaladoc / ProfHllRsd:
+    // tighter rsd inflates the aggregate row width past codegen limits
+    // for a 2× slowdown) riding the same aggregate row as the typed
+    // stats — bounded mergeable state per column where the exact form
+    // buffers distinct values. Rows-only: sketch estimates are
+    // engine-specific; ProfileSpec pins exact-field equality
+    // (n_rows/n_nulls/min/max) and NDV within 3×rsd against the oracled
+    // exact profile.
     "q123_table_profile_approx" -> QueryDef.rowsOnly { (s, dir) =>
       Profile.profileApprox(Tables.lineitem(s, dir), AllCols)
     }

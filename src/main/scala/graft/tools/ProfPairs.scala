@@ -87,3 +87,36 @@ object ProfPairs {
     spark.stop()
   }
 }
+
+/** rsd sweep for the one-pass approx profiler: the HLL++ buffer is
+  * 2^p LONG aggregation-buffer slots PER COLUMN (rsd 0.02 → p=12 →
+  * 4096 longs × 11 columns ≈ 45k buffer attributes — far past codegen
+  * field limits), so precision trades directly against the aggregate's
+  * row width. Measures time + worst actual NDV error per rsd.
+  */
+object ProfHllRsd {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val li = graft.Tables.lineitem(spark, dir)
+    val exact = graft.operators.Profile.profile(li, cols)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    for (rsd <- Seq(0.02, 0.05, 0.1); round <- 1 to 2) {
+      val t0 = System.nanoTime()
+      graft.operators.Profile.profileApprox(li, cols, rsd)
+        .write.format("noop").mode("overwrite").save()
+      val ms = (System.nanoTime() - t0) / 1000000
+      val errs = graft.operators.Profile.profileApprox(li, cols, rsd)
+        .collect().map { r =>
+          val e = exact(r.getString(0)).toDouble
+          math.abs(r.getLong(3) - e) / math.max(e, 1.0)
+        }
+      println(f"RESULT rsd=$rsd round=$round ms=$ms worst_err=${errs.max}%.4f")
+    }
+    spark.stop()
+  }
+}

@@ -12,7 +12,7 @@ class ProfileSpec extends SpecBase {
     val exact = Profile.profile(Tables.lineitem(spark, SfDir), Cols)
       .collect().map(r => r.getString(0) -> r).toMap
     val approx = Profile.profileApprox(Tables.lineitem(spark, SfDir), Cols)
-      .collect().map(r => r.getString(0) -> r).toMap
+      .collect().map(r => r.getString(0) -> r).toMap // default rsd = 0.05
     assert(exact.keySet == Cols.toSet && approx.keySet == Cols.toSet)
     for (c <- Cols) {
       val (e, a) = (exact(c), approx(c))
@@ -20,8 +20,9 @@ class ProfileSpec extends SpecBase {
       assert(e.getLong(1) == a.getLong(1) && e.getLong(2) == a.getLong(2))
       assert(e.getString(4) == a.getString(4) && e.getString(5) == a.getString(5))
       val (en, an) = (e.getLong(3), a.getLong(3))
-      assert(math.abs(en - an) <= math.max(1L, (en * 0.05).toLong),
-        s"$c: approx ndv $an vs exact $en beyond 5%")
+      // 3×rsd bound (≈3σ for HLL++ at the 0.05 default)
+      assert(math.abs(en - an) <= math.max(1L, (en * 0.15).toLong),
+        s"$c: approx ndv $an vs exact $en beyond 3×rsd")
     }
   }
 
