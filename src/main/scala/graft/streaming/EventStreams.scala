@@ -88,6 +88,72 @@ object EventStreams {
     retired.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  /** foreachBatch SCD TYPE-2 sink: maintains a VERSIONED dimension table
+    * (key, values…, valid_from, valid_to, is_current) — the
+    * auditable-history twin of [[parquetUpsertSink]]'s overwrite
+    * semantics, applying q124's merge per micro-batch: a changed value
+    * CLOSES the open version (valid_to = batchId) and opens a new one,
+    * unchanged keys pass through untouched, new keys open at the batch
+    * id. Version timestamps are BATCH IDS (monotone, replay-stable);
+    * callers wanting event time pass it as a value column. Rows already
+    * closed in history are immutable — they union through without
+    * rereading their content. At most one row per key per batch is
+    * honored (extra rows resolve deterministically by value order — put
+    * `dropDuplicates` upstream for real streams). Publication reuses the
+    * pointer-file snapshot protocol: readers never see a missing or
+    * half-merged table, and a crash mid-publish leaves the old history
+    * live. O(table) rewrite per batch, like the plain upsert sink — the
+    * bucketed variant's partition-overwrite trick applies the same way
+    * if history outgrows full rewrites.
+    */
+  def parquetScd2Sink(keyCol: String, valueCols: Seq[String], outDir: String)
+                     (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    require(valueCols.nonEmpty, "scd2 sink: need at least one value column")
+    val spark = batch.sparkSession
+    val staged = java.nio.file.Paths.get(outDir, s"snapshot_$batchId")
+    val incoming = graft.operators.Relational.dedupKeepFirst(
+        batch.select((keyCol +: valueCols).map(col): _*),
+        keys = Seq(col(keyCol)),
+        order = valueCols.map(col(_).desc))
+      .select(col(keyCol).as("__bk") +: valueCols.map(c => col(c).as(s"__b_$c")): _*)
+    val merged = currentSnapshotDir(outDir) match {
+      case None =>
+        incoming.select(
+          col("__bk").as(keyCol) +: valueCols.map(c => col(s"__b_$c").as(c)) ++: Seq(
+            lit(batchId).as("valid_from"),
+            lit(null).cast("long").as("valid_to"),
+            lit(true).as("is_current")): _*)
+      case Some(live) =>
+        val hist = spark.read.parquet(live)
+        val closedHist = hist.filter(!col("is_current"))
+        val open = hist.filter(col("is_current"))
+        val j = open.join(incoming, col(keyCol) === col("__bk"), "full_outer")
+        val sameVal = struct(valueCols.map(col): _*) ===
+          struct(valueCols.map(c => col(s"__b_$c")): _*)
+        val changed = col(keyCol).isNotNull && col("__bk").isNotNull && !sameVal
+        val brandNew = col(keyCol).isNull
+        val nowClosed = j.filter(changed).select(
+          col(keyCol) +: valueCols.map(col) ++: Seq(
+            col("valid_from"), lit(batchId).as("valid_to"),
+            lit(false).as("is_current")): _*)
+        val stillOpen = j.filter(!changed && !brandNew).select(
+          col(keyCol) +: valueCols.map(col) ++: Seq(
+            col("valid_from"), col("valid_to"), col("is_current")): _*)
+        val opened = j.filter(changed || brandNew).select(
+          coalesce(col("__bk"), col(keyCol)).as(keyCol) +:
+            valueCols.map(c => col(s"__b_$c").as(c)) ++: Seq(
+            lit(batchId).as("valid_from"),
+            lit(null).cast("long").as("valid_to"),
+            lit(true).as("is_current")): _*)
+        closedHist.unionByName(nowClosed).unionByName(stillOpen).unionByName(opened)
+    }
+    merged.write.mode("overwrite").parquet(staged.toString)
+    val retired = currentSnapshotDir(outDir)
+    publishSnapshot(outDir, staged.getFileName.toString)
+    retired.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   /** Streaming exact-dedup twin (of the q22 batch semantics): keep the
     * first row per key, with dedup state BOUNDED by the watermark horizon
     * (`dropDuplicatesWithinWatermark`) instead of growing with all

@@ -500,6 +500,43 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("SCD-2 sink accumulates correct version chains across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2_sink_test").toString
+    def sink = EventStreams.parquetScd2Sink("id", Seq("bal"), dir) _
+    // batch 0: two keys; batch 1: key 1 changes, key 3 appears; batch 2:
+    // key 1 changes again, key 2 unchanged (no new version)
+    sink(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), 0L)
+    sink(Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal"), 1L)
+    sink(Seq((1L, 12.0), (2L, 20.0)).toDF("id", "bal"), 2L)
+
+    val hist = EventStreams.readCurrent(spark, dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("bal"),
+        r.getAs[Long]("valid_from"), Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Boolean]("is_current"))).toSet
+    val expected = Set(
+      (1L, 10.0, 0L, Some(1L), false),
+      (1L, 11.0, 1L, Some(2L), false),
+      (1L, 12.0, 2L, None, true),
+      (2L, 20.0, 0L, None, true), // unchanged across all batches: ONE open version
+      (3L, 30.0, 1L, None, true))
+    assert(hist == expected,
+      s"extra: ${(hist -- expected).take(5)}, missing: ${(expected -- hist).take(5)}")
+    // exactly one open version per key, and chains are contiguous
+    val open = hist.filter(_._5)
+    assert(open.map(_._1).size == open.size)
+    hist.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.toSeq.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3), s"gap in chain: $a -> $b")
+        case _ => ()
+      }
+      assert(sorted.last._5 && sorted.init.forall(!_._5))
+    }
+    // absent key in a batch must NOT close its open version: key 3 was
+    // absent from batch 2 and stays current
+    assert(hist.exists(v => v._1 == 3L && v._5))
+  }
+
   test("streaming retention matches batch q108 across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
