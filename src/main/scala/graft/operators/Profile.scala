@@ -94,9 +94,10 @@ object Profile {
     * percentile_approx note.
     *
     * `rsd` trades precision against the aggregate ROW WIDTH, not just
-    * sketch memory: the HLL++ buffer is 2^p LONG aggregation-buffer
-    * slots PER COLUMN (rsd 0.02 → p=12 → 4096 longs × 11 columns ≈
-    * 45k buffer attributes — far past codegen field limits). Measured
+    * sketch memory: the HLL++ buffer is ceil(2^p / 10) LONG
+    * aggregation-buffer slots PER COLUMN (6-bit registers, ~10 packed
+    * per long; rsd 0.02 → p=12 → ~410 longs × 11 columns ≈ 4.5k buffer
+    * attributes — far past the ~100-field codegen cutoff). Measured
     * (ProfHllRsd, sf0.1 lineitem, 11 cols): rsd 0.02 = 2.2–3.7 s /
     * 2.0% worst error; rsd 0.05 = 1.3 s / 6.0%; rsd 0.1 = 1.2 s
     * (scan-bound) / 14%. Default 0.05 — the knee. */

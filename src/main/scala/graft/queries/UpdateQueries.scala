@@ -142,7 +142,7 @@ object UpdateQueries {
         |  SELECT coalesce(c.id, b.id) AS id, c.bal AS c_bal, b.bal AS b_bal,
         |    c.valid_from AS c_from,
         |    (c.id IS NOT NULL AND b.id IS NOT NULL AND c.bal <> b.bal) AS changed,
-        |    (c.id IS NULL) AS brand_new, (b.id IS NULL) AS untouched
+        |    (c.id IS NULL) AS brand_new
         |  FROM current c FULL OUTER JOIN batch b ON c.id = b.id
         |)
         |SELECT id, CAST(bal AS DOUBLE) AS bal, valid_from, valid_to, is_current FROM (
@@ -172,8 +172,7 @@ object UpdateQueries {
           col("c_bal"), col("b_bal"), col("c_from"),
           (col("c_id").isNotNull && col("b_id").isNotNull &&
             col("c_bal") =!= col("b_bal")).as("changed"),
-          col("c_id").isNull.as("brand_new"),
-          col("b_id").isNull.as("untouched"))
+          col("c_id").isNull.as("brand_new"))
       val closed = j.filter(col("changed")).select(
         col("id"), col("c_bal").as("bal"), col("c_from").as("valid_from"),
         batchTs.as("valid_to"), lit(false).as("is_current"))

@@ -70,7 +70,15 @@ object EventStreams {
   def parquetUpsertSink(keyCol: String, outDir: String)(batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     val spark = batch.sparkSession
-    val staged = java.nio.file.Paths.get(outDir, s"snapshot_$batchId")
+    // staged name is unique PER ATTEMPT, not per batch id: if the process
+    // dies after the pointer swap but before the streaming checkpoint
+    // commits, the batch REPLAYS with the same batchId — a batchId-only
+    // name would then read and overwrite the live snapshot in one plan
+    // (Spark refuses: permanent crash loop) and retire the dir it just
+    // published. The pointer file names the winner; stale attempt dirs
+    // are retired on the next successful publish.
+    val staged = java.nio.file.Paths.get(outDir,
+      s"snapshot_${batchId}_${System.nanoTime()}")
     val incoming = batch.withColumn("__src", lit(1))
     val merged = currentSnapshotDir(outDir) match {
       case Some(live) =>
@@ -111,12 +119,15 @@ object EventStreams {
     import org.apache.spark.sql.functions._
     require(valueCols.nonEmpty, "scd2 sink: need at least one value column")
     val spark = batch.sparkSession
-    val staged = java.nio.file.Paths.get(outDir, s"snapshot_$batchId")
+    // unique per attempt — see parquetUpsertSink's staging note
+    val staged = java.nio.file.Paths.get(outDir,
+      s"snapshot_${batchId}_${System.nanoTime()}")
     val incoming = graft.operators.Relational.dedupKeepFirst(
         batch.select((keyCol +: valueCols).map(col): _*),
         keys = Seq(col(keyCol)),
         order = valueCols.map(col(_).desc))
-      .select(col(keyCol).as("__bk") +: valueCols.map(c => col(c).as(s"__b_$c")): _*)
+      .select(col(keyCol).as("__bk") +: valueCols.map(c => col(c).as(s"__b_$c")) :+
+        lit(true).as("__b_hit"): _*)
     val merged = currentSnapshotDir(outDir) match {
       case None =>
         incoming.select(
@@ -127,12 +138,16 @@ object EventStreams {
       case Some(live) =>
         val hist = spark.read.parquet(live)
         val closedHist = hist.filter(!col("is_current"))
-        val open = hist.filter(col("is_current"))
+        val open = hist.filter(col("is_current")).withColumn("__c_hit", lit(true))
         val j = open.join(incoming, col(keyCol) === col("__bk"), "full_outer")
         val sameVal = struct(valueCols.map(col): _*) ===
           struct(valueCols.map(c => col(s"__b_$c")): _*)
-        val changed = col(keyCol).isNotNull && col("__bk").isNotNull && !sameVal
-        val brandNew = col(keyCol).isNull
+        // match markers, NOT key-null checks: a NULL key never equi-joins,
+        // so keyCol.isNull would misread an unmatched null-key history row
+        // as "brand new" and resurrect it from the batch side's all-null
+        // columns every batch. (Null-key rows simply version per side.)
+        val changed = col("__c_hit").isNotNull && col("__b_hit").isNotNull && !sameVal
+        val brandNew = col("__c_hit").isNull
         val nowClosed = j.filter(changed).select(
           col(keyCol) +: valueCols.map(col) ++: Seq(
             col("valid_from"), lit(batchId).as("valid_to"),

@@ -89,10 +89,11 @@ object ProfPairs {
 }
 
 /** rsd sweep for the one-pass approx profiler: the HLL++ buffer is
-  * 2^p LONG aggregation-buffer slots PER COLUMN (rsd 0.02 → p=12 →
-  * 4096 longs × 11 columns ≈ 45k buffer attributes — far past codegen
-  * field limits), so precision trades directly against the aggregate's
-  * row width. Measures time + worst actual NDV error per rsd.
+  * ceil(2^p / 10) LONG aggregation-buffer slots PER COLUMN (6-bit
+  * registers, ~10 packed per long; rsd 0.02 → p=12 → ~410 longs × 11
+  * columns ≈ 4.5k buffer attributes — far past the ~100-field codegen
+  * cutoff), so precision trades directly against the aggregate's row
+  * width. Measures time + worst actual NDV error per rsd.
   */
 object ProfHllRsd {
   def main(args: Array[String]): Unit = {

@@ -7,7 +7,7 @@ import graft._
 import graft.operators.Relational
 
 /** Join-skew handling, measured (feeds SURVEY §5/§6): one fact key owns
-  * half the rows, the dim side is too big to broadcast — the exact shape
+  * 90% of the rows, the dim side is too big to broadcast — the exact shape
   * where a plain sort-merge join serializes on one straggler task.
   * Compares:
   *   - smj_skew_off: AQE skew-join disabled — the straggler baseline
