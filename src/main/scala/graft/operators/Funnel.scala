@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** Input: (entity, t: Long, k: Int) rows where k is the 0-based stage
-    * index (rows with null k — non-stage events — keep the entity in the
-    * output at depth 0 but don't advance stages). Output per entity:
+    * index (rows with null k — non-stage events — and rows with null t
+    * keep the entity in the output at depth 0 but don't advance stages). Output per entity:
     * depth + stage times t1_ms..tN_ms (null where never reached).
     * Stage advance uses STRICT t ordering (a stage-k event at exactly
     * the stage-(k-1) time does not count). */
@@ -29,7 +29,11 @@ object Funnel {
     def stField(st: Column, i: Int): Column = st.getField(s"t${i + 1}")
     val collected = events
       .select(entity.as("__e"),
-        when(k.isNotNull && k >= 0 && k < nStages,
+        // null-time stage events are dropped, not folded: a null t would
+        // win its stage slot and poison every later comparison (the
+        // oracle's MIN(ts) ignores NULLs; same rule as AsOf's null-time
+        // build filter)
+        when(k.isNotNull && k >= 0 && k < nStages && t.isNotNull,
           struct(t.as("t"), k.as("k"))).as("ev"))
       .groupBy(col("__e"))
       .agg(sort_array(collect_list(col("ev"))).as("evs"))

@@ -89,7 +89,12 @@ object MediaCodec {
     media.mapPartitions { it =>
       imageIoMemoryOnly // per-partition codec init: memory-backed streams
       it.flatMap { p =>
-        val img = ImageIO.read(new ByteArrayInputStream(p.media))
+        // null = no registered reader claims the bytes; a reader that
+        // CLAIMS the stream but chokes mid-decode (truncated PNG) throws
+        // instead — both are "undecodable payload", both drop the row
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(p.media))
+          catch { case _: java.io.IOException => null }
         if (img == null) Iterator.empty
         else {
           val w = img.getWidth
@@ -163,8 +168,10 @@ object MediaCodec {
         try {
           val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(p.media))
           val fmt = in.getFormat
-          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) Iterator.empty
-          else {
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) {
+            in.close() // reject branch must still release the decoder chain
+            Iterator.empty
+          } else {
             val raw = in.readAllBytes()
             in.close()
             val n = raw.length / 2

@@ -51,6 +51,8 @@ object Profile {
     * plan becomes two shuffle-free scans instead. */
   def profile(df: DataFrame, cols: Seq[String], repartitionTo: Option[Int] = None): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
+    require(cols.distinct.size == cols.size,
+      "profile: duplicate column names produce ambiguous aggregate aliases")
     val types = cols.map(c => c -> df.schema(c).dataType).toMap
     val projected = df.select(cols.map(col): _*)
     val base = repartitionTo.map(projected.repartition(_)).getOrElse(projected)
@@ -104,6 +106,8 @@ object Profile {
   def profileApprox(df: DataFrame, cols: Seq[String],
                     rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
+    require(cols.distinct.size == cols.size,
+      "profile: duplicate column names produce ambiguous aggregate aliases")
     val types = cols.map(c => c -> df.schema(c).dataType).toMap
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__n"),

@@ -794,8 +794,7 @@ object CorpusQueries {
         |""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("text"), F.tokens(col("text")).as("toks"),
-          (Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":shard"))) % 16)
-            .as("shard"),
+          (Sampling.saltedHash32(col("doc_id"), "shard") % 16).as("shard"),
           Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":"), col("text")))
             .as("h"))
         .groupBy(col("shard"))

@@ -99,11 +99,10 @@ object ProfileQueries {
          |$legs""".stripMargin
     } { (s, dir) =>
       import graft.operators.{Profile, Sampling}
-      import org.apache.spark.sql.functions.{col, concat, lit}
+      import org.apache.spark.sql.functions.col
       val cols = Seq("doc_id", "lang", "source", "n_chars")
       val base = Tables.documents(s, dir)
-        .withColumn("slot",
-          Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":v"))) % 10)
+        .withColumn("slot", Sampling.saltedHash32(col("doc_id"), "v") % 10)
       def prof(snap: org.apache.spark.sql.DataFrame, suffix: String) =
         Profile.profile(snap, cols, repartitionTo = Some(s.sparkContext.defaultParallelism))
           .select(col("col_name"),

@@ -225,8 +225,8 @@ object SamplingQueries {
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS BIGINT) AS smp_rank
         |  FROM (
         |    SELECT doc_id, lang, n_chars,
-        |      ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
-        |        / n_chars AS key
+        |      round(ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+        |        / n_chars, 12) AS key
         |    FROM documents)
         |) WHERE smp_rank <= 20
         |""".stripMargin) { (s, dir) =>
@@ -235,7 +235,12 @@ object SamplingQueries {
         lit(4294967296.0)
       val scored = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          (log(u) / col("n_chars")).as("key"))
+          // round-12: ln() is libm-vs-JVM ~1-ulp loose, and a 1-ulp key
+          // flip across the rank boundary would break the hash gate; at
+          // 12 dp the keys (|key| in 2e-13..0.45, inter-doc gaps >> 1e-12
+          // w.h.p.) agree across engines (the q80 round-4dp rule, tighter
+          // because this is a RANK key, not a summand)
+          round(log(u) / col("n_chars"), 12).as("key"))
       TopK.topKWithRank(scored, col("lang"), Seq(col("key").desc, col("doc_id")), k = 20,
           rankName = "rk")
         .select(col("doc_id"), col("lang"), col("n_chars"),

@@ -89,8 +89,7 @@ object Sources {
     * `partitionBy` makes the shard column a directory, prunable at read.
     */
   def writeTrainingShards(docs: DataFrame, path: String, nShards: Int = 16): Unit = {
-    val h = graft.operators.Sampling.docHash32(
-      concat(col("doc_id").cast("string"), lit(":shard")))
+    val h = graft.operators.Sampling.saltedHash32(col("doc_id"), "shard")
     docs
       .withColumn("h", h)
       .withColumn("shard", col("h") % nShards)

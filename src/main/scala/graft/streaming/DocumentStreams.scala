@@ -96,19 +96,6 @@ object DocumentStreams {
       .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
         col("col.tok").as("tok"), col("col.cnt").as("cnt"))
 
-  /** LIVE fixed-size per-stratum sample (q103's streaming twin): maintain
-    * "exactly k docs per language, uniform over everything seen so far"
-    * as the stream grows. The mergeable [[graft.functions.expressions
-    * .BottomKSample]] aggregate runs in complete mode, so state per
-    * language is the serialized ≤ k-pair buffer — hard-bounded on an
-    * open stream. Batch q103 routes through the TopKPerKey PLAN NODE,
-    * which streaming cannot run; same semantics, realization chosen by
-    * execution mode (the as-of join's batch/streaming split, again).
-    * Bottom-k-by-hash makes the draw PREFIX-CONSISTENT: a doc once
-    * evicted never returns, a doc kept is only ever displaced by a
-    * smaller hash — so consecutive micro-batches agree with the batch
-    * draw over the same prefix (StreamingSpec replays 3 batches).
-    */
   /** LIVE per-language cardinality report (q86's streaming twin): HLL++
     * sketches are deterministic (hash-based, no randomness) and their
     * merge is commutative/associative, so the complete-mode table EQUALS
@@ -123,6 +110,19 @@ object DocumentStreams {
       .agg(count(lit(1)).cast("long").as("docs"),
         approx_count_distinct(col("text_hash"), 0.02).as("approx_uniq"))
 
+  /** LIVE fixed-size per-stratum sample (q103's streaming twin): maintain
+    * "exactly k docs per language, uniform over everything seen so far"
+    * as the stream grows. The mergeable [[graft.functions.expressions
+    * .BottomKSample]] aggregate runs in complete mode, so state per
+    * language is the serialized ≤ k-pair buffer — hard-bounded on an
+    * open stream. Batch q103 routes through the TopKPerKey PLAN NODE,
+    * which streaming cannot run; same semantics, realization chosen by
+    * execution mode (the as-of join's batch/streaming split, again).
+    * Bottom-k-by-hash makes the draw PREFIX-CONSISTENT: a doc once
+    * evicted never returns, a doc kept is only ever displaced by a
+    * smaller hash — so consecutive micro-batches agree with the batch
+    * draw over the same prefix (StreamingSpec replays 3 batches).
+    */
   def fixedKSampleStream(docs: DataFrame, k: Int = 20): DataFrame =
     docs
       .select(col("lang"), col("doc_id"),

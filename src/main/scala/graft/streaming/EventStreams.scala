@@ -352,6 +352,7 @@ object EventStreams {
         (uid: Long, rows: Iterator[Event], state: GroupState[Array[Long]]) =>
           val st = state.getOption.getOrElse(Array.fill(stages.size)(M))
           val sorted = rows.toSeq
+            .filter(_.ts != null) // same null-time rule as batch Funnel.greedy
             .map(e => (toMicros(e.ts), stageOf.getOrElse(e.event_type, -1)))
             .sortBy(x => (x._1, x._2))
           for ((t, k) <- sorted if k >= 0) {
