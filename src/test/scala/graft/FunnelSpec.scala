@@ -36,6 +36,24 @@ class FunnelSpec extends SpecBase {
     assert(out("tie") == ((1L, Some(5L), None, None)))
   }
 
+  test("null-time stage events don't advance or poison the fold") {
+    // a null-t view must NOT claim the t1 slot (it would make every later
+    // comparison NULL and freeze the funnel at depth 0 — the oracle's
+    // MIN(ts) ignores NULLs)
+    val out = Funnel.greedy(
+      Seq(("u1", null.asInstanceOf[java.lang.Long], 0: Integer),
+        ("u1", java.lang.Long.valueOf(10L), 0: Integer),
+        ("u1", java.lang.Long.valueOf(20L), 1: Integer),
+        ("u2", null.asInstanceOf[java.lang.Long], 0: Integer))
+        .toDF("u", "t", "k"),
+      col("u"), col("t"), col("k"), nStages = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("depth"), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("u1") == ((2L, Some(10L), Some(20L))), s"got ${out("u1")}")
+    // an entity with ONLY a null-time stage event still appears, at depth 0
+    assert(out("u2") == ((0L, None, None)), s"got ${out("u2")}")
+  }
+
   test("greedy-first beats any later start (optimality on a crafted trap)") {
     // view@1 then view@10: starting at 10 would catch click@11 but the
     // greedy start at 1 catches the EARLIER click@2 — and a greedy

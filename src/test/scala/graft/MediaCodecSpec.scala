@@ -68,9 +68,18 @@ class MediaCodecSpec extends SpecBase {
   }
 
   test("undecodable image payloads are dropped, not fatal") {
+    // a TRUNCATED png is the harder case: the PNG reader claims the
+    // stream (magic bytes intact) and then throws mid-decode — that must
+    // drop the row like the no-reader case, not kill the task
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val truncated = out.toByteArray.take(out.size() / 2)
     val media = Seq(
       Payload(1L, Array[Byte](1, 2, 3, 4)),
-      Payload(2L, "not a png at all".getBytes("UTF-8"))).toDS()
+      Payload(2L, "not a png at all".getBytes("UTF-8")),
+      Payload(3L, truncated)).toDS()
     assert(MediaCodec.imageGridFeatures(spark, media, grid = 4).count() == 0)
   }
 
