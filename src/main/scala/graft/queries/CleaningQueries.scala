@@ -100,6 +100,60 @@ object CleaningQueries {
         .agg(count(lit(1)).cast("long").as("n_shared"))
     },
 
+    // q125: decontamination via BLOOM-FILTER semi-join pruning — the
+    // shape q75 takes when the eval/filter side outgrows a broadcast hash
+    // set (a full benchmark suite, or decontamination against another
+    // CORPUS). One aggregation builds the mergeable sketch (~9.6 bits per
+    // item at 1% fpp — 20-50x smaller than the exact set, the only
+    // structure that still ships to every task); the corpus shingle
+    // stream prunes MAP-SIDE through the codegen'd might_contain
+    // predicate; only survivors (matches + the fpp tail) reach the exact
+    // shuffle join, where false positives die. The final answer is
+    // bit-identical to the unpruned plan — SAME ORACLE as q75. The join
+    // is deliberately shuffle-hash, not broadcast: at the scale where
+    // this composition is the right one, there is nothing left to
+    // broadcast (BloomSpec pins the plan: scan-side filter below a
+    // ShuffledHashJoin). Filter lifecycle = the IVF quantizer's (bounded
+    // build-once artifact, SURVEY lesson 12); sizing comes from corpus
+    // stats, and an undershot estimate only degrades fpp, never recall.
+    "q125_bloom_decontaminate" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+        |                i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+        |    END AS shs
+        |  FROM t
+        |), ev AS (
+        |  SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id % 10 = 7
+        |), co AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM sh WHERE doc_id % 10 <> 7
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM co JOIN ev USING (sh) GROUP BY doc_id
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.F
+      import graft.operators.{Bloom, Dedup}
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(F.tokens(col("text")), 8)).as("shs"))
+      val eval8 = docs.filter(col("doc_id") % 10 === 7)
+        .select(explode(col("shs")).as("sh")).distinct()
+      // Sized from corpus stats (generous static bound, not a count()
+      // pass); 2^20 items at 1% fpp is a ~1.2 MB artifact.
+      val bloom = Bloom.build(eval8, col("sh"), expectedItems = 1L << 20)
+      docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+        .filter(Bloom.mightContain(bloom, col("sh")))
+        .join(eval8.hint("shuffle_hash"), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+    },
+
     // q76: intra-document repetition (C4-style line/sentence dedup
     // signal): sentence count, distinct count, repetition ratio — pure
     // per-row array expressions, no shuffle. The '. ' split is a literal
