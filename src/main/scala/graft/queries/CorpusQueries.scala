@@ -528,6 +528,95 @@ object CorpusQueries {
         .agg(count(lit(1)).cast("long").as("n"))
     },
 
+    // q126: INCREMENTAL report maintenance — refresh the per-language
+    // (docs, chars) report across q87's v1→v2 snapshot transition by
+    // applying ONLY the changelog delta to the previous sync's
+    // materialized report, never re-aggregating unchanged documents.
+    // Delta algebra: added → (+1, +len), removed → (−1, −len), changed →
+    // (0, len₂−len₁); unchanged rows are FILTERED OUT before the delta
+    // aggregation, so the second aggregate is changelog-sized. At 100 TB
+    // the previous report is a #languages-row artifact and the diff join
+    // runs over (doc_id, 16-byte content hash, len) on bucket-co-located
+    // snapshots — document text never participates; with a CDC changelog
+    // feed the diff join disappears entirely. The ORACLE recomputes the
+    // v2 report from scratch — the hash gate therefore proves the
+    // incremental maintenance law R(v2) = R(v1) ⊕ Δ, not just the
+    // arithmetic. (The synthetic slot-2 edit appends ' [edited]': 9
+    // chars, so changed docs move the chars metric and exercise the
+    // changed arm with a nonzero delta.)
+    "q126_incremental_report" -> QueryDef.of(
+      s"""WITH base AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
+        |    ${hashSql("CAST(doc_id AS VARCHAR) || ':v'")} % 10 AS slot
+        |  FROM documents
+        |), v2 AS (
+        |  SELECT lang, CASE WHEN slot = 2 THEN len + 9 ELSE len END AS len
+        |  FROM base WHERE slot <> 1
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(len) AS BIGINT) AS chars
+        |FROM v2 GROUP BY lang
+        |""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len"),
+          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("h"),
+          (Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":v"))) % 10).as("slot"))
+      val v1 = base.filter(col("slot") =!= 0)
+        .select(col("doc_id"), col("lang"), col("len"), col("h"))
+      val v2 = base.filter(col("slot") =!= 1)
+        .select(col("doc_id"), col("lang"),
+          when(col("slot") === 2, col("len") + 9).otherwise(col("len")).as("len"),
+          when(col("slot") === 2, md5(concat(col("h"), lit(":edited")))).otherwise(col("h")).as("h"))
+      // The previous sync's materialized artifact (#languages rows).
+      val r1 = v1.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("docs"), sum(col("len")).as("chars"))
+      // The changelog: diff rows only — status decided on the content
+      // hash (a changed doc whose metric happens not to move still flows
+      // through and contributes a zero delta, as a real CDC feed would).
+      val delta = v1.as("a")
+        .join(v2.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .filter(col("a.doc_id").isNull || col("b.doc_id").isNull || col("a.h") =!= col("b.h"))
+        .select(coalesce(col("b.lang"), col("a.lang")).as("lang"),
+          (when(col("a.doc_id").isNull, 1L).otherwise(0L)
+            - when(col("b.doc_id").isNull, 1L).otherwise(0L)).as("d_docs"),
+          (coalesce(col("b.len"), lit(0L)) - coalesce(col("a.len"), lit(0L))).as("d_chars"))
+        .groupBy(col("lang"))
+        .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_chars")).as("d_chars"))
+      r1.join(delta, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          (coalesce(col("docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).cast("long").as("docs"),
+          (coalesce(col("chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L))).cast("long").as("chars"))
+        .filter(col("docs") > 0)
+    },
+
+    // q127: corpus OVERLAP estimation via KMV sketches *(rows-only:
+    // estimator)* — how much of snapshot v2's distinct content already
+    // sits in v1, WITHOUT joining the corpora. The exact answer is a
+    // distinct-key join (every distinct content hash of both sides
+    // crosses the wire); the KMV path reduces each side to its k smallest
+    // element hashes (mergeable bottom-k partial heaps — ≤ k longs per
+    // partition) and estimates union/Jaccard/intersection from the two
+    // k-entry arrays meeting in a 1×1 join. The sketches are a few KB and
+    // ship between CLUSTERS — the actual use ("is my corpus inside that
+    // one?"). KmvSpec pins the exact-degenerate regime (|A∪B| ≤ k →
+    // exact) and the estimator error against the exact join. Exact
+    // counts deliberately NOT computed here — that would be the join
+    // this query exists to avoid.
+    "q127_corpus_overlap" -> QueryDef.rowsOnly { (s, dir) =>
+      import graft.operators.Kmv
+      val k = 1024
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("h"),
+          (Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":v"))) % 10).as("slot"))
+      val v1 = base.filter(col("slot") =!= 0).select(col("h"))
+      val v2 = base.filter(col("slot") =!= 1)
+        .select(when(col("slot") === 2, md5(concat(col("h"), lit(":edited")))).otherwise(col("h")).as("h"))
+      Kmv.overlapEstimate(
+        Kmv.sketch(v1, col("h"), k, "ka"),
+        Kmv.sketch(v2, col("h"), k, "kb"), k)
+    },
+
     // q84: int8 embedding quantization — the storage/ANN-serving layout
     // (×4 smaller than float32, SIMD-friendly dot products). Per-vector
     // symmetric scale 127/max|x|; codes serialize comma-joined because
