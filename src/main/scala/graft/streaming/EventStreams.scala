@@ -248,6 +248,34 @@ object EventStreams {
                         start: String, end: String, binWidth: Long): DataFrame =
     graft.operators.RangeJoin.pointInInterval(points, t, intervals, start, end, binWidth)
 
+  /** Streaming moving-window twin (of batch q109's RANGE-frame trailing
+    * 3-day volume): the live version of the report.
+    *
+    * A RANGE window frame is not streaming-legal (it reorders history),
+    * but the trailing-k-day SUM is exactly an OVERLAPPING SLIDING window:
+    * `window(ts, '3 days', '1 day')` assigns each event to the three
+    * day-aligned windows whose trailing range contains it, and a plain
+    * streaming count per (event_type, window) IS the trailing sum — state
+    * bounded by watermark horizon × #types × 3, emitted in update mode as
+    * days close. `day` = end-day − 1 matches the batch day numbering.
+    *
+    * Semantics note, pinned by StreamingSpec: on every (event_type, day)
+    * the batch report emits (days with ≥1 event), the streaming trail_sum
+    * is IDENTICAL; the stream additionally emits trail-off rows for
+    * up-to-2 empty days after activity (a window containing only older
+    * events) — rows batch q109's daily-rollup input never materializes.
+    * Those are the live report's "volume draining to zero" rows; filter
+    * on an `n > 0` join with the tumbling daily twin if batch-exact rows
+    * are required. */
+  def movingWindowStream(events: DataFrame, watermark: String = "4 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "3 days", "1 day"))
+      .agg(count(lit(1)).cast("long").as("trail_sum"))
+      .select(col("event_type"),
+        (unix_millis(col("window.end")) / lit(86400000L) - 1L).cast("long").as("day"),
+        col("trail_sum"))
+
   /** Atomically point `_current` at `snapshotName` (write-temp + rename). */
   private def publishSnapshot(outDir: String, snapshotName: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}

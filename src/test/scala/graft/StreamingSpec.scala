@@ -594,6 +594,45 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("streaming moving window matches batch q109 on every day batch emits") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+
+    val stream = MemoryStream[Event]
+    val out = EventStreams.movingWindowStream(stream.toDF(), watermark = "400 days")
+    val query = out.writeStream.format("memory").queryName("moving_window_test")
+      .outputMode("update").start()
+    try {
+      events.grouped((events.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      // update mode re-emits touched cells: last emission per key wins
+      val streamed = spark.table("moving_window_test")
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      val batch = SparkEntry.queries("q109_moving_window")(spark, SfDir)
+        .collect().map(r => ((r.getAs[String]("event_type"), r.getAs[Long]("day")),
+          (r.getAs[Long]("trail_sum"), r.getAs[Long]("n")))).toMap
+      assert(batch.nonEmpty && streamed.nonEmpty)
+      // trail_sum identical wherever batch emits (days with >=1 event)
+      batch.foreach { case (key, (trailSum, _)) =>
+        assert(streamed.get(key).contains(trailSum),
+          s"$key: stream=${streamed.get(key)} batch=$trailSum")
+      }
+      // stream-only rows are exactly the trail-off days: no same-day
+      // events (absent from batch), within 2 days after activity, and
+      // their sum equals the still-draining trailing volume
+      val extras = streamed.keySet -- batch.keySet
+      extras.foreach { case (tpe, day) =>
+        assert((1L to 2L).exists(d => batch.contains((tpe, day - d))),
+          s"unexplained stream-only row ($tpe, $day)")
+        val expect = (0L to 2L).flatMap(d => batch.get((tpe, day - d)).map(_._2)).sum
+        assert(streamed((tpe, day)) == expect,
+          s"trail-off ($tpe, $day): stream=${streamed((tpe, day))} expect=$expect")
+      }
+    } finally query.stop()
+  }
+
   test("streaming funnel matches batch q107 on an in-order replay") {
     implicit val sqlCtx = spark.sqlContext
     // micros-precision in-order replay (getTime alone floors to ms and
