@@ -70,6 +70,31 @@ object MediaQueries {
       val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
       val media = MediaCodec.renderWav(s, ids, n = 1024, sampleRate = 8000)
       MediaCodec.audioFrameFeatures(s, media, window = 256).toDF()
+    },
+
+    // q128: REAL video decode + frame sampling — an 8-frame animated GIF
+    // per document through the JDK's real GIF sequence encoder, decoded
+    // back frame-by-frame (ImageReader multi-image API) with every 2nd
+    // frame SAMPLED to mean luminance. Closes the multimodal family's
+    // last stub: GIF is the one genuine frame-sequence codec the JDK
+    // ships, and with an explicit 256-gray palette (index == gray value)
+    // the round trip is bit-exact, so the oracle — which never sees a
+    // GIF — hash-matches iff encoder, frame index, frame count and
+    // decoder all agree. 16x16 frames keep cell means exact (sum/256).
+    // Map-only end to end, like q101/q102.
+    "q128_video_frames" -> QueryDef.of(
+      """WITH px AS (
+        |  SELECT doc_id, f, (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256 AS v
+        |  FROM documents, range(0, 8) rf(f), range(0, 16) rx(x), range(0, 16) ry(y)
+        |  WHERE f % 2 = 0
+        |)
+        |SELECT doc_id AS id, CAST(8 AS INT) AS n_frames, CAST(f AS INT) AS frame,
+        |  CAST(sum(v) AS DOUBLE) / 256 AS mean_lum
+        |FROM px GROUP BY doc_id, f
+        |""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      val media = MediaCodec.renderGif(s, ids, w = 16, h = 16, nFrames = 8)
+      MediaCodec.videoFrameFeatures(s, media, stride = 2).toDF()
     }
   )
 }

@@ -129,4 +129,54 @@ class MediaCodecSpec extends SpecBase {
     val media = Seq(Payload(1L, Array.fill[Byte](64)(0x41))).toDS()
     assert(MediaCodec.audioFrameFeatures(spark, media, window = 256).count() == 0)
   }
+
+  test("animated-GIF round trip: sampled frames recover exact pixel arithmetic") {
+    val ids = Seq(0L, 3L, 99999L).toDF("id")
+    val media = MediaCodec.renderGif(spark, ids, w = 16, h = 16, nFrames = 8)
+    val feats = MediaCodec.videoFrameFeatures(spark, media, stride = 2).collect()
+    // every 2nd of 8 frames, per id
+    assert(feats.length == 3 * 4)
+    assert(feats.forall(_.n_frames == 8))
+    assert(feats.map(_.frame).toSet == Set(0, 2, 4, 6))
+    for (f <- feats) {
+      var sum = 0L
+      for (y <- 0 until 16; x <- 0 until 16)
+        sum += MediaCodec.framePixel(f.id, f.frame, x, y)
+      assert(f.mean_lum == sum.toDouble / 256,
+        s"frame ${f.frame} of id ${f.id}: got ${f.mean_lum}, want ${sum.toDouble / 256}")
+    }
+  }
+
+  test("stride 1 decodes every frame; a single-frame payload is an n_frames=1 video") {
+    val media = MediaCodec.renderGif(spark, Seq(5L).toDF("id"), w = 8, h = 8, nFrames = 3)
+    assert(MediaCodec.videoFrameFeatures(spark, media, stride = 1)
+      .collect().map(_.frame).sorted.toSeq == Seq(0, 1, 2))
+    // a plain single-image GIF through the same consumer
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8) img.getRaster.setSample(x, y, 0, 77)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "gif", out)
+    val single = Seq(Payload(9L, out.toByteArray)).toDS()
+    val got = MediaCodec.videoFrameFeatures(spark, single, stride = 2).collect()
+    assert(got.length == 1 && got.head.n_frames == 1 && got.head.mean_lum == 77.0)
+  }
+
+  test("truncated GIF sequences drop the row, not the task") {
+    val full = MediaCodec.renderGif(spark, Seq(11L).toDF("id"), w = 16, h = 16, nFrames = 8)
+      .collect().head.media
+    // cut mid-sequence: the reader claims the stream, then fails searching
+    // frames or decoding one — either way the row drops
+    val truncated = java.util.Arrays.copyOf(full, full.length / 3)
+    val media = Seq(Payload(11L, truncated), Payload(12L, Array.fill[Byte](32)(0x13))).toDS()
+    val got = MediaCodec.videoFrameFeatures(spark, media, stride = 1).collect()
+    assert(got.forall(_.id != 12L), "claimed-by-no-reader payload must drop")
+    // the truncated payload may yield its intact prefix frames or nothing,
+    // but never throws; any features it does yield are exact
+    got.filter(_.id == 11L).foreach { f =>
+      var sum = 0L
+      for (y <- 0 until 16; x <- 0 until 16)
+        sum += MediaCodec.framePixel(11L, f.frame, x, y)
+      assert(f.mean_lum == sum.toDouble / 256)
+    }
+  }
 }
