@@ -295,6 +295,24 @@ object CorpusQueries {
         .select(col("pair"), col("cnt").cast("long").as("cnt"), col("rank"))
     },
 
+    // q129: BPE tokenizer INDUCTION *(rows-only: SQL cannot loop)* — the
+    // full merge-learning loop q85 is the first iteration of (Sennrich et
+    // al. ACL'16). Corpus-sized work happens ONCE (the word-count
+    // aggregation — word frequencies are sufficient statistics for every
+    // round); each of the 6 rounds is vocabulary-sized: bigram explode,
+    // one argmax (1-row driver collect, the round's convergence
+    // artifact), greedy non-overlapping merge rewrite, localCheckpoint
+    // (lesson 20a). Deterministic tie-break on (left, right). BpeSpec
+    // pins the merge table against a single-threaded reference BPE,
+    // the greedy-overlap rule, and the non-increasing winner counts.
+    "q129_bpe_train" -> QueryDef.rowsOnly { (s, dir) =>
+      import graft.operators.Bpe
+      val words = Tables.documents(s, dir)
+        .select(explode(F.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      Bpe.learnMerges(s, words, rounds = 6)
+    },
+
     // q88: the corpus BUILD pipeline end to end — quality gate → exact
     // dedup → benchmark decontamination → stratified sample → sequence
     // packing → shard assignment, composed from the verified kernels
