@@ -155,6 +155,59 @@ object Dedup {
     verifyJaccard(links, sigs.select(col("id"), col("sh_set")), threshold)
   }
 
+  /** INCREMENTAL cluster maintenance — extend an existing dedup
+    * clustering with a new batch without re-clustering the corpus.
+    *
+    * Requires MONOTONE arrival: every new id is greater than every old id
+    * (the natural shape of a growing corpus with assigned ids). Under it,
+    * adding new docs never changes any bucket's min, so today's star
+    * links (see [[minhashDedupLinks]]) = the previous sync's star links ∪
+    * links with a new endpoint — and since `id_b > id_a` in every star
+    * pair, "has a new endpoint" is just "id_b is new". The previous
+    * clustering enters as POINTER EDGES (id → label): label-propagation
+    * CC collapses each old component to its label in the first round, so
+    * the iterative work is proportional to the NEW links, not the corpus,
+    * and because an old label is the min member id, the merged
+    * component's min-label equals the full recompute's label — incremental
+    * output is label-for-label identical to re-running the whole star
+    * composition (DedupSpec pins this on real data).
+    *
+    * Locally the signature/banding stage recomputes old docs' band keys;
+    * at scale the previous sync materializes its (band, bucket-min)
+    * index and signatures (bucketed by band hash), making the per-sync
+    * probe new-batch-sized. Results are identical either way.
+    */
+  def incrementalMinhashLabels(df: DataFrame, idCol: String, textCol: String,
+                               isNew: Column, labelsOld: DataFrame,
+                               k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
+                               threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rowsPerBand = k / bands
+    val flagged = df.withColumn("__new", isNew)
+    val sigs = minhashSignatures(flagged, idCol, textCol, k, shingleWidth)
+    val newIds = flagged.select(col(idCol).as("id"), col("__new").as("is_new"))
+    val banded = sigs.join(newIds, "id")
+      .select(col("id"), col("is_new"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
+      .select(col("id"), col("is_new"),
+        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    val bucketMin = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val candNew = banded
+      .withColumn("rep", min(col("id")).over(bucketMin))
+      // monotone ids: id_b > id_a, so any pair with a new endpoint has a
+      // new id_b — old-old candidates never leave the map side
+      .filter(col("rep") < col("id") && col("is_new"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    val linksNew = verifyJaccard(candNew, sigs.select(col("id"), col("sh_set")), threshold)
+      .select(col("id_a"), col("id_b"))
+    val pointer = labelsOld
+      .filter(col("label") =!= col("id"))
+      .select(col("label").as("id_a"), col("id").as("id_b"))
+    connectedComponents(df.select(col(idCol).as("id")),
+      linksNew.unionByName(pointer))
+  }
+
   /** Exact token-set Jaccard pairs within a blocking key, computed over
     * dictionary-encoded bitmasks: tokens map to global bit positions, each
     * doc becomes a map of 64-bit blocks, and |A∩B| is a bit_count of ANDs

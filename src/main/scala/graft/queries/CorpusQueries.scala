@@ -160,6 +160,33 @@ object CorpusQueries {
     // hashes move through the join (bodies never shuffle), and at 100 TB
     // the existing side is a pre-built hash index (bucketed by text_hash)
     // so the probe is a co-located join, not a corpus scan.
+    // q130: INCREMENTAL cluster maintenance *(rows-only: seeded
+    // minhash)* — extend the previous sync's dedup clustering with a new
+    // batch (the top-quarter doc ids: monotone arrival, the growing-
+    // corpus shape) without re-clustering the corpus. The old clustering
+    // enters as (id → label) POINTER EDGES, so CC's first round collapses
+    // every old component to one node and the iterative work is
+    // proportional to the NEW links; monotone ids make bucket minima
+    // stable, so the result is label-for-label IDENTICAL to re-running
+    // the full star composition (q67's path) — DedupSpec pins it. q81 is
+    // the exact-hash version of this flow; this is the near-dup cluster
+    // version.
+    "q130_incremental_clusters" -> QueryDef.rowsOnly { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val cutoff = docs.agg((floor(max(col("doc_id")) * 3L / 4L) + 1L).cast("long")).head().getLong(0)
+      val oldDocs = docs.filter(col("doc_id") < cutoff)
+      val labelsOld = Dedup.connectedComponents(
+        oldDocs.select(col("doc_id").as("id")),
+        Dedup.minhashDedupLinks(oldDocs, "doc_id", "text", threshold = 0.9)
+          .select(col("id_a"), col("id_b")))
+      Dedup.incrementalMinhashLabels(docs, "doc_id", "text",
+          isNew = col("doc_id") >= cutoff, labelsOld, threshold = 0.9)
+        .withColumn("cluster", col("label")).drop("label")
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+    },
+
     "q81_incremental_dedup" -> QueryDef.of(
       s"""WITH h AS (
         |  SELECT doc_id,

@@ -253,4 +253,30 @@ class DedupSpec extends SpecBase {
       assert(star.exists(_._3 > 1), s"th=$th: expected at least one multi-member cluster")
     }
   }
+
+  test("incremental cluster maintenance (q130): monotone batch == full star recompute, label for label") {
+    val all = docs.select($"doc_id", $"text")
+    val cutoff = all.agg((floor(max($"doc_id") * 3L / 4L) + 1L).cast("long")).head().getLong(0)
+    val oldDocs = all.filter($"doc_id" < cutoff)
+    for (th <- Seq(0.7, 0.9)) {
+      val labelsOld = Dedup.connectedComponents(
+        oldDocs.select($"doc_id".as("id")),
+        Dedup.minhashDedupLinks(oldDocs, "doc_id", "text", threshold = th)
+          .select($"id_a", $"id_b"))
+      val inc = Dedup.incrementalMinhashLabels(all, "doc_id", "text",
+          isNew = $"doc_id" >= cutoff, labelsOld, threshold = th)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Dedup.connectedComponents(
+        all.select($"doc_id".as("id")),
+        Dedup.minhashDedupLinks(all, "doc_id", "text", threshold = th)
+          .select($"id_a", $"id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc == full,
+        s"th=$th: inc-only ${(inc -- full).take(3)}, full-only ${(full -- inc).take(3)}")
+      // the batch genuinely merges across the boundary somewhere, or the
+      // test proves nothing
+      val mergedAcross = full.exists { case (id, label) => id >= cutoff && label < cutoff }
+      assert(mergedAcross, s"th=$th: no new doc joined an old cluster; weak data")
+    }
+  }
 }

@@ -217,9 +217,12 @@ class PlanSpec extends SpecBase {
     // q118: a broadcast 1-row cross join attaching a scalar aggregate (no
     // other way without a driver collect) — the range join ITSELF is the
     // hash join RangeJoinSpec pins, q106's model joins are hash joins, and
-    // q118's pairing join is an equi-join on doc_id.
+    // q118's pairing join is an equi-join on doc_id. q127: the two KMV
+    // sketches are 1-row frames meeting in a 1×1 cross join — the same
+    // broadcast-scalar pattern, with k-entry arrays as the payload.
     val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob",
-      "q93_range_join", "q106_bigram_logprob", "q118_cooccurrence")
+      "q93_range_join", "q106_bigram_logprob", "q118_cooccurrence",
+      "q127_corpus_overlap")
     val offenders = SparkEntry.queries.keys.filter { name =>
       try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
       catch { case _: Throwable => false }
