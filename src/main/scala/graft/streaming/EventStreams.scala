@@ -277,7 +277,7 @@ object EventStreams {
         col("trail_sum"))
 
   /** Atomically point `_current` at `snapshotName` (write-temp + rename). */
-  private def publishSnapshot(outDir: String, snapshotName: String): Unit = {
+  private[streaming] def publishSnapshot(outDir: String, snapshotName: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(outDir, s"_current.tmp")
     Files.write(tmp, snapshotName.getBytes("UTF-8"))
