@@ -318,6 +318,134 @@ object CleaningQueries {
           col("n_chars").cast("long").as("n_chars"),
           dev.cast("long").as("dev_num"),
           col("n").cast("long").as("n_lang"))
+    },
+
+    // q131: HTML text EXTRACTION — the step before every other corpus
+    // operator when the source is a web crawl: strip chrome blocks
+    // (script/style/nav/footer — boilerplate by construction), drop tags,
+    // unescape the core entities, normalize whitespace; report the
+    // boilerplate share (1 − extracted/raw, the signal crawl-quality
+    // filters threshold on). The synthetic page wraps each document in a
+    // deterministic chrome so every rule demonstrably fires. Whole chain
+    // is per-row codegen'd regexp work in the RE2∩Java dialect ((?s) +
+    // non-greedy, no lookarounds) — zero shuffles at any scale, and the
+    // oracle replays it exactly.
+    "q131_html_extract" -> QueryDef.of(
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+        |      || '<style>p{margin:0}</style></head><body>'
+        |      || '<nav>Home &amp; Index &gt; Doc ' || CAST(doc_id AS VARCHAR) || '</nav>'
+        |      || '<script>track(' || CAST(doc_id AS VARCHAR) || ');</script>'
+        |      || '<p>' || replace(text, '. ', '.</p> <p>') || '</p>'
+        |      || '<footer>&copy; corpus ' || CAST(doc_id % 100 AS VARCHAR) || '</footer>'
+        |      || '</body></html>' AS html
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<nav[^>]*>.*?</nav>|(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&copy;', '(c)'),
+        |    '\s+', ' ', 'g')) AS extracted
+        |  FROM page
+        |)
+        |SELECT doc_id, extracted,
+        |  CAST(length(extracted) AS BIGINT) AS n_extracted,
+        |  CAST(length(html) AS BIGINT) AS n_raw,
+        |  round(1.0 - CAST(length(extracted) AS DOUBLE) / length(html), 4) AS boilerplate_share
+        |FROM ex
+        |""".stripMargin) { (s, dir) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit("</title>"),
+        lit("<style>p{margin:0}</style></head><body>"),
+        lit("<nav>Home &amp; Index &gt; Doc "), col("doc_id").cast("string"), lit("</nav>"),
+        lit("<script>track("), col("doc_id").cast("string"), lit(");</script>"),
+        lit("<p>"), regexp_replace(col("text"), "\\. ", ".</p> <p>"), lit("</p>"),
+        lit("<footer>&copy; corpus "), (col("doc_id") % 100).cast("string"), lit("</footer>"),
+        lit("</body></html>"))
+      val stripped = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        col("html"),
+        "(?s)<script[^>]*>.*?</script>", " "),
+        "(?s)<style[^>]*>.*?</style>", " "),
+        "(?s)<nav[^>]*>.*?</nav>|(?s)<footer[^>]*>.*?</footer>", " "),
+        "<[^>]+>", " ")
+      val unescaped = regexp_replace(
+        translateEntities(stripped), "\\s+", " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("html", html)
+        .withColumn("extracted", trim(unescaped))
+        .select(col("doc_id"), col("extracted"),
+          length(col("extracted")).cast("long").as("n_extracted"),
+          length(col("html")).cast("long").as("n_raw"),
+          round(lit(1.0) - length(col("extracted")).cast("double") / length(col("html")), 4)
+            .as("boilerplate_share"))
+    },
+
+    // q132: corpus-wide SENTENCE dedup with document REASSEMBLY — the C4
+    // exact-line-dedup step (keep the globally FIRST occurrence of each
+    // sentence, remove every later copy, stitch each document back
+    // together from its kept sentences in order). q22 drops whole
+    // duplicate docs and q99 cuts duplicated 13-gram spans; this is the
+    // between granularity, and the one C4 actually shipped. Text never
+    // shuffles: the exchange carries (doc_id, pos, 16-byte hash) triples;
+    // winners reduce per hash via one min_by struct (partial-combined);
+    // kept POSITIONS return to each doc as one int array, and the
+    // reassembly is a per-row filter over the doc's own sentence array.
+    // Docs whose every sentence was seen before collapse to an empty
+    // string (the q99 edge posture).
+    "q132_sentence_dedup" -> QueryDef.of(
+      """WITH s AS (
+        |  SELECT doc_id, unnest(sents) AS sent, generate_subscripts(sents, 1) - 1 AS pos
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS sents FROM documents)
+        |), w AS (
+        |  SELECT doc_id, pos, row_number() OVER (
+        |    PARTITION BY md5(sent) ORDER BY doc_id, pos) AS rn
+        |  FROM s
+        |), kp AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS keep FROM w WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(array_to_string(
+        |    list_transform(coalesce(kp.keep, []), p -> string_split(d.text, '. ')[p + 1]),
+        |    '. '), '') AS text_dedup,
+        |  CAST(len(string_split(d.text, '. ')) AS BIGINT) AS n_sent,
+        |  CAST(coalesce(len(kp.keep), 0) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN kp ON d.doc_id = kp.doc_id
+        |""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), "\\. ").as("sents"))
+      val occ = docs
+        .select(col("doc_id"), posexplode(col("sents")).as(Seq("pos", "sent")))
+        .select(col("doc_id"), col("pos"), md5(col("sent")).as("h"))
+      val winners = occ
+        .groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
+      val keepPos = winners
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(col("pos"))).as("keep"))
+      docs.join(keepPos, Seq("doc_id"), "left")
+        .withColumn("keep", coalesce(col("keep"), array().cast("array<int>")))
+        .select(col("doc_id"),
+          array_join(transform(col("keep"), p => element_at(col("sents"), p + 1)), ". ")
+            .as("text_dedup"),
+          size(col("sents")).cast("long").as("n_sent"),
+          size(col("keep")).cast("long").as("n_kept"))
     }
   )
+
+  /** Core HTML entity unescape as a chained translate — RE2∩Java-safe. */
+  private def translateEntities(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&copy;", "(c)")
+  }
 }
