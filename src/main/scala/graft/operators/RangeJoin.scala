@@ -61,4 +61,40 @@ object RangeJoin {
           col(t) >= col(start) && col(t) < col(end))
       .drop("__bin")
   }
+
+  /** Inner interval-OVERLAP join: rows of `a` × rows of `b` whose
+    * half-open spans intersect (`aStart < bEnd && bStart < aEnd`) — the
+    * interval×interval extension of [[pointInInterval]] (sessions ×
+    * incident windows, visits × campaigns). Column names must not
+    * collide across the two sides.
+    *
+    * Both sides replicate into their covered bins, and the equi-join on
+    * the bin finds every overlapping pair in at least one shared bin —
+    * possibly MANY (two long intervals share every bin they both cover).
+    * Instead of a pair-distinct afterwards (an output-sized extra
+    * exchange), each pair is emitted from exactly ONE canonical bin: the
+    * bin holding the overlap's START (`greatest(aStart, bStart)`), a bin
+    * both sides cover by construction. No dedup anywhere, work stays
+    * pairs-that-share-a-bin, and the residual restores exact semantics.
+    */
+  def intervalOverlap(
+      a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val binOf: Column => Column = c => floor(unix_micros(c) / binWidth)
+    def binned(df: DataFrame, s: String, e: String, bin: String) = df
+      .filter(col(s) < col(e))
+      .withColumn(bin, explode(sequence(
+        binOf(col(s)),
+        binOf(timestamp_micros(unix_micros(col(e)) - 1)))))
+
+    val ba = binned(a, aStart, aEnd, "__bin_a")
+    val bb = binned(b, bStart, bEnd, "__bin_b")
+    ba.join(bb,
+        col("__bin_a") === col("__bin_b") &&
+          col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+          col("__bin_a") === binOf(greatest(col(aStart), col(bStart))))
+      .drop("__bin_a", "__bin_b")
+  }
 }

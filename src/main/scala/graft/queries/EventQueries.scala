@@ -142,6 +142,74 @@ object EventQueries {
           col("event_id"), col("ts"), col("user_id"))
     },
 
+    // q133: interval-OVERLAP join — which user sessions overlapped an
+    // incident window (the interval×interval extension of q93: sessions
+    // from q21's gap rule, windows from q93's hot-hour rule). Spark's
+    // plan for the raw double-inequality join is a nested loop; the
+    // binned encoding replicates BOTH sides into covered bins and emits
+    // each overlapping pair from exactly ONE canonical bin (the bin of
+    // the overlap's start — a bin both sides cover by construction), so
+    // there is NO pair-distinct afterwards and the work stays
+    // pairs-that-share-a-bin. Session intervals extend 1 µs past their
+    // last event (a single-event session still overlaps the window
+    // containing its instant); DuckDB oracles the inequality join
+    // natively (IEJoin).
+    "q133_session_incidents" -> QueryDef.of(
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    min(ts) AS s_start, max(ts) AS s_end
+        |  FROM sess GROUP BY user_id, session_idx
+        |), hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), hot AS (
+        |  SELECT h - INTERVAL 15 MINUTE AS w_start,
+        |         h + INTERVAL 75 MINUTE AS w_end, cnt AS w_events
+        |  FROM hourly
+        |  WHERE cnt > 1.25 * (SELECT AVG(cnt) FROM hourly)
+        |)
+        |SELECT s.user_id, s.session_idx, s.n_events, s.s_start, s.s_end,
+        |  w.w_start, w.w_end, CAST(w.w_events AS BIGINT) AS w_events
+        |FROM sessions s JOIN hot w
+        |  ON s.s_start < w.w_end AND w.w_start < s.s_end + INTERVAL 1 MICROSECOND
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val micros = unix_micros(col("ts"))
+      val sessions = ev
+        .withColumn("new_sess",
+          when(micros - lag(micros, 1).over(byUser) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        .withColumn("__sx", timestamp_micros(unix_micros(col("s_end")) + 1))
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val hot = hourly
+        .crossJoin(broadcast(hourly.agg(avg(col("cnt")).as("__mean"))))
+        .filter(col("cnt") > lit(1.25) * col("__mean"))
+        .select(
+          (col("h") - expr("INTERVAL 15 MINUTE")).as("w_start"),
+          (col("h") + expr("INTERVAL 75 MINUTE")).as("w_end"),
+          col("cnt").cast("long").as("w_events"))
+      graft.operators.RangeJoin.intervalOverlap(
+          sessions, "s_start", "__sx", hot, "w_start", "w_end",
+          binWidth = 30L * 60 * 1000000)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("s_start"), col("s_end"), col("w_start"), col("w_end"), col("w_events"))
+    },
+
     // q107: FUNNEL analysis — earliest greedy progression through
     // view → click → purchase per user (the event-analytics report
     // sessionization doesn't answer: how far did each user get, and

@@ -210,6 +210,25 @@ class PlanSpec extends SpecBase {
     assert(partials >= 1, s"posting sample must partial-combine:\n${p.take(900)}")
   }
 
+  test("q131 html extraction is map-only (zero exchanges)") {
+    val p = plan("q131_html_extract")
+    assert(!p.contains("Exchange"), s"per-row regexp chain must not shuffle:\n${p.take(800)}")
+  }
+
+  test("q132 sentence dedup: only hash triples shuffle, winners partial-combine") {
+    val p = plan("q132_sentence_dedup")
+    // the winner aggregation must partial-combine below its exchange
+    assert(p.contains("partial_min") || p.linesIterator.exists(l =>
+      l.contains("SortAggregate") && l.contains("partial")),
+      s"winners must map-side combine:\n${p.take(900)}")
+    // sentence text reaches no exchange: every shuffle's output schema
+    // carries only ids/positions/hashes/arrays of ints
+    val exchanges = p.linesIterator.filter(_.trim.startsWith("+- Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("sent#")),
+      s"sentence bodies must not shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("nested-loop joins appear only where semantics require them") {
     // q26: brute-force ANN baseline (the point of the query); q38: rule
     // matching is non-equi (ends-with/contains) over a tiny broadcast rule

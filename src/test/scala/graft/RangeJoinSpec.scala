@@ -78,4 +78,48 @@ class RangeJoinSpec extends SpecBase {
       s"range join must not nested-loop:\n${plan.take(600)}")
     assert(plan.contains("HashJoin"), s"expected a hash join on the bin:\n${plan.take(600)}")
   }
+
+  test("intervalOverlap matches the inequality join, each pair exactly once") {
+    // adversarial mix: long spans sharing MANY bins (the multi-emit trap
+    // the canonical-bin rule exists for), touching endpoints (half-open:
+    // no overlap), 1-µs intervals, inverted/empty intervals
+    val a = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 06:00:00")), // 12 bins
+      (2L, ts("2024-01-01 02:00:00"), ts("2024-01-01 02:00:01")),
+      (3L, ts("2024-01-01 07:00:00"), ts("2024-01-01 07:00:00")), // empty
+      (4L, ts("2024-01-01 10:00:00"), ts("2024-01-01 09:00:00")), // inverted
+      (5L, ts("2024-01-01 08:00:00"), ts("2024-01-01 08:30:00"))
+    ).toDF("a_id", "a_s", "a_e")
+    val b = Seq(
+      (10L, ts("2024-01-01 01:00:00"), ts("2024-01-01 05:00:00")), // 8 shared bins with a1
+      (11L, ts("2024-01-01 05:59:59"), ts("2024-01-01 06:30:00")),
+      (12L, ts("2024-01-01 06:00:00"), ts("2024-01-01 07:00:00")), // touches a1's end: no overlap
+      (13L, ts("2024-01-01 02:00:00.000001"), ts("2024-01-01 03:00:00")) // misses a2 by 1 µs... or not?
+    ).toDF("b_id", "b_s", "b_e")
+
+    val fast = RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", HalfHourUs)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val slow = a.filter($"a_s" < $"a_e").join(b.filter($"b_s" < $"b_e"),
+        $"a_s" < $"b_e" && $"b_s" < $"a_e")
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast.sorted == slow.sorted, s"fast=${fast.sorted} slow=${slow.sorted}")
+    assert(fast.distinct.length == fast.length,
+      s"canonical-bin rule must emit each pair once: ${fast.groupBy(identity).filter(_._2.length > 1).keys}")
+    // the long-span pair that shares 8 bins is present (and once)
+    assert(fast.count(_ == (1L, 10L)) == 1)
+  }
+
+  test("q133 composition matches its oracle shape on real sessions (spot check)") {
+    val got = SparkEntry.queries("q133_session_incidents")(spark, SfDir)
+    val rows = got.collect()
+    assert(rows.nonEmpty, "expected some session×incident overlaps at sf0.001")
+    // every emitted pair genuinely overlaps (half-open with the 1-µs tail)
+    rows.foreach { r =>
+      val sS = r.getAs[Timestamp]("s_start").getTime
+      val sE = r.getAs[Timestamp]("s_end").getTime
+      val wS = r.getAs[Timestamp]("w_start").getTime
+      val wE = r.getAs[Timestamp]("w_end").getTime
+      assert(sS < wE && wS <= sE, s"non-overlapping pair emitted: $r")
+    }
+  }
 }
