@@ -239,9 +239,11 @@ class PlanSpec extends SpecBase {
     // q118's pairing join is an equi-join on doc_id. q127: the two KMV
     // sketches are 1-row frames meeting in a 1×1 cross join — the same
     // broadcast-scalar pattern, with k-entry arrays as the payload.
+    // q133 inherits q93's 1-row hot-window mean cross join; its pair join
+    // is a BroadcastHashJoin on the bin key.
     val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob",
       "q93_range_join", "q106_bigram_logprob", "q118_cooccurrence",
-      "q127_corpus_overlap")
+      "q127_corpus_overlap", "q133_session_incidents")
     val offenders = SparkEntry.queries.keys.filter { name =>
       try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
       catch { case _: Throwable => false }
