@@ -253,6 +253,65 @@ object EventQueries {
         .withColumnRenamed("__e", "user_id")
         .withColumnRenamed("t1_ms", "t1_us").withColumnRenamed("t2_ms", "t2_us")
         .withColumnRenamed("t3_ms", "t3_us")
+    },
+
+    // q134: IN-SESSION funnel — did the user complete view→click→purchase
+    // within a single session (q21's 30-minute-gap rule)? The
+    // conversion-window ask of product analytics, with the window defined
+    // by the session boundary instead of a fixed lag — which keeps the
+    // semantics exact: a hard per-stage lag bound breaks greedy-earliest
+    // optimality (a later stage-1 anchor can beat the earliest one),
+    // while greedy WITHIN a fixed partition is provably optimal, so this
+    // composes two verified kernels (q21 sessionization + q107's fold)
+    // with no new semantics. Entity = (user, session) struct; the fold's
+    // exchange carries slim (entity, t, k) rows.
+    "q134_session_funnel" -> QueryDef.of(
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged
+        |), v AS (
+        |  SELECT user_id, session_idx, MIN(ts) AS t1 FROM sess
+        |  WHERE event_type = 'view' GROUP BY user_id, session_idx
+        |), c AS (
+        |  SELECT s.user_id, s.session_idx, MIN(s.ts) AS t2
+        |  FROM sess s JOIN v USING (user_id, session_idx)
+        |  WHERE s.event_type = 'click' AND s.ts > t1 GROUP BY s.user_id, s.session_idx
+        |), p AS (
+        |  SELECT s.user_id, s.session_idx, MIN(s.ts) AS t3
+        |  FROM sess s JOIN c USING (user_id, session_idx)
+        |  WHERE s.event_type = 'purchase' AND s.ts > t2 GROUP BY s.user_id, s.session_idx
+        |)
+        |SELECT u.user_id, u.session_idx,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+        |  epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us
+        |FROM (SELECT DISTINCT user_id, session_idx FROM sess) u
+        |LEFT JOIN v USING (user_id, session_idx)
+        |LEFT JOIN c USING (user_id, session_idx)
+        |LEFT JOIN p USING (user_id, session_idx)
+        |""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val micros = unix_micros(col("ts"))
+      val sessed = Tables.events(s, dir)
+        .withColumn("new_sess",
+          when(micros - lag(micros, 1).over(byUser) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      val stageIdx = when(col("event_type") === "view", 0)
+        .when(col("event_type") === "click", 1)
+        .when(col("event_type") === "purchase", 2)
+      graft.operators.Funnel.greedy(
+        sessed, struct(col("user_id"), col("session_idx")), unix_micros(col("ts")), stageIdx,
+        nStages = 3)
+        .select(col("__e.user_id").as("user_id"), col("__e.session_idx").as("session_idx"),
+          col("depth"),
+          col("t1_ms").as("t1_us"), col("t2_ms").as("t2_us"), col("t3_ms").as("t3_us"))
     }
   )
 }

@@ -63,4 +63,23 @@ class FunnelSpec extends SpecBase {
       ("u", 11L, 1: Integer), ("u", 12L, 2: Integer)))
     assert(out("u") == ((3L, Some(1L), Some(2L), Some(12L))))
   }
+
+  test("in-session funnel (q134) never exceeds the unbounded per-user depth (q107)") {
+    // session restriction only removes legal assignments, so per user:
+    // max over sessions of q134 depth <= q107 depth (and both queries are
+    // independently oracle-verified — this pins their mutual consistency)
+    val bySession = SparkEntry.queries("q134_session_funnel")(spark, SfDir)
+      .groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.max("depth").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val global = SparkEntry.queries("q107_funnel")(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("depth")).toMap
+    assert(bySession.nonEmpty)
+    bySession.foreach { case (u, d) =>
+      assert(d <= global(u), s"user $u: session depth $d > global ${global(u)}")
+    }
+    // the restriction genuinely bites somewhere, or the composition is a
+    // no-op on this data
+    assert(bySession.exists { case (u, d) => d < global(u) })
+  }
 }
