@@ -203,6 +203,47 @@ object LlmQueries {
           count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
     },
 
+    // q135: dedup CLUSTER-SIZE statistics — the monitoring report a
+    // production dedup publishes every sync: how many clusters at each
+    // size, how much of the corpus sits in them, and the giant-component
+    // guard (the '9+' bucket's share is the alarm metric — boilerplate
+    // or a bad threshold connects everything into one cluster long
+    // before anyone reads the labels themselves). Shares integerize
+    // before normalizing (lesson 27) via a window over the ≤5 bucket
+    // rows (single-partition is safe: bounded by the bucket count, not
+    // data). Runs over the ORACLE-GATE chain (all-pairs + recursive-CTE
+    // CC, q66's posture); the production run reads q67/q95's star-link
+    // labels, whose label-for-label equality DedupSpec already pins.
+    "q135_cluster_stats" -> QueryDef.of(
+      s"""$dedupClusterCtes,
+        |cs AS (
+        |  SELECT cluster, COUNT(*) AS n FROM lab GROUP BY cluster
+        |)
+        |SELECT CASE WHEN n = 1 THEN '1' WHEN n = 2 THEN '2'
+        |            WHEN n <= 4 THEN '3-4' WHEN n <= 8 THEN '5-8'
+        |            ELSE '9+' END AS size_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(MAX(n) AS BIGINT) AS max_size,
+        |  CAST((SUM(n) * 1000000) // (SUM(SUM(n)) OVER ()) AS BIGINT) AS share_1e6
+        |FROM cs GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cs = dedupClusters(s, dir)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      val bucket = when(col("n") === 1, "1").when(col("n") === 2, "2")
+        .when(col("n") <= 4, "3-4").when(col("n") <= 8, "5-8").otherwise("9+")
+      cs.groupBy(bucket.as("size_bucket"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"),
+          sum(col("n")).cast("long").as("n_docs"),
+          max(col("n")).cast("long").as("max_size"))
+        .withColumn("__total", sum(col("n_docs")).over(Window.partitionBy()))
+        // integer DIV on both engines — a double quotient's rounding can
+        // cross an integer boundary right where floor/truncate diverge
+        .withColumn("share_1e6", expr("CAST((n_docs * 1000000) DIV __total AS BIGINT)"))
+        .drop("__total")
+    },
+
     // q78: cluster REPRESENTATIVE selection — the keep-one decision that
     // consumes q66's clusters: keep the highest-quality member (tie: min
     // id), the policy a curation pipeline actually wants (the reference's
