@@ -210,6 +210,34 @@ object EventQueries {
           col("s_start"), col("s_end"), col("w_start"), col("w_end"), col("w_events"))
     },
 
+    // q136: DAU/WAU report via MERGEABLE daily sketches *(rows-only:
+    // sketch internals)* — daily and trailing-7-day distinct users, the
+    // growth dashboard's headline pair. The point is the aggregation
+    // algebra: ONE corpus-sized pass builds a ~KB Datasketches HLL per
+    // day (q86's wire argument), and every trailing window is a UNION of
+    // ≤7 daily sketches — exact distinct counts cannot reuse daily
+    // aggregates at all (distinct is not mergeable), so the exact form
+    // re-touches every event 7× (the spec's twin does exactly that to
+    // pin the error). Each daily sketch replicates to the ≤7 windows it
+    // feeds (a Generate stage, lesson 37), then unions per window —
+    // window work is #days × 7 sketches, independent of event volume.
+    "q136_active_users" -> QueryDef.rowsOnly { (s, dir) =>
+      val day = (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+      val daily = Tables.events(s, dir)
+        .groupBy(day.as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val days = daily.select(col("day"))
+      val contrib = daily
+        .select(col("sk"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .join(days.withColumnRenamed("day", "wday"), "wday") // only real days close a window
+      contrib
+        .groupBy(col("wday").as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+        .join(daily.select(col("day"), hll_sketch_estimate(col("sk")).as("dau_est")), "day")
+        .select(col("day"), col("dau_est").cast("long").as("dau_est"),
+          col("wau_est").cast("long").as("wau_est"))
+    },
+
     // q107: FUNNEL analysis — earliest greedy progression through
     // view → click → purchase per user (the event-analytics report
     // sessionization doesn't answer: how far did each user get, and

@@ -125,4 +125,30 @@ class CorpusSpec extends SpecBase {
       assert(sum < 0, s"doc $id logprob sum must be negative, got $sum")
     }
   }
+
+  test("q136 DAU/WAU sketch estimates track the exact distinct counts within 5%") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q136_active_users")(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    // exact twin: re-touches events once per window day (the cost the
+    // mergeable-sketch form exists to avoid)
+    val day = (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val ud = Tables.events(spark, SfDir)
+      .select(day.as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ud.map(_._1).distinct
+    val exactDau = ud.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).distinct.size }
+    val exactWau = days.map { d =>
+      d -> ud.filter(t => t._1 >= d - 6 && t._1 <= d).map(_._2).distinct.size
+    }.toMap
+    assert(got.keySet == days.toSet)
+    got.foreach { case (d, (dau, wau)) =>
+      assert(wau >= dau, s"day $d: wau $wau < dau $dau")
+      assert(math.abs(dau - exactDau(d)) <= math.max(1, exactDau(d) / 20),
+        s"day $d dau_est=$dau exact=${exactDau(d)}")
+      assert(math.abs(wau - exactWau(d)) <= math.max(1, exactWau(d) / 20),
+        s"day $d wau_est=$wau exact=${exactWau(d)}")
+    }
+  }
 }
