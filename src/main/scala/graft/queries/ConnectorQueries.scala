@@ -26,6 +26,14 @@ object ConnectorQueries {
   private val PrefIriya = "עיריית"
   private val PrefMoatzaM = "מועצה מקומית"
   private val PrefMoatzaA = "מועצה אזורית"
+  private val NationalSvc = "שירות ארצי" // unwind_branches national row / geocode special-case
+  private val AllCountry = "כל הארץ" // geocode's second national keyword
+  private val IsraelSuffix = ", ישראל" // geocode resolved-address cleanup (7 chars)
+  // unwind_branches national-entry disclaimer (entities/__init__.py:233)
+  private val Disclaimer = "שימו לב, ייתכן כי המיקום המוצג אינו מדויק וכי קיימים סניפים נוספים שבהם ניתן לקבל את השירות. מומלץ ליצור קשר ישירות עם הארגון לקבלת מידע מדויק ומעודכן."
+  // replace_language_number_with_actual_value (entities/__init__.py:149):
+  // 1-based index into this list; out of range / non-numeric -> "other".
+  private val Languages = Seq("hebrew", "arabic", "russian", "french", "english", "amharic", "spanish")
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -219,6 +227,136 @@ object ConnectorQueries {
           orgId.as("organization_id"),
           coalesce(nullif(orgId, lit("0")), col("existing_hp")).as("org_reg"),
           matchedId.isNotNull.as("matched"))
+    },
+
+    // q139: branch unwinding with the fallback ladder (operators/
+    // entities/__init__.py:162 unwind_branches): every org explodes to
+    // its branch rows (name = nickname, else "short_name - city";
+    // language numbers map through the 7-language table at :149 into
+    // situation tags, number 8 skipped); orgs with NO branches fall down
+    // a ladder — official-address row if one exists, else a cleaned-name
+    // row unless the org kind is a nonprofit form; and EVERY org adds a
+    // synthesized national-service row carrying the disclaimer (:233).
+    // The union then deduplicates keep-FIRST by id (:133
+    // deduplicate_items) in the reference's emission order (org, then
+    // family: branches < fallback < national, then branch order).
+    // Plan: branches = one orders⋈customer join; the fallback arm reuses
+    // the same two scans (anti-join); dedup is ONE min_by-struct
+    // aggregate — no window, no second shuffle of the union.
+    "q139_branch_unwind" -> QueryDef.of {
+      val langCase = Languages.zipWithIndex
+        .map { case (l, i) => s"WHEN '${i + 1}' THEN '$l'" }
+        .mkString("CASE x ", " ", " ELSE 'other' END")
+      s"""WITH orgs AS (
+         |  SELECT c_custkey AS k, c_name, c_acctbal,
+         |    CASE c_custkey % 4 WHEN 0 THEN 'עמותה' WHEN 1 THEN 'חברה פרטית' WHEN 2 THEN 'חל"צ' ELSE 'רשות מקומית' END AS kind,
+         |    CASE WHEN c_custkey % 3 = 0 THEN 'C' || CAST(c_custkey AS VARCHAR) END AS short_name,
+         |    CASE WHEN c_custkey % 6 = 0 THEN 'Org desc ' || CAST(c_custkey AS VARCHAR) END AS org_desc
+         |  FROM customer),
+         |br AS (
+         |  SELECT o_custkey AS k, o_orderkey AS bord, CAST(o_orderkey % 5000 AS VARCHAR) AS bid,
+         |    CASE WHEN o_orderkey % 5 = 0 THEN 'Nick ' || CAST(o_orderkey % 5000 AS VARCHAR) END AS nickname,
+         |    'City ' || CAST(o_orderkey % 40 AS VARCHAR) AS city,
+         |    '03-' || lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0') AS phone,
+         |    CASE o_orderkey % 5 WHEN 0 THEN '1;2' WHEN 1 THEN '3' WHEN 2 THEN '8' WHEN 3 THEN '9;1' END AS lang
+         |  FROM orders WHERE o_custkey % 5 <> 2),
+         |branch_rows AS (
+         |  SELECT 'guidestar:' || b.bid AS id, g.k AS org_id,
+         |    COALESCE(b.nickname, COALESCE(g.short_name, g.c_name) || ' - ' || b.city) AS name,
+         |    b.city AS address, b.phone,
+         |    CASE WHEN b.lang IS NOT NULL THEN COALESCE(array_to_string(list_sort(list_distinct(list_transform(
+         |      list_filter(string_split(b.lang, ';'), x -> x <> '8'),
+         |      x -> 'human_situations:language:' || ($langCase) || '_speaking'))), '|'), '') END AS situations,
+         |    CAST(NULL AS VARCHAR) AS description, 'branch' AS row_kind,
+         |    0 AS fam, b.bord AS bord
+         |  FROM br b JOIN orgs g ON b.k = g.k),
+         |nobranch AS (
+         |  SELECT * FROM orgs g WHERE NOT EXISTS (SELECT 1 FROM br b WHERE b.k = g.k)),
+         |fallback_rows AS (
+         |  SELECT (CASE WHEN c_acctbal > 0 THEN 'guidestar:' ELSE 'budgetkey:' END) || CAST(k AS VARCHAR) AS id,
+         |    k AS org_id, c_name AS name,
+         |    CASE WHEN c_acctbal > 0 THEN 'Addr ' || CAST(k AS VARCHAR)
+         |         ELSE trim(regexp_replace(replace(c_name, 'Customer#', ''), '^0+', '')) END AS address,
+         |    CAST(NULL AS VARCHAR) AS phone, CAST(NULL AS VARCHAR) AS situations,
+         |    CAST(NULL AS VARCHAR) AS description,
+         |    CASE WHEN c_acctbal > 0 THEN 'org_address' ELSE 'org_name' END AS row_kind,
+         |    1 AS fam, CAST(0 AS BIGINT) AS bord
+         |  FROM nobranch WHERE c_acctbal > 0 OR kind NOT IN ('עמותה', 'חל"צ', 'הקדש')),
+         |national_rows AS (
+         |  SELECT 'national:' || CAST(k AS VARCHAR) AS id, k AS org_id, '' AS name,
+         |    '$NationalSvc' AS address, CAST(NULL AS VARCHAR) AS phone, CAST(NULL AS VARCHAR) AS situations,
+         |    CASE WHEN org_desc IS NOT NULL THEN org_desc || chr(10) || chr(10) || '$Disclaimer' ELSE '$Disclaimer' END AS description,
+         |    'national' AS row_kind, 2 AS fam, CAST(0 AS BIGINT) AS bord
+         |  FROM orgs),
+         |unioned AS (
+         |  SELECT * FROM branch_rows UNION ALL SELECT * FROM fallback_rows UNION ALL SELECT * FROM national_rows),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY org_id, fam, bord) AS rn FROM unioned)
+         |SELECT id, org_id, name, address, phone, situations, description, row_kind
+         |FROM ranked WHERE rn = 1
+         |""".stripMargin
+    } { (s, dir) =>
+      def langName(x: Column): Column =
+        (1 until Languages.length).foldLeft(when(x === "1", lit(Languages.head))) {
+          (acc, i) => acc.when(x === (i + 1).toString, lit(Languages(i)))
+        }.otherwise(lit("other"))
+      val k = col("c_custkey")
+      val orgs = Tables.customer(s, dir).select(
+        k.as("k"), col("c_name"), col("c_acctbal"),
+        when(k % 4 === 0, lit("עמותה")).when(k % 4 === 1, lit("חברה פרטית"))
+          .when(k % 4 === 2, lit("חל\"צ")).otherwise(lit("רשות מקומית")).as("kind"),
+        when(k % 3 === 0, concat(lit("C"), k.cast("string"))).as("short_name"),
+        when(k % 6 === 0, concat(lit("Org desc "), k.cast("string"))).as("org_desc"))
+      val o = col("o_orderkey")
+      // Orgs with k % 5 = 2 return an empty branch list (the fetched-
+      // nothing case the reference's ladder exists for).
+      val br = Tables.orders(s, dir).filter(col("o_custkey") % 5 =!= 2).select(
+        col("o_custkey").as("k"), o.as("bord"),
+        (o % 5000).cast("string").as("bid"),
+        when(o % 5 === 0, concat(lit("Nick "), (o % 5000).cast("string"))).as("nickname"),
+        concat(lit("City "), (o % 40).cast("string")).as("city"),
+        concat(lit("03-"), lpad((o % 10000).cast("string"), 4, "0")).as("phone"),
+        when(o % 5 === 0, lit("1;2")).when(o % 5 === 1, lit("3"))
+          .when(o % 5 === 2, lit("8")).when(o % 5 === 3, lit("9;1")).as("lang"))
+      val situations = when(col("lang").isNotNull,
+        array_join(sort_array(array_distinct(transform(
+          filter(split(col("lang"), ";"), x => x =!= "8"),
+          x => concat(lit("human_situations:language:"), langName(x), lit("_speaking"))))), "|"))
+      val nullS = lit(null).cast("string")
+      val branchRows = br.join(orgs, "k").select(
+        concat(lit("guidestar:"), col("bid")).as("id"), col("k").as("org_id"),
+        coalesce(col("nickname"),
+          concat(coalesce(col("short_name"), col("c_name")), lit(" - "), col("city"))).as("name"),
+        col("city").as("address"), col("phone"), situations.as("situations"),
+        nullS.as("description"), lit("branch").as("row_kind"),
+        lit(0).as("fam"), col("bord"))
+      val noBranch = orgs.join(br.select(col("k")).distinct(), Seq("k"), "left_anti")
+      val fallbackRows = noBranch
+        .filter(col("c_acctbal") > 0 || !col("kind").isin("עמותה", "חל\"צ", "הקדש"))
+        .select(
+          concat(when(col("c_acctbal") > 0, lit("guidestar:")).otherwise(lit("budgetkey:")),
+            col("k").cast("string")).as("id"),
+          col("k").as("org_id"), col("c_name").as("name"),
+          when(col("c_acctbal") > 0, concat(lit("Addr "), col("k").cast("string")))
+            .otherwise(trim(regexp_replace(
+              replace(col("c_name"), lit("Customer#"), lit("")), "^0+", ""))).as("address"),
+          nullS.as("phone"), nullS.as("situations"), nullS.as("description"),
+          when(col("c_acctbal") > 0, lit("org_address")).otherwise(lit("org_name")).as("row_kind"),
+          lit(1).as("fam"), lit(0L).as("bord"))
+      val nationalRows = orgs.select(
+        concat(lit("national:"), col("k").cast("string")).as("id"),
+        col("k").as("org_id"), lit("").as("name"), lit(NationalSvc).as("address"),
+        nullS.as("phone"), nullS.as("situations"),
+        when(col("org_desc").isNotNull, concat(col("org_desc"), lit("\n\n" + Disclaimer)))
+          .otherwise(lit(Disclaimer)).as("description"),
+        lit("national").as("row_kind"), lit(2).as("fam"), lit(0L).as("bord"))
+      val unioned = branchRows.unionByName(fallbackRows).unionByName(nationalRows)
+      val payload = struct(col("id"), col("org_id"), col("name"), col("address"),
+        col("phone"), col("situations"), col("description"), col("row_kind"))
+      unioned.groupBy(col("id"))
+        .agg(min_by(payload, struct(col("org_id"), col("fam"), col("bord"))).as("w"))
+        .select(col("w.id").as("id"), col("w.org_id"), col("w.name"), col("w.address"),
+          col("w.phone"), col("w.situations"), col("w.description"), col("w.row_kind"))
     }
   )
 }
