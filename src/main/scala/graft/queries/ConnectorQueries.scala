@@ -357,6 +357,193 @@ object ConnectorQueries {
         .agg(min_by(payload, struct(col("org_id"), col("fam"), col("bord"))).as("w"))
         .select(col("w.id").as("id"), col("w.org_id"), col("w.name"), col("w.address"),
           col("w.phone"), col("w.situations"), col("w.description"), col("w.row_kind"))
+    },
+
+    // q140: geocoding provider CASCADE (operators/geocode/__init__.py:19):
+    // national-service keywords short-circuit; plus-code keywords
+    // (keyword[4] == '+') skip the first provider entirely; everything
+    // else tries the govmap cache (ITM X/Y -> WGS84 via the engine's own
+    // Redfearn transform, accuracy from DescLayerID with the NEW-suffix
+    // cleanup) and falls through to the google table when unresolved OR
+    // the accuracy is outside ACCURATE_TYPES (derive/helpers.py:10);
+    // google's GEOMETRIC_CENTER splits on result quality, plus codes
+    // force ADDR_V1 with the row id as the address, and the city ladder
+    // is locality > admin_area_2 > city; rows with coordinates but no
+    // city take the reverse-geocode stand-in or 'unknown'; a google miss
+    // after fallthrough is NOT_FOUND (keeping any partial govmap
+    // fields). Address cleanup strips the ', ישראל' suffix and turns
+    // ' | ' into ', '. Plan: two broadcast lookups (≤300-row dims) + the
+    // broadcast coord-projection join — map-side only, zero shuffles at
+    // any row count; the oracle replays the projection CTE chain
+    // digit-for-digit (same contract as q43).
+    "q140_geocode_cascade" -> QueryDef.of {
+      val accurate = "('ROOFTOP', 'RANGE_INTERPOLATED', 'STREET_MID_POINT', 'ADDR_V1', 'ADDRESS_POINT', 'ADDRESS')"
+      s"""WITH rows0 AS (
+         |  SELECT c_custkey AS custkey, c_custkey % 300 AS addr_n,
+         |    CASE WHEN c_custkey % 13 = 0 THEN '$NationalSvc'
+         |         WHEN c_custkey % 13 = 1 THEN '8G4Q+V2 Site ' || CAST(c_custkey % 50 AS VARCHAR)
+         |         WHEN c_custkey % 13 = 2 AND c_custkey % 2 = 0 THEN '$AllCountry'
+         |         ELSE 'Addr ' || CAST(c_custkey % 300 AS VARCHAR) END AS keyword,
+         |    CASE WHEN c_custkey % 8 <> 3 THEN 'RevCity ' || CAST(c_custkey % 30 AS VARCHAR) END AS rev_cand
+         |  FROM customer),
+         |rows1 AS (
+         |  SELECT *, keyword IN ('$NationalSvc', '$AllCountry') AS is_national,
+         |    (length(keyword) > 4 AND substr(keyword, 5, 1) = '+') AS is_plus
+         |  FROM rows0),
+         |gm AS (
+         |  SELECT cn, 180000e0 + (cn % 120) * 500e0 AS gx, 500000e0 + (cn % 200) * 800e0 AS gy,
+         |    CASE cn % 6 WHEN 0 THEN 'POI_MID_POINT' WHEN 1 THEN 'ADDR_V1_NEW' WHEN 2 THEN 'NEIGHBORHOODS_AREA'
+         |                WHEN 3 THEN 'STREET_MID_POINT' WHEN 4 THEN 'NEW_ADDRESS_POINT' ELSE 'SETL_MID_POINT' END AS dl,
+         |    'Addr ' || CAST(cn AS VARCHAR) || ' | Rehov ' || CAST(cn % 60 AS VARCHAR) || '$IsraelSuffix' AS gm_addr
+         |  FROM (SELECT DISTINCT c_custkey % 300 AS cn FROM customer) WHERE cn % 10 <> 7),
+         |goog AS (
+         |  SELECT 'Addr ' || CAST(gn AS VARCHAR) AS gkey,
+         |    CASE gn % 5 WHEN 0 THEN 'ROOFTOP' WHEN 1 THEN 'GEOMETRIC_CENTER' WHEN 2 THEN 'GEOMETRIC_CENTER'
+         |                WHEN 3 THEN 'APPROXIMATE' ELSE 'RANGE_INTERPOLATED' END AS g_acc0,
+         |    CASE gn % 5 WHEN 1 THEN 'establishment' WHEN 2 THEN 'plus_code' ELSE 'locality' END AS quality,
+         |    'G Addr ' || CAST(gn AS VARCHAR) || (CASE WHEN gn % 2 = 0 THEN '$IsraelSuffix' ELSE '' END) AS g_addr,
+         |    CASE WHEN gn % 3 = 0 THEN 'GCity ' || CAST(gn % 40 AS VARCHAR) END AS locality,
+         |    CASE WHEN gn % 3 = 1 THEN 'GArea ' || CAST(gn % 15 AS VARCHAR) END AS admin2,
+         |    CASE WHEN gn % 3 = 2 AND gn % 6 <> 5 THEN 'GTown ' || CAST(gn AS VARCHAR) END AS gcity,
+         |    31e0 + (gn % 100) * 1e-2 AS g_lat, 34.5e0 + (gn % 80) * 1e-2 AS g_lng
+         |  FROM (SELECT DISTINCT c_custkey % 300 AS gn FROM customer) WHERE gn % 4 <> 1
+         |  UNION ALL
+         |  SELECT '8G4Q+V2 Site ' || CAST(m AS VARCHAR), 'GEOMETRIC_CENTER', 'plus_code',
+         |    'Plus ' || CAST(m AS VARCHAR),
+         |    CASE WHEN m % 3 = 0 THEN 'PCity ' || CAST(m AS VARCHAR) END,
+         |    CASE WHEN m % 3 = 1 THEN 'PArea ' || CAST(m AS VARCHAR) END,
+         |    CAST(NULL AS VARCHAR),
+         |    32e0 + m * 1e-3, 34.8e0 + m * 1e-3
+         |  FROM (SELECT DISTINCT c_custkey % 50 AS m FROM customer) WHERE m % 9 <> 5),
+         |src AS (
+         |  SELECT r.*, g.cn, g.dl, g.gm_addr,
+         |    (NOT r.is_national AND NOT r.is_plus AND g.cn IS NOT NULL) AS gm_hit,
+         |    CASE WHEN NOT r.is_national AND NOT r.is_plus AND g.cn IS NOT NULL THEN g.gx END AS e,
+         |    CASE WHEN NOT r.is_national AND NOT r.is_plus AND g.cn IS NOT NULL THEN g.gy END AS n
+         |  FROM rows1 r LEFT JOIN gm g ON r.addr_n = g.cn),
+         |${GeoQueries.projectionCtes},
+         |j2 AS (SELECT w.*, o.* FROM wgs w LEFT JOIN goog o ON w.keyword = o.gkey),
+         |lad AS (
+         |  SELECT *,
+         |    (NOT is_national AND (NOT gm_hit OR NOT (trim(replace(dl, 'NEW', ''), '_') IN $accurate))) AS goog_try
+         |  FROM j2),
+         |lad2 AS (
+         |  SELECT *, (goog_try AND gkey IS NOT NULL) AS goog_ok,
+         |    CASE WHEN is_plus THEN 'ADDR_V1'
+         |         WHEN g_acc0 = 'GEOMETRIC_CENTER' AND quality = 'establishment' THEN 'POI_MID_POINT'
+         |         WHEN g_acc0 = 'GEOMETRIC_CENTER' AND quality = 'plus_code' THEN 'ROOFTOP'
+         |         ELSE g_acc0 END AS g_acc
+         |  FROM lad),
+         |res AS (
+         |  SELECT *,
+         |    CASE WHEN is_national THEN '$NationalSvc'
+         |         WHEN goog_ok THEN (CASE WHEN is_plus THEN keyword ELSE g_addr END)
+         |         WHEN gm_hit THEN gm_addr END AS addr_pre,
+         |    CASE WHEN goog_ok THEN g_lat WHEN gm_hit THEN wgs_lat END AS flat,
+         |    CASE WHEN goog_ok THEN g_lng WHEN gm_hit THEN wgs_lon END AS flon,
+         |    CASE WHEN goog_ok THEN COALESCE(locality, admin2, gcity) END AS city_g
+         |  FROM lad2)
+         |SELECT custkey, keyword,
+         |  CASE WHEN goog_try AND NOT goog_ok THEN 'NOT_FOUND' ELSE 'VALID' END AS status,
+         |  CASE WHEN is_national THEN 'national' WHEN goog_ok THEN 'google' WHEN gm_hit THEN 'govmap' END AS provider,
+         |  CASE WHEN is_national THEN 'NATIONAL_SERVICE' WHEN goog_ok THEN g_acc
+         |       WHEN gm_hit THEN trim(replace(dl, 'NEW', ''), '_') END AS accuracy,
+         |  replace(CASE WHEN ends_with(addr_pre, '$IsraelSuffix') THEN substr(addr_pre, 1, length(addr_pre) - 7) ELSE addr_pre END, ' | ', ', ') AS resolved_address,
+         |  CASE WHEN city_g IS NOT NULL THEN city_g
+         |       WHEN flat IS NOT NULL AND flon IS NOT NULL THEN COALESCE(rev_cand, 'unknown') END AS resolved_city,
+         |  CASE WHEN flat IS NULL THEN NULL ELSE printf('%.5f', flat) END AS resolved_lat,
+         |  CASE WHEN flon IS NULL THEN NULL ELSE printf('%.5f', flon) END AS resolved_lon
+         |FROM res
+         |""".stripMargin
+    } { (s, dir) =>
+      val k = col("c_custkey")
+      val rows = Tables.customer(s, dir).select(
+        k.as("custkey"), (k % 300).as("addr_n"),
+        when(k % 13 === 0, lit(NationalSvc))
+          .when(k % 13 === 1, concat(lit("8G4Q+V2 Site "), (k % 50).cast("string")))
+          .when(k % 13 === 2 && k % 2 === 0, lit(AllCountry))
+          .otherwise(concat(lit("Addr "), (k % 300).cast("string"))).as("keyword"),
+        when(k % 8 =!= 3, concat(lit("RevCity "), (k % 30).cast("string"))).as("rev_cand"))
+        .withColumn("is_national", col("keyword").isin(NationalSvc, AllCountry))
+        .withColumn("is_plus",
+          length(col("keyword")) > 4 && substring(col("keyword"), 5, 1) === "+")
+      val cn = col("cn")
+      val gm = Tables.customer(s, dir).select((k % 300).as("cn")).distinct()
+        .filter(cn % 10 =!= 7)
+        .select(cn,
+          (lit(180000.0) + (cn % 120).cast("double") * lit(500.0)).as("gx"),
+          (lit(500000.0) + (cn % 200).cast("double") * lit(800.0)).as("gy"),
+          when(cn % 6 === 0, lit("POI_MID_POINT")).when(cn % 6 === 1, lit("ADDR_V1_NEW"))
+            .when(cn % 6 === 2, lit("NEIGHBORHOODS_AREA")).when(cn % 6 === 3, lit("STREET_MID_POINT"))
+            .when(cn % 6 === 4, lit("NEW_ADDRESS_POINT")).otherwise(lit("SETL_MID_POINT")).as("dl"),
+          concat(lit("Addr "), cn.cast("string"), lit(" | Rehov "),
+            (cn % 60).cast("string"), lit(IsraelSuffix)).as("gm_addr"))
+      val gn = col("gn")
+      val googA = Tables.customer(s, dir).select((k % 300).as("gn")).distinct()
+        .filter(gn % 4 =!= 1)
+        .select(
+          concat(lit("Addr "), gn.cast("string")).as("gkey"),
+          when(gn % 5 === 0, lit("ROOFTOP")).when(gn % 5 === 1, lit("GEOMETRIC_CENTER"))
+            .when(gn % 5 === 2, lit("GEOMETRIC_CENTER")).when(gn % 5 === 3, lit("APPROXIMATE"))
+            .otherwise(lit("RANGE_INTERPOLATED")).as("g_acc0"),
+          when(gn % 5 === 1, lit("establishment")).when(gn % 5 === 2, lit("plus_code"))
+            .otherwise(lit("locality")).as("quality"),
+          concat(lit("G Addr "), gn.cast("string"),
+            when(gn % 2 === 0, lit(IsraelSuffix)).otherwise(lit(""))).as("g_addr"),
+          when(gn % 3 === 0, concat(lit("GCity "), (gn % 40).cast("string"))).as("locality"),
+          when(gn % 3 === 1, concat(lit("GArea "), (gn % 15).cast("string"))).as("admin2"),
+          when(gn % 3 === 2 && gn % 6 =!= 5, concat(lit("GTown "), gn.cast("string"))).as("gcity"),
+          (lit(31.0) + (gn % 100).cast("double") * lit(0.01)).as("g_lat"),
+          (lit(34.5) + (gn % 80).cast("double") * lit(0.01)).as("g_lng"))
+      val m = col("m")
+      val googB = Tables.customer(s, dir).select((k % 50).as("m")).distinct()
+        .filter(m % 9 =!= 5)
+        .select(
+          concat(lit("8G4Q+V2 Site "), m.cast("string")).as("gkey"),
+          lit("GEOMETRIC_CENTER").as("g_acc0"), lit("plus_code").as("quality"),
+          concat(lit("Plus "), m.cast("string")).as("g_addr"),
+          when(m % 3 === 0, concat(lit("PCity "), m.cast("string"))).as("locality"),
+          when(m % 3 === 1, concat(lit("PArea "), m.cast("string"))).as("admin2"),
+          lit(null).cast("string").as("gcity"),
+          (lit(32.0) + m.cast("double") * lit(0.001)).as("g_lat"),
+          (lit(34.8) + m.cast("double") * lit(0.001)).as("g_lng"))
+      val goog = googA.unionByName(googB)
+      val j1 = rows.join(broadcast(gm), col("addr_n") === cn, "left")
+        .withColumn("gm_hit", !col("is_national") && !col("is_plus") && cn.isNotNull)
+        .withColumn("e_itm", when(col("gm_hit"), col("gx")))
+        .withColumn("n_itm", when(col("gm_hit"), col("gy")))
+      val proj = GeoProjection.withWgs84(s, j1, "e_itm", "n_itm", "geom")
+      val j2 = proj.join(broadcast(goog), col("keyword") === col("gkey"), "left")
+      val gmAcc = trim(replace(col("dl"), lit("NEW"), lit("")), "_")
+      val gmAccOk = gmAcc.isin("ROOFTOP", "RANGE_INTERPOLATED", "STREET_MID_POINT",
+        "ADDR_V1", "ADDRESS_POINT", "ADDRESS")
+      val googTry = !col("is_national") && (!col("gm_hit") || !gmAccOk)
+      val googOk = googTry && col("gkey").isNotNull
+      val gAcc = when(col("is_plus"), lit("ADDR_V1"))
+        .when(col("g_acc0") === "GEOMETRIC_CENTER" && col("quality") === "establishment", lit("POI_MID_POINT"))
+        .when(col("g_acc0") === "GEOMETRIC_CENTER" && col("quality") === "plus_code", lit("ROOFTOP"))
+        .otherwise(col("g_acc0"))
+      val addrPre = when(col("is_national"), lit(NationalSvc))
+        .when(googOk, when(col("is_plus"), col("keyword")).otherwise(col("g_addr")))
+        .when(col("gm_hit"), col("gm_addr"))
+      val fLat = when(googOk, col("g_lat")).when(col("gm_hit"), element_at(col("geom"), 2))
+      val fLon = when(googOk, col("g_lng")).when(col("gm_hit"), element_at(col("geom"), 1))
+      val cityG = when(googOk, coalesce(col("locality"), col("admin2"), col("gcity")))
+      val addr1 = when(addrPre.endsWith(IsraelSuffix),
+        addrPre.substr(lit(1), length(addrPre) - 7)).otherwise(addrPre)
+      j2.select(
+        col("custkey"), col("keyword"),
+        when(googTry && !googOk, lit("NOT_FOUND")).otherwise(lit("VALID")).as("status"),
+        when(col("is_national"), lit("national")).when(googOk, lit("google"))
+          .when(col("gm_hit"), lit("govmap")).as("provider"),
+        when(col("is_national"), lit("NATIONAL_SERVICE")).when(googOk, gAcc)
+          .when(col("gm_hit"), gmAcc).as("accuracy"),
+        replace(addr1, lit(" | "), lit(", ")).as("resolved_address"),
+        when(cityG.isNotNull, cityG)
+          .when(fLat.isNotNull && fLon.isNotNull, coalesce(col("rev_cand"), lit("unknown")))
+          .as("resolved_city"),
+        when(fLat.isNotNull, format_string("%.5f", fLat)).as("resolved_lat"),
+        when(fLon.isNotNull, format_string("%.5f", fLon)).as("resolved_lon"))
     }
   )
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Olc
+
+/** The connector-transform family (q137-q140): OLC encoding against the
+  * published test vectors, ladder-arm coverage, and the plan shapes the
+  * 100 TB posture depends on (map-only / broadcast-only). */
+class ConnectorSpec extends SpecBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, SfDir).queryExecution.executedPlan.toString
+
+  test("Olc.encode11 matches the published OLC test vectors") {
+    // Vectors from the public Open Location Code repository's
+    // encoding test data (length-11 codes).
+    val cases = Seq(
+      (20.3701135, 2.782234791, "7FG49QCJ+2VX"),
+      (47.0000625, 8.0000625, "8FVC2222+22G"),
+      (31.776, 35.2345, "8G3QQ6GM+CR2")) // Jerusalem-area sanity row
+    val df = spark.createDataFrame(cases).toDF("lat", "lng", "expect")
+      .withColumn("got", Olc.encode11(col("lat"), col("lng")))
+    val bad = df.filter(col("got") =!= col("expect")).collect()
+    assert(bad.isEmpty, s"OLC mismatch: ${bad.mkString(",")}")
+  }
+
+  test("Olc.encode11 digit peel is self-consistent at cell boundaries") {
+    // The last grid digit divides a pair cell 4x5: nudging by exactly one
+    // grid step changes ONLY the final digit's row/col; the pair section
+    // (first 10 digits) stays put within the same pair cell.
+    val lat = 32.08; val lng = 34.78
+    val step = spark.range(1).select(
+      Olc.encode11(lit(lat), lit(lng)).as("a"),
+      Olc.encode11(lit(lat + 1.0 / Olc.LatPrecision * 625), lit(lng)).as("b")).head()
+    val (a, b) = (step.getString(0), step.getString(1))
+    assert(a == "8G4P3QJJ+222" && b == "8G4P3QJJ+226", // one grid ROW up = alphabet index +4
+      s"grid nudge must change only the final digit: $a vs $b")
+    assert(a.length == 12 && a(8) == '+', s"length-11 format: $a")
+  }
+
+  test("q137 is map-only: zero exchanges at any scale") {
+    val p = planOf("q137_location_keys")
+    assert(!p.contains("Exchange"), s"location keys must not shuffle:\n${p.take(600)}")
+  }
+
+  test("q138 joins only through broadcasts, no shuffle exchange") {
+    val p = planOf("q138_org_variant_match")
+    assert(p.contains("BroadcastHashJoin"), "variant lookup must broadcast")
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      s"no shuffle for a 25-row dim:\n${p.take(800)}")
+  }
+
+  test("q138 covers direct, variant, override and kept-existing arms") {
+    val out = SparkEntry.queries("q138_org_variant_match")(spark, SfDir).cache()
+    try {
+      val matched = out.filter(col("matched")).count()
+      val kept = out.filter(!col("matched") && col("organization_id").startsWith("orig-")).count()
+      val none = out.filter(col("organization_id").isNull).count()
+      val hpFromMatch = out.filter(col("matched") && col("org_reg") === col("organization_id")).count()
+      assert(matched > 0 && kept > 0 && none > 0 && hpFromMatch > 0,
+        s"arms: matched=$matched kept=$kept none=$none hp=$hpFromMatch")
+    } finally out.unpersist()
+  }
+
+  test("q139 dedups with a single aggregate, not a window") {
+    val p = planOf("q139_branch_unwind")
+    assert(!p.contains("Window"), "keep-first must be the min_by aggregate")
+    assert(p.contains("partial_min_by") || p.contains("min_by"),
+      s"min_by aggregate expected:\n${p.take(800)}")
+  }
+
+  test("q139 emits all four row families and keeps first on id collisions") {
+    val out = SparkEntry.queries("q139_branch_unwind")(spark, SfDir).cache()
+    try {
+      val kinds = out.groupBy("row_kind").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(kinds.keySet == Set("branch", "org_address", "org_name", "national"),
+        s"families: $kinds")
+      assert(out.groupBy("id").count().filter(col("count") > 1).count() == 0,
+        "ids must be unique after keep-first dedup")
+    } finally out.unpersist()
+  }
+
+  test("q140's probe side joins only through broadcasts — no fact-table shuffle") {
+    // The dim BUILDS (distinct over ≤300 keys) may aggregate inside their
+    // broadcast subtrees; the customer probe path itself must never hit a
+    // SortMergeJoin/ShuffledHashJoin — three stacked BroadcastHashJoins.
+    val p = planOf("q140_geocode_cascade")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"provider cascade must stay broadcast-only:\n${p.take(1000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "govmap, projection and google lookups must all broadcast")
+  }
+
+  test("q140 covers every provider arm, both NOT_FOUND shapes and the city ladder") {
+    val out = SparkEntry.queries("q140_geocode_cascade")(spark, SfDir).cache()
+    try {
+      def n(c: org.apache.spark.sql.Column) = out.filter(c).count()
+      assert(n(col("provider") === "national") > 0)
+      assert(n(col("provider") === "govmap" && col("status") === "VALID") > 0)
+      assert(n(col("provider") === "google") > 0)
+      // google failed AFTER govmap resolved inaccurately: partial fields kept
+      assert(n(col("status") === "NOT_FOUND" && col("provider") === "govmap"
+        && col("resolved_address").isNotNull) > 0)
+      assert(n(col("status") === "NOT_FOUND" && col("provider").isNull) > 0)
+      assert(n(col("resolved_city") === "unknown") > 0)
+      // cleanup: no address keeps the country suffix or the pipe separator
+      assert(n(col("resolved_address").endsWith(", ישראל")) == 0)
+      assert(n(col("resolved_address").contains(" | ")) == 0)
+    } finally out.unpersist()
+  }
+}
