@@ -544,6 +544,66 @@ object ConnectorQueries {
           .as("resolved_city"),
         when(fLat.isNotNull, format_string("%.5f", fLat)).as("resolved_lat"),
         when(fLon.isNotNull, format_string("%.5f", fLon)).as("resolved_lon"))
+    },
+
+    // q141: taxonomy TREE flatten with breadcrumbs (operators/taxonomy/
+    // __init__.py:24 handle_node + :14 handle_tx): walk the hierarchy,
+    // emit every below-root node with its ancestors-below-root joined
+    // '/', slug renames applied in order, and the localized-name
+    // fallback (tx[lang] else source; the English column is the bare
+    // source). The synthetic forest is an 8-ary tree over part keys
+    // (roots 1-7, depth ~log8 N), so every depth and both name arms are
+    // live. Plan: O(depth) joins via Hierarchy.breadcrumbs — the frontier
+    // is level-sized and AQE broadcasts it while small; no driver
+    // recursion, no collected tree. Oracle: the identical walk as a
+    // DuckDB recursive CTE.
+    "q141_taxonomy_tree" -> QueryDef.of(
+      """WITH RECURSIVE nodes AS (
+        |  SELECT p_partkey AS nid,
+        |    CASE WHEN p_partkey <= 7 THEN NULL ELSE p_partkey // 8 END AS parent,
+        |    COALESCE(CASE WHEN p_partkey % 3 = 0 THEN 'שם ' || CAST(p_partkey AS VARCHAR) END,
+        |             'Node ' || CAST(p_partkey AS VARCHAR)) AS nname,
+        |    'Node ' || CAST(p_partkey AS VARCHAR) AS name_en,
+        |    CASE WHEN p_partkey % 5 <> 1 THEN
+        |      COALESCE(CASE WHEN p_partkey % 4 = 0 THEN 'HeDesc ' || CAST(p_partkey AS VARCHAR) END,
+        |               'About ' || CAST(p_partkey AS VARCHAR)) END AS description,
+        |    CASE WHEN p_partkey % 5 <> 1 THEN 'About ' || CAST(p_partkey AS VARCHAR) END AS description_en
+        |  FROM part),
+        |walk AS (
+        |  SELECT nid, nname, CAST('' AS VARCHAR) AS crumbs, 0 AS depth FROM nodes WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT n.nid, n.nname,
+        |    CASE WHEN w.depth = 0 THEN '' WHEN w.crumbs = '' THEN w.nname
+        |         ELSE w.crumbs || '/' || w.nname END,
+        |    w.depth + 1
+        |  FROM nodes n JOIN walk w ON n.parent = w.nid)
+        |SELECT replace(replace('hs:node_' || CAST(w.nid AS VARCHAR), 'hs:', 'human_services:'), 'node_', 'n_') AS id,
+        |  w.nname AS name, n.name_en, n.description, n.description_en,
+        |  w.crumbs AS breadcrumbs, CAST(w.nid AS BIGINT) AS pk
+        |FROM walk w JOIN nodes n ON w.nid = n.nid
+        |WHERE w.depth >= 1
+        |""".stripMargin) { (s, dir) =>
+      val p = col("p_partkey")
+      val nodes = Tables.part(s, dir).select(
+        p.as("nid"),
+        when(p <= 7, lit(null).cast("long")).otherwise(floor(p / 8).cast("long")).as("parent"),
+        coalesce(when(p % 3 === 0, concat(lit("שם "), p.cast("string"))),
+          concat(lit("Node "), p.cast("string"))).as("nname"),
+        concat(lit("Node "), p.cast("string")).as("name_en"),
+        when(p % 5 =!= 1,
+          coalesce(when(p % 4 === 0, concat(lit("HeDesc "), p.cast("string"))),
+            concat(lit("About "), p.cast("string")))).as("description"),
+        when(p % 5 =!= 1, concat(lit("About "), p.cast("string"))).as("description_en"))
+      val walked = graft.operators.Hierarchy.breadcrumbs(
+        nodes.select(col("nid"), col("parent"), col("nname")))
+      walked.filter(col("depth") >= 1)
+        .join(nodes.drop("parent", "nname"), "nid")
+        .select(
+          replace(replace(concat(lit("hs:node_"), col("nid").cast("string")),
+            lit("hs:"), lit("human_services:")), lit("node_"), lit("n_")).as("id"),
+          col("nname").as("name"), col("name_en"), col("description"),
+          col("description_en"), col("crumbs").as("breadcrumbs"),
+          col("nid").cast("long").as("pk"))
     }
   )
 }

@@ -92,6 +92,22 @@ class ConnectorSpec extends SpecBase {
       "govmap, projection and google lookups must all broadcast")
   }
 
+  test("Hierarchy.breadcrumbs walks levels, skips the root name, drops orphan cycles") {
+    import spark.implicits._
+    // root(1) -> a(2) -> b(3) -> c(4); orphans 10<->11 form a cycle that
+    // is unreachable from any root and must be dropped, not spun on.
+    val nodes = Seq(
+      (1L, None: Option[Long], "root"), (2L, Some(1L), "a"),
+      (3L, Some(2L), "b"), (4L, Some(3L), "c"),
+      (10L, Some(11L), "x"), (11L, Some(10L), "y"))
+      .toDF("nid", "parent", "nname")
+    val out = graft.operators.Hierarchy.breadcrumbs(nodes, maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getInt(3))).toMap
+    assert(out == Map(
+      1L -> ("", 0), 2L -> ("", 1), 3L -> ("a", 2), 4L -> ("a/b", 3)),
+      s"got $out")
+  }
+
   test("q140 covers every provider arm, both NOT_FOUND shapes and the city ladder") {
     val out = SparkEntry.queries("q140_geocode_cascade")(spark, SfDir).cache()
     try {
