@@ -65,6 +65,13 @@ object Olc {
       alphaAt(gridIdx))
   }
 
+  /** Length-10 plus code — the library's DEFAULT precision (pair digits
+    * only, no grid refinement): the first 8 digits, '+', digits 9-10.
+    * meser's `olc.encode(GisY, GisX)` (operators/meser/__init__.py:130)
+    * uses this form. */
+  def encode10(lat: Column, lng: Column): Column =
+    substring(encode11(lat, lng), 1, 11)
+
   /** The identical digit peel as a DuckDB SQL expression (the oracle
     * side). `lat`/`lng` are SQL sub-expressions. */
   object Sql {
@@ -85,5 +92,9 @@ object Olc {
         pair(latQ, 1L), pair(lngQ, 1L),
         grid).mkString("(", " || ", ")")
     }
+
+    /** First 11 chars of the length-11 form = the default length-10 code. */
+    def encode10(lat: String, lng: String): String =
+      s"substr(${encode11(lat, lng)}, 1, 11)"
   }
 }

@@ -604,6 +604,172 @@ object ConnectorQueries {
           col("nname").as("name"), col("name_en"), col("description"),
           col("description_en"), col("crumbs").as("breadcrumbs"),
           col("nid").cast("long").as("pk"))
+    },
+
+    // q142: the meser service COMBINE flow (operators/meser/__init__.py:65
+    // transform_meser_dataframe): sentinel-scrubbed address composition
+    // (:51 create_address_clean — '999' strip, 'none'/'nan' drops,
+    // addr==city null-out), leading-0 phone repair, tag-array build with
+    // None/'' drops, then duplicate COMBINE on the content key
+    // (service_name, phone, address, org): every plain column takes the
+    // group's first NON-NULL in row order (pandas groupby.first), the
+    // tag arrays merge ORDER-PRESERVING with first-occurrence dedup (:18
+    // flatten_and_deduplicate_list_of_lists — NOT a sorted distinct),
+    // the plus code encodes the group's first coordinates at the
+    // library's default length 10, and tags map to response/situation id
+    // lists (missing tags → [] via :45 safe_list) with the same ordered
+    // flatten-dedup. Plan: map-side derivation, ONE exchange; firsts are
+    // partial-combining min_by aggregates, the only buffered state is
+    // the per-group tag list. The ordered dedup is a positional HOF
+    // (keep x where first index == own index) — identical lambda in
+    // DuckDB, since list_distinct there does NOT preserve order.
+    "q142_meser_combine" -> QueryDef.of {
+      def dedupSql(l: String) = s"list_filter($l, (x, i) -> list_position($l, x) = i)"
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS ord, o_orderkey % 557 AS g,
+         |    trim(' Service ' || CAST((o_orderkey % 557) % 400 AS VARCHAR) || ' ') AS service_name,
+         |    'City ' || CAST((o_orderkey % 557) % 30 AS VARCHAR) AS city_name,
+         |    CASE (o_orderkey % 557) % 5 WHEN 0 THEN 'St 999' WHEN 1 THEN 'None'
+         |         WHEN 2 THEN 'City ' || CAST((o_orderkey % 557) % 30 AS VARCHAR)
+         |         WHEN 3 THEN NULL ELSE 'St ' || CAST((o_orderkey % 557) % 80 AS VARCHAR) END AS adrees0,
+         |    CASE (o_orderkey % 557) % 6 WHEN 0 THEN NULL WHEN 1 THEN '0'
+         |         WHEN 2 THEN '52123' || CAST((o_orderkey % 557) % 10 AS VARCHAR)
+         |         WHEN 3 THEN ' ' ELSE '03' || lpad(CAST((o_orderkey % 557) % 9999 AS VARCHAR), 5, '0') END AS tel,
+         |    COALESCE(CASE WHEN (o_orderkey % 557) % 3 = 0 THEN 'B' || CAST((o_orderkey % 557) % 50 AS VARCHAR) END,
+         |             CASE WHEN (o_orderkey % 557) % 4 = 0 THEN 'R' || CAST((o_orderkey % 557) % 50 AS VARCHAR) END,
+         |             '500106406') AS organization_id,
+         |    CAST(o_orderkey AS VARCHAR) AS meser_id,
+         |    'meser-s-' || CAST(o_orderkey AS VARCHAR) AS service_id,
+         |    'meser-b-' || CAST(o_orderkey AS VARCHAR) AS branch_id,
+         |    trim('Type ' || CAST(o_orderkey % 7 AS VARCHAR)) AS branch_name,
+         |    'Owner ' || CAST(o_orderkey % 9 AS VARCHAR) AS owner,
+         |    list_filter(['Type ' || CAST(o_orderkey % 7 AS VARCHAR),
+         |                 CASE WHEN o_orderkey % 2 = 0 THEN 'Pop ' || CAST(o_orderkey % 5 AS VARCHAR) ELSE 'None' END,
+         |                 CASE WHEN o_orderkey % 3 = 0 THEN 'Cls ' || CAST(o_orderkey % 4 AS VARCHAR) END,
+         |                 CASE o_orderkey % 4 WHEN 0 THEN 'Gender M' WHEN 1 THEN 'Gender F' ELSE '' END,
+         |                 'Dept ' || CAST(o_orderkey % 6 AS VARCHAR)],
+         |      x -> x IS NOT NULL AND x <> 'None' AND x <> '') AS tagging,
+         |    CASE WHEN o_orderkey % 7 <> 2 THEN 31.2e0 + (o_orderkey % 90) * 1e-2 END AS gisy,
+         |    CASE WHEN o_orderkey % 11 <> 3 THEN 34.3e0 + (o_orderkey % 70) * 1e-2 END AS gisx
+         |  FROM orders),
+         |b2 AS (
+         |  SELECT *, trim(replace(COALESCE(adrees0, 'nan'), '999', '')) AS a1 FROM base),
+         |b3 AS (
+         |  SELECT *, CASE WHEN lower(a1) IN ('none', 'nan', '') THEN NULL
+         |                 WHEN lower(a1) = lower(city_name) THEN NULL ELSE a1 END AS a2 FROM b2),
+         |b4 AS (
+         |  SELECT *,
+         |    trim(CASE WHEN a2 IS NULL THEN city_name ELSE a2 || ' ' || city_name END) AS address,
+         |    CASE WHEN tel IS NULL OR trim(tel) IN ('', '0') THEN ''
+         |         WHEN substr(tel, 1, 1) <> '0' THEN '0' || tel ELSE tel END AS phone_numbers
+         |  FROM b3),
+         |g1 AS (
+         |  SELECT service_name, phone_numbers, address, organization_id,
+         |    min_by(service_id, ord) AS service_id,
+         |    min_by(branch_id, ord) AS branch_id,
+         |    min_by(branch_name, ord) AS branch_name,
+         |    min_by(meser_id, ord) AS meser_id,
+         |    min_by(owner, ord) AS owner,
+         |    min_by(city_name, ord) AS city_name,
+         |    flatten(list(tagging ORDER BY ord)) AS tl,
+         |    min_by(gisy, ord) FILTER (gisy IS NOT NULL) AS fy,
+         |    min_by(gisx, ord) FILTER (gisx IS NOT NULL) AS fx
+         |  FROM b4 GROUP BY 1, 2, 3, 4),
+         |g2 AS (SELECT *, ${dedupSql("tl")} AS tagging_l FROM g1),
+         |g3 AS (SELECT *,
+         |    flatten(list_transform(tagging_l, x -> CASE
+         |      WHEN starts_with(trim(x), 'Type ') THEN ['r_' || trim(x), 'r_common']
+         |      WHEN starts_with(trim(x), 'Pop ') THEN ['r_' || trim(x)] ELSE [] END)) AS r0,
+         |    flatten(list_transform(tagging_l, x -> CASE
+         |      WHEN starts_with(trim(x), 'Gender ') THEN ['s_' || trim(x)]
+         |      WHEN starts_with(trim(x), 'Dept ') THEN ['s_' || trim(x), 's_x'] ELSE [] END)) AS s0
+         |  FROM g2)
+         |SELECT service_name, phone_numbers, address, organization_id, service_id,
+         |  branch_id, branch_name, meser_id, owner, city_name,
+         |  array_to_string(tagging_l, '|') AS tagging,
+         |  CASE WHEN fy IS NOT NULL AND fx IS NOT NULL THEN ${Olc.Sql.encode10("fy", "fx")} END AS pluscode,
+         |  COALESCE(array_to_string(${dedupSql("r0")}, '|'), '') AS responses,
+         |  COALESCE(array_to_string(${dedupSql("s0")}, '|'), '') AS situations
+         |FROM g3
+         |""".stripMargin
+    } { (s, dir) =>
+      val ord = col("o_orderkey")
+      val g = ord % 557
+      val city = concat(lit("City "), (g % 30).cast("string"))
+      val base = Tables.orders(s, dir).select(
+        ord.as("ord"),
+        trim(concat(lit(" Service "), (g % 400).cast("string"), lit(" "))).as("service_name"),
+        city.as("city_name"),
+        when(g % 5 === 0, lit("St 999")).when(g % 5 === 1, lit("None"))
+          .when(g % 5 === 2, city).when(g % 5 === 3, lit(null).cast("string"))
+          .otherwise(concat(lit("St "), (g % 80).cast("string"))).as("adrees0"),
+        when(g % 6 === 0, lit(null).cast("string")).when(g % 6 === 1, lit("0"))
+          .when(g % 6 === 2, concat(lit("52123"), (g % 10).cast("string")))
+          .when(g % 6 === 3, lit(" "))
+          .otherwise(concat(lit("03"), lpad((g % 9999).cast("string"), 5, "0"))).as("tel"),
+        coalesce(
+          when(g % 3 === 0, concat(lit("B"), (g % 50).cast("string"))),
+          when(g % 4 === 0, concat(lit("R"), (g % 50).cast("string"))),
+          lit("500106406")).as("organization_id"),
+        ord.cast("string").as("meser_id"),
+        concat(lit("meser-s-"), ord.cast("string")).as("service_id"),
+        concat(lit("meser-b-"), ord.cast("string")).as("branch_id"),
+        trim(concat(lit("Type "), (ord % 7).cast("string"))).as("branch_name"),
+        concat(lit("Owner "), (ord % 9).cast("string")).as("owner"),
+        filter(array(
+          concat(lit("Type "), (ord % 7).cast("string")),
+          when(ord % 2 === 0, concat(lit("Pop "), (ord % 5).cast("string"))).otherwise(lit("None")),
+          when(ord % 3 === 0, concat(lit("Cls "), (ord % 4).cast("string"))),
+          when(ord % 4 === 0, lit("Gender M")).when(ord % 4 === 1, lit("Gender F")).otherwise(lit("")),
+          concat(lit("Dept "), (ord % 6).cast("string"))),
+          x => x.isNotNull && x =!= "None" && x =!= "").as("tagging"),
+        when(ord % 7 =!= 2, lit(31.2) + (ord % 90).cast("double") * lit(0.01)).as("gisy"),
+        when(ord % 11 =!= 3, lit(34.3) + (ord % 70).cast("double") * lit(0.01)).as("gisx"))
+      val a1 = trim(replace(coalesce(col("adrees0"), lit("nan")), lit("999"), lit("")))
+      val b4 = base.withColumn("a1", a1)
+        .withColumn("a2",
+          when(lower(col("a1")).isin("none", "nan", ""), lit(null).cast("string"))
+            .when(lower(col("a1")) === lower(col("city_name")), lit(null).cast("string"))
+            .otherwise(col("a1")))
+        .withColumn("address",
+          trim(when(col("a2").isNull, col("city_name"))
+            .otherwise(concat(col("a2"), lit(" "), col("city_name")))))
+        .withColumn("phone_numbers",
+          when(col("tel").isNull || trim(col("tel")).isin("", "0"), lit(""))
+            .when(substring(col("tel"), 1, 1) =!= "0", concat(lit("0"), col("tel")))
+            .otherwise(col("tel")))
+      def firstNonNull(c: String) = min_by(col(c), when(col(c).isNotNull, col("ord"))).as(c)
+      val g1 = b4.groupBy(col("service_name"), col("phone_numbers"), col("address"), col("organization_id"))
+        .agg(
+          min_by(col("service_id"), col("ord")).as("service_id"),
+          min_by(col("branch_id"), col("ord")).as("branch_id"),
+          min_by(col("branch_name"), col("ord")).as("branch_name"),
+          min_by(col("meser_id"), col("ord")).as("meser_id"),
+          min_by(col("owner"), col("ord")).as("owner"),
+          min_by(col("city_name"), col("ord")).as("city_name"),
+          flatten(transform(sort_array(collect_list(struct(col("ord"), col("tagging")))),
+            t => t.getField("tagging"))).as("tl"),
+          firstNonNull("gisy").as("fy"), firstNonNull("gisx").as("fx"))
+      val g2 = g1.withColumn("tagging_l",
+        expr("filter(tl, (x, i) -> array_position(tl, x) = i + 1)"))
+      val g3 = g2
+        .withColumn("r0", flatten(transform(col("tagging_l"), x =>
+          when(trim(x).startsWith("Type "), array(concat(lit("r_"), trim(x)), lit("r_common")))
+            .when(trim(x).startsWith("Pop "), array(concat(lit("r_"), trim(x))))
+            .otherwise(array().cast("array<string>")))))
+        .withColumn("s0", flatten(transform(col("tagging_l"), x =>
+          when(trim(x).startsWith("Gender "), array(concat(lit("s_"), trim(x))))
+            .when(trim(x).startsWith("Dept "), array(concat(lit("s_"), trim(x)), lit("s_x")))
+            .otherwise(array().cast("array<string>")))))
+      g3.select(
+        col("service_name"), col("phone_numbers"), col("address"), col("organization_id"),
+        col("service_id"), col("branch_id"), col("branch_name"), col("meser_id"),
+        col("owner"), col("city_name"),
+        array_join(col("tagging_l"), "|").as("tagging"),
+        when(col("fy").isNotNull && col("fx").isNotNull,
+          Olc.encode10(col("fy"), col("fx"))).as("pluscode"),
+        array_join(expr("filter(r0, (x, i) -> array_position(r0, x) = i + 1)"), "|").as("responses"),
+        array_join(expr("filter(s0, (x, i) -> array_position(s0, x) = i + 1)"), "|").as("situations"))
     }
   )
 }

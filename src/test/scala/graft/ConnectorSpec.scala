@@ -108,6 +108,27 @@ class ConnectorSpec extends SpecBase {
       s"got $out")
   }
 
+  test("q142 merges tag lists first-occurrence-ordered, not sorted") {
+    val out = SparkEntry.queries("q142_meser_combine")(spark, SfDir).cache()
+    try {
+      // If any multi-tag row has its tags out of first-occurrence order,
+      // the positional dedup was silently a sort. 'Type N' always
+      // precedes the row's other tags, so every merged list must start
+      // with a Type tag; and at least one list must NOT equal its own
+      // sorted form (uniform sortedness = wrong encoding).
+      import spark.implicits._
+      val tags = out.select(col("tagging")).as[String].collect()
+      assert(tags.forall(_.startsWith("Type ")), "first row's first tag must lead")
+      val unsorted = tags.count(t => t.split('|').toSeq != t.split('|').toSeq.sorted)
+      assert(unsorted > 0, "ordered merge must differ from sorted order somewhere")
+      // pandas-first semantics: pluscode present iff SOME group member had
+      // both coordinates — sf0.001 groups are small enough to leave gaps.
+      val withCode = out.filter(col("pluscode").isNotNull).count()
+      assert(withCode > 0 && out.filter(col("pluscode").rlike("^[23456789CFGHJMPQRVWX]{8}\\+[23456789CFGHJMPQRVWX]{2}$")).count() == withCode,
+        "length-10 plus codes only")
+    } finally out.unpersist()
+  }
+
   test("q140 covers every provider arm, both NOT_FOUND shapes and the city ladder") {
     val out = SparkEntry.queries("q140_geocode_cascade")(spark, SfDir).cache()
     try {
