@@ -770,6 +770,101 @@ object ConnectorQueries {
           Olc.encode10(col("fy"), col("fx"))).as("pluscode"),
         array_join(expr("filter(r0, (x, i) -> array_position(r0, x) = i + 1)"), "|").as("responses"),
         array_join(expr("filter(s0, (x, i) -> array_position(s0, x) = i + 1)"), "|").as("situations"))
+    },
+
+    // q143: FIELD-MAP staging — the per-source massage pattern shared by
+    // the remaining small connectors, one pass per row with each dir's
+    // distinct transform:
+    //  - revaha/__init__.py:21 transform_phone_numbers: comma-split BOTH
+    //    phone fields (None → '' → [''], the quirk kept), newline-join,
+    //    strip every space; :29 transform_email_addresses: first
+    //    [\w.+-]+@[\w-]+\.[\w.-]+ match else null.
+    //  - shil/__init__.py:77 add_newlines (</p>,</li> grow '\n') then
+    //    tag-strip + &nbsp; → ' ' (the bleach.clean(tags=()) posture —
+    //    q131 is the full HTML operator; this is the field-map form).
+    //  - shil FIELD_MAP urls: base/UrlName#Title anchor composition.
+    //  - gilzahav/__init__.py:47 branch_description: the unit-count line
+    //    plus a waiting-count line unless the field is None or '-'.
+    //  - presets/__init__.py:21 homepage_query: 'response עבור situation'
+    //    with single-field fallbacks, whitespace → '_'.
+    //  - mental_health_clinics/__init__.py:145 clinic_hash: content id
+    //    from '|'-joined non-EMPTY fields (filter(None,·) drops '' too),
+    //    8-hex prefix (md5 here — srm_tools' own hasher; DuckDB has no
+    //    sha1). Its :125 description builder joins a python set() —
+    //    order nondeterministic BY CONSTRUCTION, so it is not modeled.
+    // Plan: map-only, zero shuffles at any scale.
+    "q143_field_map_staging" -> QueryDef.of(
+      """SELECT 'src:' || CAST(c_custkey AS VARCHAR) AS id,
+        |  'Item ' || CAST(c_custkey % 500 AS VARCHAR) AS name,
+        |  replace(array_to_string(
+        |    string_split(COALESCE(CASE WHEN c_custkey % 3 <> 0 THEN '02-111 ' || CAST(c_custkey % 90 AS VARCHAR) || ',03 222' END, ''), ',')
+        |    || string_split(COALESCE(CASE WHEN c_custkey % 5 <> 1 THEN '04 333' END, ''), ','), chr(10)), ' ', '') AS phone_numbers,
+        |  NULLIF(regexp_extract(
+        |    CASE c_custkey % 6 WHEN 0 THEN 'contact: a.b' || CAST(c_custkey % 70 AS VARCHAR) || '@mail-srv.co.il (main)'
+        |         WHEN 1 THEN 'no-email' WHEN 2 THEN NULL
+        |         ELSE 'x' || CAST(c_custkey % 40 AS VARCHAR) || '@y.org' END,
+        |    '[\w.+-]+@[\w-]+\.[\w.-]+', 0), '') AS email_address,
+        |  replace(regexp_replace(trim(
+        |    replace(replace('<p>Para ' || CAST(c_custkey % 50 AS VARCHAR) || '</p><li>Item A</li> &nbsp; <b>bold</b>',
+        |      '</p>', '</p>' || chr(10)), '</li>', '</li>' || chr(10))),
+        |    '<[^>]*>', '', 'g'), '&nbsp;', ' ') AS description,
+        |  'https://www.gov.il/he/service/' || 'item-' || CAST(c_custkey % 500 AS VARCHAR) || '#' || 'Item ' || CAST(c_custkey % 500 AS VARCHAR) AS urls,
+        |  'מספר יחידות דיור: ' || CAST(c_custkey % 30 AS VARCHAR) || chr(10) ||
+        |    (CASE WHEN (CASE c_custkey % 4 WHEN 0 THEN '-' WHEN 1 THEN NULL ELSE CAST(c_custkey % 12 AS VARCHAR) END) IS NOT NULL
+        |               AND (CASE c_custkey % 4 WHEN 0 THEN '-' WHEN 1 THEN NULL ELSE CAST(c_custkey % 12 AS VARCHAR) END) <> '-'
+        |          THEN 'מספר ממתינים: ' || (CASE c_custkey % 4 WHEN 0 THEN '-' WHEN 1 THEN NULL ELSE CAST(c_custkey % 12 AS VARCHAR) END) || chr(10)
+        |          ELSE '' END) AS gz_description,
+        |  regexp_replace(CASE
+        |    WHEN c_custkey % 3 <> 0 AND c_custkey % 4 <> 0
+        |      THEN 'מענה ' || CAST(c_custkey % 9 AS VARCHAR) || ' עבור ' || 'מצב ' || CAST(c_custkey % 8 AS VARCHAR)
+        |    WHEN c_custkey % 3 <> 0 THEN 'מצב ' || CAST(c_custkey % 8 AS VARCHAR)
+        |    WHEN c_custkey % 4 <> 0 THEN 'מענה ' || CAST(c_custkey % 9 AS VARCHAR) END,
+        |    '\s+', '_', 'g') AS homepage_query,
+        |  'mhclinic-' || substr(md5(array_to_string(list_filter(
+        |    ['Item ' || CAST(c_custkey % 500 AS VARCHAR),
+        |     CASE WHEN c_custkey % 7 <> 0 THEN '035' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 4, '0') ELSE '' END,
+        |     'Addr ' || CAST(c_custkey % 200 AS VARCHAR),
+        |     CASE WHEN c_custkey % 2 = 0 THEN 'HMO' || CAST(c_custkey % 4 AS VARCHAR) END],
+        |    x -> x IS NOT NULL AND x <> ''), '|')), 1, 8) AS clinic_id
+        |FROM customer
+        |""".stripMargin) { (s, dir) =>
+      val k = col("c_custkey")
+      def ks(m: Int) = (k % m).cast("string")
+      val title = concat(lit("Item "), ks(500))
+      val waiting = when(k % 4 === 0, lit("-")).when(k % 4 === 1, lit(null).cast("string"))
+        .otherwise(ks(12))
+      val emailRaw = when(k % 6 === 0, concat(lit("contact: a.b"), ks(70), lit("@mail-srv.co.il (main)")))
+        .when(k % 6 === 1, lit("no-email")).when(k % 6 === 2, lit(null).cast("string"))
+        .otherwise(concat(lit("x"), ks(40), lit("@y.org")))
+      val html = concat(lit("<p>Para "), ks(50), lit("</p><li>Item A</li> &nbsp; <b>bold</b>"))
+      Tables.customer(s, dir).select(
+        concat(lit("src:"), k.cast("string")).as("id"),
+        title.as("name"),
+        replace(array_join(concat(
+          split(coalesce(when(k % 3 =!= 0,
+            concat(lit("02-111 "), ks(90), lit(",03 222"))), lit("")), ","),
+          split(coalesce(when(k % 5 =!= 1, lit("04 333")), lit("")), ",")), "\n"),
+          lit(" "), lit("")).as("phone_numbers"),
+        nullif(regexp_extract(emailRaw, "[\\w.+-]+@[\\w-]+\\.[\\w.-]+", 0), lit("")).as("email_address"),
+        replace(regexp_replace(trim(
+          replace(replace(html, lit("</p>"), lit("</p>\n")), lit("</li>"), lit("</li>\n"))),
+          "<[^>]*>", ""), lit("&nbsp;"), lit(" ")).as("description"),
+        concat(lit("https://www.gov.il/he/service/item-"), ks(500), lit("#"), title).as("urls"),
+        concat(lit("מספר יחידות דיור: "), ks(30), lit("\n"),
+          when(waiting.isNotNull && waiting =!= "-",
+            concat(lit("מספר ממתינים: "), waiting, lit("\n"))).otherwise(lit(""))).as("gz_description"),
+        regexp_replace(
+          when(k % 3 =!= 0 && k % 4 =!= 0,
+            concat(lit("מענה "), ks(9), lit(" עבור מצב "), ks(8)))
+            .when(k % 3 =!= 0, concat(lit("מצב "), ks(8)))
+            .when(k % 4 =!= 0, concat(lit("מענה "), ks(9))),
+          "\\s+", "_").as("homepage_query"),
+        concat(lit("mhclinic-"), substring(md5(array_join(filter(array(
+          title,
+          when(k % 7 =!= 0, concat(lit("035"), lpad(ks(1000), 4, "0"))).otherwise(lit("")),
+          concat(lit("Addr "), ks(200)),
+          when(k % 2 === 0, concat(lit("HMO"), ks(4)))),
+          x => x.isNotNull && x =!= ""), "|")), 1, 8)).as("clinic_id"))
     }
   )
 }

@@ -38,9 +38,11 @@ class ConnectorSpec extends SpecBase {
     assert(a.length == 12 && a(8) == '+', s"length-11 format: $a")
   }
 
-  test("q137 is map-only: zero exchanges at any scale") {
-    val p = planOf("q137_location_keys")
-    assert(!p.contains("Exchange"), s"location keys must not shuffle:\n${p.take(600)}")
+  test("q137 and q143 are map-only: zero exchanges at any scale") {
+    for (q <- Seq("q137_location_keys", "q143_field_map_staging")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(600)}")
+    }
   }
 
   test("q138 joins only through broadcasts, no shuffle exchange") {
