@@ -865,6 +865,153 @@ object ConnectorQueries {
           concat(lit("Addr "), ks(200)),
           when(k % 2 === 0, concat(lit("HMO"), ks(4)))),
           x => x.isNotNull && x =!= ""), "|")), 1, 8)).as("clinic_id"))
+    },
+
+    // q144: the MANUAL-DATA-ENTRY branch flow (operators/
+    // manual_data_entry/mde_utils.py): slugified org ids with the hash
+    // fallback (:19 — slugify then the ^(srm|)[0-9]+$ gate; failures
+    // become 'srm9' + int(hash, 16); hash = md5[:8] here, srm_tools'
+    // hasher shape — DuckDB lacks sha1, and an 8-hex int fits BIGINT in
+    // both engines), the national-service address overwrite (:30),
+    // content-keyed branch ids 'mde:'+hash(org, unit, address, geocode)
+    // with python str() turning None into 'None' (:107-110), then
+    // join_with_self on the content id keeping the MIN hashed row id
+    // (:158); dataflows' 'any' aggregate for the other fields is
+    // ARBITRARY — pinned here to the min-row-id row, the same row the id
+    // comes from. branch_updater (:113) then derives location =
+    // geocode-else-address (stripped) and rebuilds urls: split, fix_url
+    // (http passthrough / bare-domain 'http://' upgrade / drop), tag
+    // '#אתר הסניף', rejoin. Plan: map-side derivation + ONE exchange
+    // (the content-id combine); min/min_by aggregates partial-combine.
+    "q144_mde_branches" -> QueryDef.of(
+      """WITH base0 AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '-' ||
+        |      CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR) || '-' ||
+        |      CAST(CAST(l_quantity AS INT) AS VARCHAR) AS row_key,
+        |    l_orderkey % 613 AS g, l_partkey AS pk
+        |  FROM lineitem),
+        |base1 AS (
+        |  SELECT *,
+        |    CASE g % 4 WHEN 0 THEN CAST(500000000 + g AS VARCHAR)
+        |         WHEN 1 THEN 'SRM' || CAST(g AS VARCHAR)
+        |         WHEN 2 THEN NULL ELSE 'Reg ' || CAST(g AS VARCHAR) END AS id_src,
+        |    'Org Name ' || CAST(g % 300 AS VARCHAR) AS org_name,
+        |    CASE WHEN g % 3 = 0 THEN 'OU' || CAST(g % 40 AS VARCHAR) END AS short_name,
+        |    CASE WHEN g % 5 <> 2 THEN 'Addr ' || CAST(g % 120 AS VARCHAR) END AS address0,
+        |    CASE WHEN g % 6 = 0 THEN '8G4Q+' || CAST(g % 90 AS VARCHAR) END AS geocode,
+        |    (g % 11 = 0) AS national,
+        |    'Branch ' || CAST(pk % 50 AS VARCHAR) AS bname,
+        |    '05' || lpad(CAST(pk % 10000 AS VARCHAR), 4, '0') AS phone_numbers,
+        |    'e' || CAST(pk % 30 AS VARCHAR) || '@o.il' AS email_address,
+        |    CASE pk % 4 WHEN 0 THEN 'www.site' || CAST(pk % 60 AS VARCHAR) || '.co.il'
+        |         WHEN 1 THEN 'https://x' || CAST(pk % 60 AS VARCHAR) || '.org' ||
+        |              (CASE WHEN pk % 5 = 0 THEN chr(10) || 'bad url!!' ELSE '' END)
+        |         WHEN 2 THEN 'bad url!!' END AS urls_raw
+        |  FROM base0),
+        |slugged AS (
+        |  SELECT *, trim(regexp_replace(lower(COALESCE(id_src, org_name)), '[^a-z0-9]+', '-', 'g'), '-') AS slug
+        |  FROM base1),
+        |orged AS (
+        |  SELECT *, CASE WHEN regexp_matches(slug, '^(srm|)[0-9]+$')
+        |    THEN slug
+        |    ELSE 'srm9' || CAST(CAST('0x' || substr(md5(slug), 1, 8) AS BIGINT) AS VARCHAR) END AS organization,
+        |    COALESCE(short_name, org_name) AS operating_unit,
+        |    CASE WHEN national THEN 'שירות ארצי' ELSE address0 END AS address
+        |  FROM slugged),
+        |keyed AS (
+        |  SELECT *,
+        |    'mde:' || substr(md5(organization || operating_unit || COALESCE(address, 'None') || COALESCE(geocode, 'None')), 1, 8) AS _id,
+        |    'mde:' || substr(md5(row_key), 1, 8) AS rid
+        |  FROM orged),
+        |combined AS (
+        |  SELECT _id, min(rid) AS id,
+        |    min_by(bname, rid) AS name,
+        |    min_by(organization, rid) AS organization,
+        |    min_by(operating_unit, rid) AS operating_unit,
+        |    (min_by({'v': address}, rid)).v AS address,
+        |    (min_by({'v': geocode}, rid)).v AS geocode,
+        |    min_by(phone_numbers, rid) AS phone_numbers,
+        |    min_by(email_address, rid) AS email_address,
+        |    (min_by({'v': urls_raw}, rid)).v AS urls_raw
+        |  FROM keyed GROUP BY _id)
+        |SELECT _id, id, name, organization, operating_unit, address, geocode,
+        |  trim(COALESCE(geocode, address)) AS location,
+        |  phone_numbers, email_address,
+        |  CASE WHEN urls_raw IS NULL THEN '' ELSE COALESCE(array_to_string(
+        |    list_filter(list_transform(string_split(urls_raw, chr(10)), u -> CASE
+        |      WHEN starts_with(u, 'http') THEN u || '#אתר הסניף'
+        |      WHEN regexp_matches(u, '(?i)^[a-z0-9][a-z0-9\-\.]{0,61}[a-z0-9]\.[a-z]{2,}$')
+        |        THEN 'http://' || u || '#אתר הסניף' END),
+        |    u -> u IS NOT NULL), chr(10)), '') END AS urls
+        |FROM combined
+        |""".stripMargin) { (s, dir) =>
+      val g = (col("l_orderkey") % 613).as("g")
+      // (l_orderkey, l_linenumber) alone is NOT unique in the generated
+      // lineitem; the 5-tuple below is, at every scale — a sheet row id
+      // must be collision-free or the min-row-id pick ties arbitrarily.
+      val base = Tables.lineitem(s, dir).select(
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"), lit("-"),
+          col("l_partkey").cast("string"), lit("-"),
+          col("l_suppkey").cast("string"), lit("-"),
+          col("l_quantity").cast("int").cast("string")).as("row_key"),
+        g, col("l_partkey").as("pk"))
+      def gs(m: Int) = (col("g") % m).cast("string")
+      def ps(m: Int) = (col("pk") % m).cast("string")
+      val b1 = base.select(col("row_key"), col("g"), col("pk"),
+        when(col("g") % 4 === 0, (col("g") + 500000000L).cast("string"))
+          .when(col("g") % 4 === 1, concat(lit("SRM"), col("g").cast("string")))
+          .when(col("g") % 4 === 2, lit(null).cast("string"))
+          .otherwise(concat(lit("Reg "), col("g").cast("string"))).as("id_src"),
+        concat(lit("Org Name "), gs(300)).as("org_name"),
+        when(col("g") % 3 === 0, concat(lit("OU"), gs(40))).as("short_name"),
+        when(col("g") % 5 =!= 2, concat(lit("Addr "), gs(120))).as("address0"),
+        when(col("g") % 6 === 0, concat(lit("8G4Q+"), gs(90))).as("geocode"),
+        (col("g") % 11 === 0).as("national"),
+        concat(lit("Branch "), ps(50)).as("bname"),
+        concat(lit("05"), lpad(ps(10000), 4, "0")).as("phone_numbers"),
+        concat(lit("e"), ps(30), lit("@o.il")).as("email_address"),
+        when(col("pk") % 4 === 0, concat(lit("www.site"), ps(60), lit(".co.il")))
+          .when(col("pk") % 4 === 1, concat(lit("https://x"), ps(60), lit(".org"),
+            when(col("pk") % 5 === 0, lit("\nbad url!!")).otherwise(lit(""))))
+          .when(col("pk") % 4 === 2, lit("bad url!!")).as("urls_raw"))
+      val slug = expr("trim('-' FROM regexp_replace(lower(COALESCE(id_src, org_name)), '[^a-z0-9]+', '-'))")
+      val orged = b1.withColumn("slug", slug)
+        .withColumn("organization",
+          when(col("slug").rlike("^(srm|)[0-9]+$"), col("slug"))
+            .otherwise(concat(lit("srm9"),
+              conv(substring(md5(col("slug")), 1, 8), 16, 10))))
+        .withColumn("operating_unit", coalesce(col("short_name"), col("org_name")))
+        .withColumn("address",
+          when(col("national"), lit(NationalSvc)).otherwise(col("address0")))
+      val keyed = orged
+        .withColumn("_id", concat(lit("mde:"), substring(md5(concat(
+          col("organization"), col("operating_unit"),
+          coalesce(col("address"), lit("None")),
+          coalesce(col("geocode"), lit("None")))), 1, 8)))
+        .withColumn("rid", concat(lit("mde:"), substring(md5(col("row_key")), 1, 8)))
+      val combined = keyed.groupBy(col("_id")).agg(
+        min(col("rid")).as("id"),
+        min_by(col("bname"), col("rid")).as("name"),
+        min_by(col("organization"), col("rid")).as("organization"),
+        min_by(col("operating_unit"), col("rid")).as("operating_unit"),
+        min_by(col("address"), col("rid")).as("address"),
+        min_by(col("geocode"), col("rid")).as("geocode"),
+        min_by(col("phone_numbers"), col("rid")).as("phone_numbers"),
+        min_by(col("email_address"), col("rid")).as("email_address"),
+        min_by(col("urls_raw"), col("rid")).as("urls_raw"))
+      val urlTag = "#אתר הסניף"
+      val goodDomain = "(?i)^[a-z0-9][a-z0-9\\-\\.]{0,61}[a-z0-9]\\.[a-z]{2,}$"
+      combined.select(
+        col("_id"), col("id"), col("name"), col("organization"),
+        col("operating_unit"), col("address"), col("geocode"),
+        trim(coalesce(col("geocode"), col("address"))).as("location"),
+        col("phone_numbers"), col("email_address"),
+        when(col("urls_raw").isNull, lit(""))
+          .otherwise(array_join(filter(transform(split(col("urls_raw"), "\n"), u =>
+            when(u.startsWith("http"), concat(u, lit(urlTag)))
+              .when(u.rlike(goodDomain), concat(lit("http://"), u, lit(urlTag)))),
+            u => u.isNotNull), "\n")).as("urls"))
     }
   )
 }
