@@ -351,12 +351,15 @@ object ConnectorQueries {
           .otherwise(lit(Disclaimer)).as("description"),
         lit("national").as("row_kind"), lit(2).as("fam"), lit(0L).as("bord"))
       val unioned = branchRows.unionByName(fallbackRows).unionByName(nationalRows)
-      val payload = struct(col("id"), col("org_id"), col("name"), col("address"),
-        col("phone"), col("situations"), col("description"), col("row_kind"))
-      unioned.groupBy(col("id"))
-        .agg(min_by(payload, struct(col("org_id"), col("fam"), col("bord"))).as("w"))
-        .select(col("w.id").as("id"), col("w.org_id"), col("w.name"), col("w.address"),
-          col("w.phone"), col("w.situations"), col("w.description"), col("w.row_kind"))
+      // Keep-first through the TopKPerKey node (k=1 per id under the
+      // emission order): a string-buffered min_by would plan as
+      // SortAggregate and sort the full union map-side; the node's
+      // bounded heaps trim each partition to one row per id, no sort
+      // (same argument as q144, measured there).
+      graft.operators.TopK.topKPerKey(unioned, Seq(col("id")),
+          Seq(col("org_id"), col("fam"), col("bord")), 1)
+        .select(col("id"), col("org_id"), col("name"), col("address"),
+          col("phone"), col("situations"), col("description"), col("row_kind"))
     },
 
     // q140: geocoding provider CASCADE (operators/geocode/__init__.py:19):

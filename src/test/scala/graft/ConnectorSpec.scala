@@ -64,11 +64,11 @@ class ConnectorSpec extends SpecBase {
     } finally out.unpersist()
   }
 
-  test("q139 dedups with a single aggregate, not a window") {
+  test("q139 dedups through the TopKPerKey node, not a window or wide sort") {
     val p = planOf("q139_branch_unwind")
-    assert(!p.contains("Window"), "keep-first must be the min_by aggregate")
-    assert(p.contains("partial_min_by") || p.contains("min_by"),
-      s"min_by aggregate expected:\n${p.take(800)}")
+    assert(!p.contains("Window"), "keep-first must not be a window")
+    assert(p.contains("TopKPerKey"),
+      s"plan-node keep-first expected:\n${p.take(800)}")
   }
 
   test("q139 emits all four row families and keeps first on id collisions") {
