@@ -64,11 +64,13 @@ class ConnectorSpec extends SpecBase {
     } finally out.unpersist()
   }
 
-  test("q139 dedups through the TopKPerKey node, not a window or wide sort") {
-    val p = planOf("q139_branch_unwind")
-    assert(!p.contains("Window"), "keep-first must not be a window")
-    assert(p.contains("TopKPerKey"),
-      s"plan-node keep-first expected:\n${p.take(800)}")
+  test("q139/q144 dedup through the TopKPerKey node, not a window or wide sort") {
+    for (q <- Seq("q139_branch_unwind", "q144_mde_branches")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q keep-first must not be a window")
+      assert(p.contains("TopKPerKey"), s"$q: plan-node keep-first expected:\n${p.take(800)}")
+      assert(!p.contains("SortAggregate"), s"$q must not sort wide rows map-side")
+    }
   }
 
   test("q139 emits all four row families and keeps first on id collisions") {
