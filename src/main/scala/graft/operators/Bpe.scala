@@ -84,4 +84,38 @@ object Bpe {
     merges.toSeq.toDF("round", "left", "right", "n")
       .select(col("round").cast("int"), col("left"), col("right"), col("n").cast("long"))
   }
+
+  /** ENCODE with a learned merge table: fold the merges in RANK ORDER
+    * over the character split, each with the same greedy left-to-right
+    * rewrite the trainer used — so the segmentation of a training word
+    * is exactly the trainer's final vocabulary entry, and (BpeSpec) the
+    * result coincides with the HF-style lowest-rank-first priority
+    * encoder: exhausting rank r everywhere before rank r+1 touches
+    * anything IS lowest-rank-first, occurrence order left-to-right in
+    * both. */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (syms, (a, b)) => if (syms.length < 2) syms else mergePair(syms, a, b)
+    }
+
+  /** Tokenize a word-frequency table — the corpus-scale posture: the
+    * merge table is rounds-bounded so it ships as a broadcast local list
+    * (the IVF-quantizer artifact lifecycle), and the M·|word| encode
+    * loop runs over DISTINCT words (vocabulary-sized), never the corpus;
+    * corpus token statistics come back by weighting with `f`, not by
+    * re-touching documents. Per-word iterative merging is genuinely
+    * imperative — the documented mapPartitions rung, over the bounded
+    * vocabulary only. */
+  def encodeWords(spark: SparkSession, words: DataFrame, merges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val table = merges.orderBy(col("round")).select(col("left"), col("right"))
+      .as[(String, String)].collect().toSeq
+    val bc = spark.sparkContext.broadcast(table)
+    words.select(col("tok"), col("f").cast("long")).as[(String, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (t, f) => (t, f, encodeWord(t, m)) }
+      }
+      .toDF("tok", "f", "subwords")
+  }
 }

@@ -340,6 +340,31 @@ object CorpusQueries {
       Bpe.learnMerges(s, words, rounds = 6)
     },
 
+    // q145: BPE ENCODE *(rows-only: the merge fold loops)* — apply
+    // q129's learned merge table to tokenize the corpus, the train→apply
+    // loop every tokenizer pipeline closes. Scale posture: the merge
+    // table is a rounds-bounded broadcast artifact; the M·|word| encode
+    // loop runs over DISTINCT words only (vocabulary-sized — the same
+    // sufficient-statistics argument as training), and corpus subword
+    // statistics come from weighting by word frequency — documents are
+    // touched exactly once, by the word count. Output: per-subword
+    // vocabulary occurrences + corpus frequency. BpeSpec pins the fold
+    // against an independent HF-style lowest-rank-first priority encoder
+    // on real corpus words, the concatenation invariant, and the
+    // char-count conservation law the weighted stats imply.
+    "q145_bpe_encode" -> QueryDef.rowsOnly { (s, dir) =>
+      import graft.operators.Bpe
+      val words = Tables.documents(s, dir)
+        .select(explode(F.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val merges = Bpe.learnMerges(s, words, rounds = 6)
+      Bpe.encodeWords(s, words, merges)
+        .select(explode(col("subwords")).as("subword"), col("f"))
+        .groupBy(col("subword"))
+        .agg(count(lit(1)).cast("long").as("n_vocab_occurrences"),
+          sum(col("f")).cast("long").as("corpus_freq"))
+    },
+
     // q88: the corpus BUILD pipeline end to end — quality gate → exact
     // dedup → benchmark decontamination → stratified sample → sequence
     // packing → shard assignment, composed from the verified kernels

@@ -63,4 +63,48 @@ class BpeSpec extends SpecBase {
     val words = Seq(("ab", 1L), ("cd", 1L)).toDF("tok", "f")
     assert(Bpe.learnMerges(spark, words, rounds = 5, minCount = 3).count() == 0)
   }
+
+  /** Independent HF-style encoder: repeatedly merge the LOWEST-RANK pair
+    * present anywhere in the word (leftmost occurrence), one occurrence
+    * at a time, until no pair is in the table. */
+  private def priorityEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms: Vector[String] = word.map(_.toString).toVector
+    var continue = true
+    while (continue && syms.length > 1) {
+      val candidates = syms.indices.dropRight(1)
+        .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+      if (candidates.isEmpty) continue = false
+      else {
+        val (_, i) = candidates.min // lowest rank, then leftmost
+        syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+      }
+    }
+    syms
+  }
+
+  test("q145: rank-order fold equals the priority encoder on real corpus words") {
+    val words = Tables.documents(spark, SfDir)
+      .select(explode(F.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("f"))
+    val merges = Bpe.learnMerges(spark, words, rounds = 6)
+      .orderBy($"round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val toks = words.select($"tok").as[String].collect()
+    for (t <- toks) {
+      val fold = Bpe.encodeWord(t, merges)
+      assert(fold == priorityEncode(t, merges), s"word '$t': $fold vs priority")
+      assert(fold.mkString == t, s"concatenation invariant broken for '$t'")
+    }
+  }
+
+  test("q145 output conserves corpus character counts") {
+    val out = SparkEntry.queries("q145_bpe_encode")(spark, SfDir)
+    val subwordChars = out
+      .select(sum(length($"subword") * $"corpus_freq")).as[Long].head()
+    val corpusChars = Tables.documents(spark, SfDir)
+      .select(explode(F.tokens($"text")).as("tok"))
+      .select(sum(length($"tok"))).as[Long].head()
+    assert(subwordChars == corpusChars, s"$subwordChars != $corpusChars")
+  }
 }
