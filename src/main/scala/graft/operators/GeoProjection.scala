@@ -186,4 +186,27 @@ object GeoProjection {
         "left")
       .drop("__graft_e", "__graft_n")
   }
+
+  /** Streaming-legal PER-ROW variant: the distinct+broadcast form above
+    * aggregates, which a stream cannot do mid-plan — here every row
+    * projects its own coordinates in one stateless typed pass (null
+    * coords → null geometry). Same math, same outputs bit-for-bit; use
+    * on streams, or in batch when coordinates are near-unique anyway. */
+  def withWgs84PerRow(df: DataFrame, eastingCol: String, northingCol: String,
+                      outCol: String = "geometry"): DataFrame = {
+    val eIdx = df.schema.fieldIndex(eastingCol)
+    val nIdx = df.schema.fieldIndex(northingCol)
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val geom =
+          if (r.isNullAt(eIdx) || r.isNullAt(nIdx)) null
+          else GeoMath.itmToWgs84(r.getDouble(eIdx), r.getDouble(nIdx)).toSeq
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ geom)
+      }
+    }(enc)
+  }
 }

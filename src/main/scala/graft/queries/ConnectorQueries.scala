@@ -26,9 +26,11 @@ object ConnectorQueries {
   private val PrefIriya = "עיריית"
   private val PrefMoatzaM = "מועצה מקומית"
   private val PrefMoatzaA = "מועצה אזורית"
-  private val NationalSvc = "שירות ארצי" // unwind_branches national row / geocode special-case
-  private val AllCountry = "כל הארץ" // geocode's second national keyword
-  private val IsraelSuffix = ", ישראל" // geocode resolved-address cleanup (7 chars)
+  // Geocode-cascade literals live on the operator (shared with its
+  // streaming twin); aliased here for the SQL interpolations.
+  private val NationalSvc = graft.operators.Geocode.NationalService
+  private val AllCountry = graft.operators.Geocode.AllCountry
+  private val IsraelSuffix = graft.operators.Geocode.IsraelSuffix
   // unwind_branches national-entry disclaimer (entities/__init__.py:233)
   private val Disclaimer = "שימו לב, ייתכן כי המיקום המוצג אינו מדויק וכי קיימים סניפים נוספים שבהם ניתן לקבל את השירות. מומלץ ליצור קשר ישירות עם הארגון לקבלת מידע מדויק ומעודכן."
   // replace_language_number_with_actual_value (entities/__init__.py:149):
@@ -459,94 +461,10 @@ object ConnectorQueries {
          |FROM res
          |""".stripMargin
     } { (s, dir) =>
-      val k = col("c_custkey")
-      val rows = Tables.customer(s, dir).select(
-        k.as("custkey"), (k % 300).as("addr_n"),
-        when(k % 13 === 0, lit(NationalSvc))
-          .when(k % 13 === 1, concat(lit("8G4Q+V2 Site "), (k % 50).cast("string")))
-          .when(k % 13 === 2 && k % 2 === 0, lit(AllCountry))
-          .otherwise(concat(lit("Addr "), (k % 300).cast("string"))).as("keyword"),
-        when(k % 8 =!= 3, concat(lit("RevCity "), (k % 30).cast("string"))).as("rev_cand"))
-        .withColumn("is_national", col("keyword").isin(NationalSvc, AllCountry))
-        .withColumn("is_plus",
-          length(col("keyword")) > 4 && substring(col("keyword"), 5, 1) === "+")
-      val cn = col("cn")
-      val gm = Tables.customer(s, dir).select((k % 300).as("cn")).distinct()
-        .filter(cn % 10 =!= 7)
-        .select(cn,
-          (lit(180000.0) + (cn % 120).cast("double") * lit(500.0)).as("gx"),
-          (lit(500000.0) + (cn % 200).cast("double") * lit(800.0)).as("gy"),
-          when(cn % 6 === 0, lit("POI_MID_POINT")).when(cn % 6 === 1, lit("ADDR_V1_NEW"))
-            .when(cn % 6 === 2, lit("NEIGHBORHOODS_AREA")).when(cn % 6 === 3, lit("STREET_MID_POINT"))
-            .when(cn % 6 === 4, lit("NEW_ADDRESS_POINT")).otherwise(lit("SETL_MID_POINT")).as("dl"),
-          concat(lit("Addr "), cn.cast("string"), lit(" | Rehov "),
-            (cn % 60).cast("string"), lit(IsraelSuffix)).as("gm_addr"))
-      val gn = col("gn")
-      val googA = Tables.customer(s, dir).select((k % 300).as("gn")).distinct()
-        .filter(gn % 4 =!= 1)
-        .select(
-          concat(lit("Addr "), gn.cast("string")).as("gkey"),
-          when(gn % 5 === 0, lit("ROOFTOP")).when(gn % 5 === 1, lit("GEOMETRIC_CENTER"))
-            .when(gn % 5 === 2, lit("GEOMETRIC_CENTER")).when(gn % 5 === 3, lit("APPROXIMATE"))
-            .otherwise(lit("RANGE_INTERPOLATED")).as("g_acc0"),
-          when(gn % 5 === 1, lit("establishment")).when(gn % 5 === 2, lit("plus_code"))
-            .otherwise(lit("locality")).as("quality"),
-          concat(lit("G Addr "), gn.cast("string"),
-            when(gn % 2 === 0, lit(IsraelSuffix)).otherwise(lit(""))).as("g_addr"),
-          when(gn % 3 === 0, concat(lit("GCity "), (gn % 40).cast("string"))).as("locality"),
-          when(gn % 3 === 1, concat(lit("GArea "), (gn % 15).cast("string"))).as("admin2"),
-          when(gn % 3 === 2 && gn % 6 =!= 5, concat(lit("GTown "), gn.cast("string"))).as("gcity"),
-          (lit(31.0) + (gn % 100).cast("double") * lit(0.01)).as("g_lat"),
-          (lit(34.5) + (gn % 80).cast("double") * lit(0.01)).as("g_lng"))
-      val m = col("m")
-      val googB = Tables.customer(s, dir).select((k % 50).as("m")).distinct()
-        .filter(m % 9 =!= 5)
-        .select(
-          concat(lit("8G4Q+V2 Site "), m.cast("string")).as("gkey"),
-          lit("GEOMETRIC_CENTER").as("g_acc0"), lit("plus_code").as("quality"),
-          concat(lit("Plus "), m.cast("string")).as("g_addr"),
-          when(m % 3 === 0, concat(lit("PCity "), m.cast("string"))).as("locality"),
-          when(m % 3 === 1, concat(lit("PArea "), m.cast("string"))).as("admin2"),
-          lit(null).cast("string").as("gcity"),
-          (lit(32.0) + m.cast("double") * lit(0.001)).as("g_lat"),
-          (lit(34.8) + m.cast("double") * lit(0.001)).as("g_lng"))
-      val goog = googA.unionByName(googB)
-      val j1 = rows.join(broadcast(gm), col("addr_n") === cn, "left")
-        .withColumn("gm_hit", !col("is_national") && !col("is_plus") && cn.isNotNull)
-        .withColumn("e_itm", when(col("gm_hit"), col("gx")))
-        .withColumn("n_itm", when(col("gm_hit"), col("gy")))
-      val proj = GeoProjection.withWgs84(s, j1, "e_itm", "n_itm", "geom")
-      val j2 = proj.join(broadcast(goog), col("keyword") === col("gkey"), "left")
-      val gmAcc = trim(replace(col("dl"), lit("NEW"), lit("")), "_")
-      val gmAccOk = gmAcc.isin("ROOFTOP", "RANGE_INTERPOLATED", "STREET_MID_POINT",
-        "ADDR_V1", "ADDRESS_POINT", "ADDRESS")
-      val googTry = !col("is_national") && (!col("gm_hit") || !gmAccOk)
-      val googOk = googTry && col("gkey").isNotNull
-      val gAcc = when(col("is_plus"), lit("ADDR_V1"))
-        .when(col("g_acc0") === "GEOMETRIC_CENTER" && col("quality") === "establishment", lit("POI_MID_POINT"))
-        .when(col("g_acc0") === "GEOMETRIC_CENTER" && col("quality") === "plus_code", lit("ROOFTOP"))
-        .otherwise(col("g_acc0"))
-      val addrPre = when(col("is_national"), lit(NationalSvc))
-        .when(googOk, when(col("is_plus"), col("keyword")).otherwise(col("g_addr")))
-        .when(col("gm_hit"), col("gm_addr"))
-      val fLat = when(googOk, col("g_lat")).when(col("gm_hit"), element_at(col("geom"), 2))
-      val fLon = when(googOk, col("g_lng")).when(col("gm_hit"), element_at(col("geom"), 1))
-      val cityG = when(googOk, coalesce(col("locality"), col("admin2"), col("gcity")))
-      val addr1 = when(addrPre.endsWith(IsraelSuffix),
-        addrPre.substr(lit(1), length(addrPre) - 7)).otherwise(addrPre)
-      j2.select(
-        col("custkey"), col("keyword"),
-        when(googTry && !googOk, lit("NOT_FOUND")).otherwise(lit("VALID")).as("status"),
-        when(col("is_national"), lit("national")).when(googOk, lit("google"))
-          .when(col("gm_hit"), lit("govmap")).as("provider"),
-        when(col("is_national"), lit("NATIONAL_SERVICE")).when(googOk, gAcc)
-          .when(col("gm_hit"), gmAcc).as("accuracy"),
-        replace(addr1, lit(" | "), lit(", ")).as("resolved_address"),
-        when(cityG.isNotNull, cityG)
-          .when(fLat.isNotNull && fLon.isNotNull, coalesce(col("rev_cand"), lit("unknown")))
-          .as("resolved_city"),
-        when(fLat.isNotNull, format_string("%.5f", fLat)).as("resolved_lat"),
-        when(fLon.isNotNull, format_string("%.5f", fLon)).as("resolved_lon"))
+      val (rows, gm, goog) = geocodeInputs(s, dir)
+      // Cascade core shared with the STREAMING twin (operators/Geocode):
+      // batch uses the distinct+broadcast coordinate projection.
+      graft.operators.Geocode.cascade(rows, gm, goog)
     },
 
     // q141: taxonomy TREE flatten with breadcrumbs (operators/taxonomy/
@@ -1020,4 +938,62 @@ object ConnectorQueries {
             u => u.isNotNull), "\n")).as("urls"))
     }
   )
+
+  /** q140's synthetic provider tables + row stream, shared with the
+    * STREAMING twin's spec (the cascade itself is in operators/Geocode). */
+  private[graft] def geocodeInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+      val k = col("c_custkey")
+      val rows = Tables.customer(s, dir).select(
+        k.as("custkey"), (k % 300).as("addr_n"),
+        when(k % 13 === 0, lit(NationalSvc))
+          .when(k % 13 === 1, concat(lit("8G4Q+V2 Site "), (k % 50).cast("string")))
+          .when(k % 13 === 2 && k % 2 === 0, lit(AllCountry))
+          .otherwise(concat(lit("Addr "), (k % 300).cast("string"))).as("keyword"),
+        when(k % 8 =!= 3, concat(lit("RevCity "), (k % 30).cast("string"))).as("rev_cand"))
+        .withColumn("is_national", col("keyword").isin(NationalSvc, AllCountry))
+        .withColumn("is_plus",
+          length(col("keyword")) > 4 && substring(col("keyword"), 5, 1) === "+")
+      val cn = col("cn")
+      val gm = Tables.customer(s, dir).select((k % 300).as("cn")).distinct()
+        .filter(cn % 10 =!= 7)
+        .select(cn,
+          (lit(180000.0) + (cn % 120).cast("double") * lit(500.0)).as("gx"),
+          (lit(500000.0) + (cn % 200).cast("double") * lit(800.0)).as("gy"),
+          when(cn % 6 === 0, lit("POI_MID_POINT")).when(cn % 6 === 1, lit("ADDR_V1_NEW"))
+            .when(cn % 6 === 2, lit("NEIGHBORHOODS_AREA")).when(cn % 6 === 3, lit("STREET_MID_POINT"))
+            .when(cn % 6 === 4, lit("NEW_ADDRESS_POINT")).otherwise(lit("SETL_MID_POINT")).as("dl"),
+          concat(lit("Addr "), cn.cast("string"), lit(" | Rehov "),
+            (cn % 60).cast("string"), lit(IsraelSuffix)).as("gm_addr"))
+      val gn = col("gn")
+      val googA = Tables.customer(s, dir).select((k % 300).as("gn")).distinct()
+        .filter(gn % 4 =!= 1)
+        .select(
+          concat(lit("Addr "), gn.cast("string")).as("gkey"),
+          when(gn % 5 === 0, lit("ROOFTOP")).when(gn % 5 === 1, lit("GEOMETRIC_CENTER"))
+            .when(gn % 5 === 2, lit("GEOMETRIC_CENTER")).when(gn % 5 === 3, lit("APPROXIMATE"))
+            .otherwise(lit("RANGE_INTERPOLATED")).as("g_acc0"),
+          when(gn % 5 === 1, lit("establishment")).when(gn % 5 === 2, lit("plus_code"))
+            .otherwise(lit("locality")).as("quality"),
+          concat(lit("G Addr "), gn.cast("string"),
+            when(gn % 2 === 0, lit(IsraelSuffix)).otherwise(lit(""))).as("g_addr"),
+          when(gn % 3 === 0, concat(lit("GCity "), (gn % 40).cast("string"))).as("locality"),
+          when(gn % 3 === 1, concat(lit("GArea "), (gn % 15).cast("string"))).as("admin2"),
+          when(gn % 3 === 2 && gn % 6 =!= 5, concat(lit("GTown "), gn.cast("string"))).as("gcity"),
+          (lit(31.0) + (gn % 100).cast("double") * lit(0.01)).as("g_lat"),
+          (lit(34.5) + (gn % 80).cast("double") * lit(0.01)).as("g_lng"))
+      val m = col("m")
+      val googB = Tables.customer(s, dir).select((k % 50).as("m")).distinct()
+        .filter(m % 9 =!= 5)
+        .select(
+          concat(lit("8G4Q+V2 Site "), m.cast("string")).as("gkey"),
+          lit("GEOMETRIC_CENTER").as("g_acc0"), lit("plus_code").as("quality"),
+          concat(lit("Plus "), m.cast("string")).as("g_addr"),
+          when(m % 3 === 0, concat(lit("PCity "), m.cast("string"))).as("locality"),
+          when(m % 3 === 1, concat(lit("PArea "), m.cast("string"))).as("admin2"),
+          lit(null).cast("string").as("gcity"),
+          (lit(32.0) + m.cast("double") * lit(0.001)).as("g_lat"),
+          (lit(34.8) + m.cast("double") * lit(0.001)).as("g_lng"))
+    (rows, gm, googA.unionByName(googB))
+  }
 }

@@ -11,6 +11,7 @@ import graft.streaming.EventStreams.Event
   * (q20/q21) on the same data. */
 class StreamingSpec extends SpecBase {
   import spark.implicits._
+  import StreamingSpec.GeoRow
 
   private def loadEvents(): Seq[Event] =
     Tables.events(spark, SfDir)
@@ -710,4 +711,40 @@ class StreamingSpec extends SpecBase {
           s"batch-only: ${(batch.toSet -- streamed.toSet).take(5)}")
     } finally query.stop()
   }
+
+  test("streaming geocode cascade matches batch q140 across micro-batch boundaries") {
+    // Every cascade step is a broadcast lookup or a per-row projection —
+    // ZERO streaming state; the only realization difference is the
+    // coordinate projection (per-row instead of distinct+broadcast,
+    // which would aggregate mid-stream). Same math, so results must be
+    // row-identical under any micro-batch split.
+    implicit val sqlCtx = spark.sqlContext
+    val (rowsB, gm, goog) = graft.queries.ConnectorQueries.geocodeInputs(spark, SfDir)
+    val all = rowsB.select($"custkey", $"addr_n", $"keyword", $"rev_cand",
+      $"is_national", $"is_plus").as[GeoRow].collect().toSeq.sortBy(_.custkey)
+    val stream = MemoryStream[GeoRow]
+    val out = graft.operators.Geocode.cascade(
+      stream.toDF(), gm, goog, perRowProjection = true)
+    val query = out.writeStream.format("memory").queryName("geocode_stream_test")
+      .outputMode("append").start()
+    try {
+      all.grouped((all.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("geocode_stream_test")
+        .collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("q140_geocode_cascade")(spark, SfDir)
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}, batch-only: ${(batch -- streamed).take(3)}")
+    } finally query.stop()
+  }
+}
+
+object StreamingSpec {
+  /** q140 row-stream shape for the geocode-cascade twin. */
+  case class GeoRow(custkey: Long, addr_n: Long, keyword: String, rev_cand: String,
+                    is_national: Boolean, is_plus: Boolean)
 }
