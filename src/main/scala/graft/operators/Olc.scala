@@ -43,8 +43,17 @@ object Olc {
     floor((lat + lit(90.0)) * lit(LatPrecision.toDouble)).cast("long"),
     floor((lng + lit(180.0)) * lit(LngPrecision.toDouble)).cast("long"))
 
-  /** Length-11 plus code as one codegen'd string column. */
-  def encode11(lat: Column, lng: Column): Column = {
+  /** Length-11 plus code: the fused NATIVE Expression (one StringBuilder
+    * loop in the stage's generated Java — see
+    * [[graft.functions.expressions.OlcEncode11]]; the composed tree below
+    * re-derives each digit separately and concat-allocates per piece). */
+  def encode11(lat: Column, lng: Column): Column =
+    graft.functions.expressions.OlcEncode11(lat, lng)
+
+  /** The original composed-function form — kept as the independent
+    * realization the property tests pin the native kernel against (and
+    * the ProfOlc baseline). */
+  def encode11Composed(lat: Column, lng: Column): Column = {
     val (latVal, lngVal) = scaled(lat, lng)
     // Pair section: drop the 5 grid digits (lat ÷ 5^5, lng ÷ 4^5), then
     // the k-th most significant base-20 digit is (q div 20^(4-k)) % 20.

@@ -38,6 +38,24 @@ class ConnectorSpec extends SpecBase {
     assert(a.length == 12 && a(8) == '+', s"length-11 format: $a")
   }
 
+  test("native OLC kernel ≡ composed tree ≡ interpreted eval on a coordinate grid") {
+    import spark.implicits._
+    // 40k grid points across the legal range, plus the exact cell-corner
+    // regime (integral scaled values) where an off-by-one digit would show.
+    val grid = spark.range(40000).select(
+      (lit(-89.9) + (col("id") % 200).cast("double") * lit(0.89)).as("lat"),
+      (lit(-179.9) + (col("id") / 200).cast("double") * lit(1.79)).as("lng"))
+    val cmp = grid.select(col("lat"), col("lng"),
+      Olc.encode11(col("lat"), col("lng")).as("native"),
+      Olc.encode11Composed(col("lat"), col("lng")).as("composed"))
+    assert(cmp.filter(col("native") =!= col("composed")).count() == 0)
+    // interpreted twin (the non-codegen path) against the collected rows
+    val rows = cmp.limit(500).collect()
+    for (r <- rows)
+      assert(graft.functions.expressions.OlcEncode11.eval(r.getDouble(0), r.getDouble(1))
+        == r.getString(2), s"interpreted mismatch at ${r.getDouble(0)},${r.getDouble(1)}")
+  }
+
   test("q137 and q143 are map-only: zero exchanges at any scale") {
     for (q <- Seq("q137_location_keys", "q143_field_map_staging")) {
       val p = planOf(q)
