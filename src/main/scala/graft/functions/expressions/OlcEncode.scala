@@ -15,9 +15,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * divisions, and the concat allocates per piece. Here the two scaled
   * integers are computed ONCE and the 12 chars append into a single
   * StringBuilder — one tight loop in the stage's generated Java
-  * (measured ~3x on the kernel alone; see ProfOlc in BASELINE.md).
+  * (measured ~4x on the kernel alone; graft.tools.ProfOlc).
   * Digit-for-digit the same integer arithmetic, so the DuckDB oracle
   * ([[graft.operators.Olc.Sql]]) is unchanged.
+  *
+  * Range handling per the spec: latitude clamps into its band (lat=90
+  * encodes as the 'CFX…' max cell — the published pole vector), and
+  * longitude wraps mod 360 in scaled-integer space. Inputs are doubles
+  * end to end; ports that parse decimal STRINGS add a 1e-6 pre-round
+  * before truncation to keep textual cell corners exact — with double
+  * inputs there is no decimal text to honor, so plain floor (the JS
+  * reference's form) is used in all four realizations identically.
   */
 case class OlcEncode11(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -39,8 +47,11 @@ case class OlcEncode11(left: Expression, right: Expression) extends BinaryExpres
       val sb = ctx.freshName("sb")
       val p = ctx.freshName("p")
       s"""
-         |final long $latVal = (long) Math.floor(($latC + 90.0d) * 2.5E7d);
-         |final long $lngVal = (long) Math.floor(($lngC + 180.0d) * 8192000.0d);
+         |long $latVal = (long) Math.floor(($latC + 90.0d) * 2.5E7d);
+         |if ($latVal >= 4500000000L) $latVal = 4499999999L;
+         |if ($latVal < 0L) $latVal = 0L;
+         |long $lngVal = (long) Math.floor(($lngC + 180.0d) * 8192000.0d);
+         |$lngVal = (($lngVal % 2949120000L) + 2949120000L) % 2949120000L;
          |final long $latQ = $latVal / 3125L;
          |final long $lngQ = $lngVal / 1024L;
          |final StringBuilder $sb = new StringBuilder(12);
@@ -64,8 +75,10 @@ object OlcEncode11 {
   /** Interpreted twin of the generated Java — byte-identical output
     * (PropertySpec pins interpreted ≡ codegen ≡ the composed tree). */
   def eval(lat: Double, lng: Double): String = {
-    val latVal = math.floor((lat + 90.0) * 2.5e7).toLong
-    val lngVal = math.floor((lng + 180.0) * 8192000.0).toLong
+    val latVal0 = math.floor((lat + 90.0) * 2.5e7).toLong
+    val latVal = math.min(math.max(latVal0, 0L), 4499999999L)
+    val lngVal0 = math.floor((lng + 180.0) * 8192000.0).toLong
+    val lngVal = ((lngVal0 % 2949120000L) + 2949120000L) % 2949120000L
     val latQ = latVal / 3125L
     val lngQ = lngVal / 1024L
     val sb = new java.lang.StringBuilder(12)

@@ -27,7 +27,10 @@ object Hierarchy {
     * ancestors-below-root trail, '' for depth-1 nodes) and `depth`
     * (root = 0); roots are included with depth 0 — callers that mirror
     * handle_node's emission filter on `depth >= 1`. */
-  def breadcrumbs(nodes: DataFrame, maxDepth: Int = 32): DataFrame = {
+  def breadcrumbs(nodes0: DataFrame, maxDepth: Int = 32): DataFrame = {
+    // Materialize the adjacency ONCE: every round joins against it, and
+    // an unmaterialized lineage would re-run the source scan per level.
+    val nodes = nodes0.localCheckpoint(true)
     var frontier = nodes.filter(col("parent").isNull)
       .select(col("nid"), col("nname"), lit("").as("crumbs"), lit(0).as("depth"))
       .localCheckpoint(true)

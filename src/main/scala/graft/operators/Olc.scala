@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * Everything below is integer div/mod over those two scaled values, so
   * the whole code stays inside whole-stage codegen as a pure column
   * expression (no UDF), and a DuckDB oracle replays it digit-for-digit
-  * ([[Olc.Sql]]). Positive-coordinate regime (lat > 0, lng > 0 after the
-  * +90/+180 shift — always true) means `floor` division and truncation
-  * agree across engines; the spec's poles/antimeridian clamps are not
-  * reachable from terrestrial inputs and are omitted.
+  * ([[Olc.Sql]]). The spec's pole clamp (lat=90 encodes as the max 'CFX…'
+  * band cell — the published pole vector) and antimeridian wrap (lng mod
+  * 360 in scaled-integer space) are applied in every realization, after
+  * which both scaled values are non-negative, so `floor` division and
+  * truncation agree across engines.
   */
 object Olc {
 
@@ -38,10 +39,16 @@ object Olc {
   private def alphaAt(idx: Column): Column =
     lit(Alphabet).substr(idx + 1, lit(1))
 
-  /** Scaled integer values; shared by every digit extraction. */
-  private def scaled(lat: Column, lng: Column): (Column, Column) = (
-    floor((lat + lit(90.0)) * lit(LatPrecision.toDouble)).cast("long"),
-    floor((lng + lit(180.0)) * lit(LngPrecision.toDouble)).cast("long"))
+  /** Scaled integer values (lat clamped into its band, lng wrapped mod
+    * 360 in scaled space — the spec's pole/antimeridian handling);
+    * shared by every digit extraction. */
+  private def scaled(lat: Column, lng: Column): (Column, Column) = {
+    val latRaw = floor((lat + lit(90.0)) * lit(LatPrecision.toDouble)).cast("long")
+    val lngRaw = floor((lng + lit(180.0)) * lit(LngPrecision.toDouble)).cast("long")
+    val latClamped = least(greatest(latRaw, lit(0L)), lit(4499999999L))
+    val lngWrapped = ((lngRaw % lit(2949120000L)) + lit(2949120000L)) % lit(2949120000L)
+    (latClamped, lngWrapped)
+  }
 
   /** Length-11 plus code: the fused NATIVE Expression (one StringBuilder
     * loop in the stage's generated Java — see
@@ -85,8 +92,8 @@ object Olc {
     * side). `lat`/`lng` are SQL sub-expressions. */
   object Sql {
     def encode11(lat: String, lng: String): String = {
-      val latVal = s"CAST(floor(($lat + 90.0) * 25000000.0) AS BIGINT)"
-      val lngVal = s"CAST(floor(($lng + 180.0) * 8192000.0) AS BIGINT)"
+      val latVal = s"least(greatest(CAST(floor(($lat + 90.0) * 25000000.0) AS BIGINT), 0), 4499999999)"
+      val lngVal = s"(((CAST(floor(($lng + 180.0) * 8192000.0) AS BIGINT) % 2949120000) + 2949120000) % 2949120000)"
       def alpha(idx: String) = s"substr('23456789CFGHJMPQRVWX', ($idx) + 1, 1)"
       def pair(q: String, p: Long) = alpha(s"CAST((($q) // $p) % 20 AS INT)")
       val latQ = s"(($latVal) // 3125)"

@@ -243,8 +243,9 @@ object ConnectorQueries {
     // deduplicate_items) in the reference's emission order (org, then
     // family: branches < fallback < national, then branch order).
     // Plan: branches = one orders⋈customer join; the fallback arm reuses
-    // the same two scans (anti-join); dedup is ONE min_by-struct
-    // aggregate — no window, no second shuffle of the union.
+    // the same two scans (anti-join); keep-first dedup routes through the
+    // TopKPerKey node at k=1 (no window, no wide map-side sort — see the
+    // measured argument at q144).
     "q139_branch_unwind" -> QueryDef.of {
       val langCase = Languages.zipWithIndex
         .map { case (l, i) => s"WHEN '${i + 1}' THEN '$l'" }
@@ -671,8 +672,11 @@ object ConnectorQueries {
           flatten(transform(sort_array(collect_list(struct(col("ord"), col("tagging")))),
             t => t.getField("tagging"))).as("tl"),
           firstNonNull("gisy").as("fy"), firstNonNull("gisx").as("fx"))
-      val g2 = g1.withColumn("tagging_l",
-        expr("filter(tl, (x, i) -> array_position(tl, x) = i + 1)"))
+      // First-occurrence positional dedup (flatten_and_deduplicate's
+      // order contract): keep x iff its FIRST index is its own index.
+      def orderedDedup(c: Column): Column =
+        filter(c, (x, i) => array_position(c, x) === (i + 1).cast("long"))
+      val g2 = g1.withColumn("tagging_l", orderedDedup(col("tl")))
       val g3 = g2
         .withColumn("r0", flatten(transform(col("tagging_l"), x =>
           when(trim(x).startsWith("Type "), array(concat(lit("r_"), trim(x)), lit("r_common")))
@@ -689,8 +693,8 @@ object ConnectorQueries {
         array_join(col("tagging_l"), "|").as("tagging"),
         when(col("fy").isNotNull && col("fx").isNotNull,
           Olc.encode10(col("fy"), col("fx"))).as("pluscode"),
-        array_join(expr("filter(r0, (x, i) -> array_position(r0, x) = i + 1)"), "|").as("responses"),
-        array_join(expr("filter(s0, (x, i) -> array_position(s0, x) = i + 1)"), "|").as("situations"))
+        array_join(orderedDedup(col("r0")), "|").as("responses"),
+        array_join(orderedDedup(col("s0")), "|").as("situations"))
     },
 
     // q143: FIELD-MAP staging — the per-source massage pattern shared by
@@ -842,18 +846,19 @@ object ConnectorQueries {
         |keyed AS (
         |  SELECT *,
         |    'mde:' || substr(md5(organization || operating_unit || COALESCE(address, 'None') || COALESCE(geocode, 'None')), 1, 8) AS _id,
-        |    'mde:' || substr(md5(row_key), 1, 8) AS rid
+        |    'mde:' || substr(md5(row_key), 1, 8) AS rid,
+        |    'mde:' || substr(md5(row_key), 1, 8) || '#' || row_key AS ord_key
         |  FROM orged),
         |combined AS (
         |  SELECT _id, min(rid) AS id,
-        |    min_by(bname, rid) AS name,
-        |    min_by(organization, rid) AS organization,
-        |    min_by(operating_unit, rid) AS operating_unit,
-        |    (min_by({'v': address}, rid)).v AS address,
-        |    (min_by({'v': geocode}, rid)).v AS geocode,
-        |    min_by(phone_numbers, rid) AS phone_numbers,
-        |    min_by(email_address, rid) AS email_address,
-        |    (min_by({'v': urls_raw}, rid)).v AS urls_raw
+        |    min_by(bname, ord_key) AS name,
+        |    min_by(organization, ord_key) AS organization,
+        |    min_by(operating_unit, ord_key) AS operating_unit,
+        |    (min_by({'v': address}, ord_key)).v AS address,
+        |    (min_by({'v': geocode}, ord_key)).v AS geocode,
+        |    min_by(phone_numbers, ord_key) AS phone_numbers,
+        |    min_by(email_address, ord_key) AS email_address,
+        |    (min_by({'v': urls_raw}, ord_key)).v AS urls_raw
         |  FROM keyed GROUP BY _id)
         |SELECT _id, id, name, organization, operating_unit, address, geocode,
         |  trim(COALESCE(geocode, address)) AS location,
@@ -911,6 +916,11 @@ object ConnectorQueries {
           coalesce(col("address"), lit("None")),
           coalesce(col("geocode"), lit("None")))), 1, 8)))
         .withColumn("rid", concat(lit("mde:"), substring(md5(col("row_key")), 1, 8)))
+        // rid is an 8-hex truncation (2^32 values): distinct rows CAN tie
+        // on it, and a tie would let each engine pick its own winner. The
+        // unique row_key behind a fixed-width prefix makes the order
+        // total — the pinned 'any' convention is min (rid, row_key).
+        .withColumn("ord_key", concat(col("rid"), lit("#"), col("row_key")))
       // Keep-first IS per-key top-1: route through the TopKPerKey plan
       // node instead of a min_by aggregate — string-buffered min_by
       // planned as SortAggregate (strings are not mutable UnsafeRow
@@ -919,12 +929,12 @@ object ConnectorQueries {
       // sort, and the winner's rid IS min(rid), so the combined row and
       // the id come out of the same pass (measured 3.9 -> 2.6 s solo).
       val combined = graft.operators.TopK
-        .topKPerKey(keyed, Seq(col("_id")), Seq(col("rid")), 1)
+        .topKPerKey(keyed, Seq(col("_id")), Seq(col("ord_key")), 1)
         .select(col("_id"), col("rid").as("id"), col("bname").as("name"),
           col("organization"), col("operating_unit"), col("address"),
           col("geocode"), col("phone_numbers"), col("email_address"),
           col("urls_raw"))
-      val urlTag = "#אתר הסניף"
+      val urlTag = graft.operators.Geocode.BranchUrlTag
       val goodDomain = "(?i)^[a-z0-9][a-z0-9\\-\\.]{0,61}[a-z0-9]\\.[a-z]{2,}$"
       combined.select(
         col("_id"), col("id"), col("name"), col("organization"),

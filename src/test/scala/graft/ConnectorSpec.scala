@@ -17,7 +17,10 @@ class ConnectorSpec extends SpecBase {
     val cases = Seq(
       (20.3701135, 2.782234791, "7FG49QCJ+2VX"),
       (47.0000625, 8.0000625, "8FVC2222+22G"),
-      (31.776, 35.2345, "8G3QQ6GM+CR2")) // Jerusalem-area sanity row
+      (31.776, 35.2345, "8G3QQ6GM+CR2"), // Jerusalem-area sanity row
+      (90.0, 1.0, "CFX3X2X2+X2R"),       // pole clamp (published vector)
+      (-90.0, -180.0, "22222222+222"),   // minimum corner
+      (1.0, 180.5, "62H22G22+222"))      // antimeridian wrap ≡ lng -179.5
     val df = spark.createDataFrame(cases).toDF("lat", "lng", "expect")
       .withColumn("got", Olc.encode11(col("lat"), col("lng")))
     val bad = df.filter(col("got") =!= col("expect")).collect()
