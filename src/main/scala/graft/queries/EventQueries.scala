@@ -12,6 +12,39 @@ import graft.functions.F
   */
 object EventQueries {
 
+  /** The 30-minute-gap sessionization kernel, shared by q21/q133/q134
+    * (and ProfSession): lag -> flag -> running sum over one user_id
+    * shuffle, gap compared in MICROSECONDS (the parquet precision, so
+    * both engines compare identical integers). Events exactly at the
+    * gap stay IN-session (`>`), the rule the oracles replay verbatim
+    * (lesson 40: built-in session_window draws that boundary
+    * differently). Appends `session_idx`, drops the flag. */
+  private[graft] def sessionized(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val micros = unix_micros(col("ts"))
+    ev.withColumn("new_sess",
+        when(micros - lag(micros, 1).over(byUser) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .drop("new_sess")
+  }
+
+  /** The identical kernel as oracle CTEs (`flagged`, `sess`) over the
+    * `events` table; `sess` carries (user_id, ts, event_id, event_type,
+    * session_idx). */
+  private[graft] val sessionCtes: String =
+    """flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |), sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM flagged
+      |)""".stripMargin
+
+
   val defs: Map[String, QueryDef] = Map(
 
     // q20: tumbling-window aggregation — hourly event rollup. In batch the
@@ -37,27 +70,12 @@ object EventQueries {
     // shuffle on user_id. Gap compare in microseconds to match parquet
     // timestamp precision exactly on both engines.
     "q21_session" -> QueryDef.of(
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |), sess AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |  FROM flagged
-        |)
+      s"""WITH $sessionCtes
         |SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  min(ts) AS start_ts, max(ts) AS end_ts
         |FROM sess GROUP BY user_id, session_idx
         |""".stripMargin) { (s, dir) =>
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val micros = unix_micros(col("ts"))
-      Tables.events(s, dir)
-        .withColumn("new_sess",
-          when(micros - lag(micros, 1).over(byUser) > 1800000000L, 1).otherwise(0))
-        .withColumn("session_idx",
-          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      sessionized(Tables.events(s, dir))
         .groupBy(col("user_id"), col("session_idx"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -155,16 +173,7 @@ object EventQueries {
     // containing its instant); DuckDB oracles the inequality join
     // natively (IEJoin).
     "q133_session_incidents" -> QueryDef.of(
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |), sess AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |  FROM flagged
-        |), sessions AS (
+      s"""WITH $sessionCtes, sessions AS (
         |  SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
         |    min(ts) AS s_start, max(ts) AS s_end
         |  FROM sess GROUP BY user_id, session_idx
@@ -183,13 +192,7 @@ object EventQueries {
         |  ON s.s_start < w.w_end AND w.w_start < s.s_end + INTERVAL 1 MICROSECOND
         |""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val micros = unix_micros(col("ts"))
-      val sessions = ev
-        .withColumn("new_sess",
-          when(micros - lag(micros, 1).over(byUser) > 1800000000L, 1).otherwise(0))
-        .withColumn("session_idx",
-          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      val sessions = sessionized(ev)
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).cast("long").as("n_events"),
           min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
@@ -222,14 +225,19 @@ object EventQueries {
     // feeds (a Generate stage, lesson 37), then unions per window —
     // window work is #days × 7 sketches, independent of event volume.
     "q136_active_users" -> QueryDef.rowsOnly { (s, dir) =>
-      val day = (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+      // Integer `div`, not `/`: long / long promotes to DOUBLE, whose
+      // half-ulp outgrows the 1-µs quotient step past day ~2^16 and
+      // truncates-toward-zero on pre-epoch instants.
+      val day = expr("unix_micros(ts) div 86400000000")
       val daily = Tables.events(s, dir)
         .groupBy(day.as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      val days = daily.select(col("day"))
+      // Phantom trailing window days (day+1..day+6 past a gap or the
+      // corpus end) die on the final inner join with `daily` below — a
+      // pre-filter against the day list would be a THIRD daily subtree
+      // that exchange reuse cannot collapse (its pruned columns differ).
       val contrib = daily
         .select(col("sk"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
-        .join(days.withColumnRenamed("day", "wday"), "wday") // only real days close a window
       contrib
         .groupBy(col("wday").as("day"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
@@ -294,16 +302,7 @@ object EventQueries {
     // with no new semantics. Entity = (user, session) struct; the fold's
     // exchange carries slim (entity, t, k) rows.
     "q134_session_funnel" -> QueryDef.of(
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |), sess AS (
-        |  SELECT user_id, ts, event_type,
-        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |  FROM flagged
-        |), v AS (
+      s"""WITH $sessionCtes, v AS (
         |  SELECT user_id, session_idx, MIN(ts) AS t1 FROM sess
         |  WHERE event_type = 'view' GROUP BY user_id, session_idx
         |), c AS (
@@ -324,13 +323,7 @@ object EventQueries {
         |LEFT JOIN c USING (user_id, session_idx)
         |LEFT JOIN p USING (user_id, session_idx)
         |""".stripMargin) { (s, dir) =>
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val micros = unix_micros(col("ts"))
-      val sessed = Tables.events(s, dir)
-        .withColumn("new_sess",
-          when(micros - lag(micros, 1).over(byUser) > 1800000000L, 1).otherwise(0))
-        .withColumn("session_idx",
-          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      val sessed = sessionized(Tables.events(s, dir))
       val stageIdx = when(col("event_type") === "view", 0)
         .when(col("event_type") === "click", 1)
         .when(col("event_type") === "purchase", 2)

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.{GraftSession, Tables}
 
 /** Sessionization encodings compared on real event data: the q21
@@ -17,16 +16,10 @@ object ProfSession {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val ev = Tables.events(spark, dir).localCheckpoint(true)
 
-    def windowForm = {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val micros = unix_micros(col("ts"))
-      ev.withColumn("new_sess",
-          when(micros - lag(micros, 1).over(byUser) > 1800000000L, 1).otherwise(0))
-        .withColumn("session_idx",
-          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    def windowForm = // the exact q21 kernel (shared helper — measured as shipped)
+      graft.queries.EventQueries.sessionized(ev)
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
-    }
     def sessionWindowForm =
       ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))

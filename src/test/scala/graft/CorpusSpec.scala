@@ -133,7 +133,7 @@ class CorpusSpec extends SpecBase {
     assert(got.nonEmpty)
     // exact twin: re-touches events once per window day (the cost the
     // mergeable-sketch form exists to avoid)
-    val day = (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+    val day = expr("unix_micros(ts) div 86400000000")
     val ud = Tables.events(spark, SfDir)
       .select(day.as("day"), col("user_id")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
