@@ -333,7 +333,7 @@ object FreqItemsSketch {
 case class BottomKSample(sortKey: Expression, payload: Expression, k: Int,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.PriorityQueue[Array[Long]]]
+    extends TypedImperativeAggregate[java.util.TreeSet[Array[Long]]]
     with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
     with ExpectsInputTypes {
   require(k >= 1, "bottom_k_sample: k must be >= 1")
@@ -346,25 +346,30 @@ case class BottomKSample(sortKey: Expression, payload: Expression, k: Int,
     StructField("id", LongType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
 
-  // max-first on (h, id): peek() is the eviction candidate
+  // TreeSet ordered max-first on (h, id): first() is the eviction
+  // candidate, and comparator equality DEDUPS — a re-offered (h, id)
+  // pair can never occupy a second slot, which is what lets the KMV
+  // sketch build run WITHOUT a pre-distinct shuffle (the kept key set
+  // is duplicate-free by construction) and keeps the sampler honest on
+  // replayed rows. Membership/eviction are O(log k).
   private def desc = BottomKSample.Desc
 
-  override def createAggregationBuffer(): java.util.PriorityQueue[Array[Long]] =
-    new java.util.PriorityQueue[Array[Long]](k, desc)
+  override def createAggregationBuffer(): java.util.TreeSet[Array[Long]] =
+    new java.util.TreeSet[Array[Long]](desc)
 
-  private def offer(buf: java.util.PriorityQueue[Array[Long]], h: Long, id: Long): Unit = {
-    if (buf.size < k) buf.add(Array(h, id))
+  private def offer(buf: java.util.TreeSet[Array[Long]], h: Long, id: Long): Unit = {
+    if (buf.size < k) buf.add(Array(h, id)) // TreeSet add is a no-op on comparator-equal
     else {
-      val worst = buf.peek()
+      val worst = buf.first()
       if (h < worst(0) || (h == worst(0) && id < worst(1))) {
-        buf.poll()
-        buf.add(Array(h, id))
+        // evict only if this was genuinely NEW (add is false on a dup)
+        if (buf.add(Array(h, id))) buf.pollFirst()
       }
     }
   }
 
-  override def update(buf: java.util.PriorityQueue[Array[Long]],
-                      input: InternalRow): java.util.PriorityQueue[Array[Long]] = {
+  override def update(buf: java.util.TreeSet[Array[Long]],
+                      input: InternalRow): java.util.TreeSet[Array[Long]] = {
     val hv = sortKey.eval(input)
     val pv = payload.eval(input)
     if (hv != null && pv != null)
@@ -372,20 +377,20 @@ case class BottomKSample(sortKey: Expression, payload: Expression, k: Int,
     buf
   }
 
-  override def merge(a: java.util.PriorityQueue[Array[Long]],
-                     b: java.util.PriorityQueue[Array[Long]]): java.util.PriorityQueue[Array[Long]] = {
+  override def merge(a: java.util.TreeSet[Array[Long]],
+                     b: java.util.TreeSet[Array[Long]]): java.util.TreeSet[Array[Long]] = {
     val it = b.iterator()
     while (it.hasNext) { val e = it.next(); offer(a, e(0), e(1)) }
     a
   }
 
-  override def eval(buf: java.util.PriorityQueue[Array[Long]]): Any = {
+  override def eval(buf: java.util.TreeSet[Array[Long]]): Any = {
     val arr = buf.toArray(new Array[Array[Long]](buf.size))
     java.util.Arrays.sort(arr, desc.reversed()) // ascending (h, id)
     new GenericArrayData(arr.map(e => new GenericInternalRow(Array[Any](e(0), e(1)))))
   }
 
-  override def serialize(buf: java.util.PriorityQueue[Array[Long]]): Array[Byte] = {
+  override def serialize(buf: java.util.TreeSet[Array[Long]]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 16 * buf.size)
     bb.putInt(buf.size)
     val it = buf.iterator()
@@ -393,10 +398,10 @@ case class BottomKSample(sortKey: Expression, payload: Expression, k: Int,
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Array[Long]] = {
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Array[Long]] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt()
-    val q = new java.util.PriorityQueue[Array[Long]](math.max(n, 1), desc)
+    val q = new java.util.TreeSet[Array[Long]](desc)
     var i = 0
     while (i < n) { q.add(Array(bb.getLong(), bb.getLong())); i += 1 }
     q

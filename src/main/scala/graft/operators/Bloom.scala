@@ -50,6 +50,21 @@ object Bloom {
   def build(df: DataFrame, c: Column, expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
+    // BloomFilterAggregate CLAMPS both arguments to the runtime-filter
+    // confs with Math.min — silently, no error. Past the caps the built
+    // filter's real fpp collapses toward 1 and the "prune" passes every
+    // row while the caller believes they got `fpp`. Fail loudly instead:
+    // the caller must raise the confs to the corpus scale first.
+    val conf = df.sparkSession.conf
+    val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems,
+      s"expectedItems=$expectedItems exceeds spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems — " +
+        "the aggregate would silently clamp; raise the conf to build at this scale")
+    require(optimalNumBits(expectedItems, fpp) <= maxBits,
+      s"optimal bitset ${optimalNumBits(expectedItems, fpp)} bits exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits — " +
+        "the aggregate would silently clamp; raise the conf or accept a larger fpp")
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(c)),
       Literal(expectedItems),

@@ -81,8 +81,10 @@ object Bpe {
         r += 1
       }
     }
-    merges.toSeq.toDF("round", "left", "right", "n")
+    val out = merges.toSeq.toDF("round", "left", "right", "n")
       .select(col("round").cast("int"), col("left"), col("right"), col("n").cast("long"))
+    vocab.unpersist() // the final round's checkpoint would otherwise leak
+    out
   }
 
   /** ENCODE with a learned merge table: fold the merges in RANK ORDER

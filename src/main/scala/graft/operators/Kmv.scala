@@ -29,11 +29,13 @@ object Kmv {
 
   /** One-row frame: the KMV sketch of the distinct values of `h` (any
     * type — keyed by xxhash64), as `col`: array<bigint> ascending.
-    * The pre-distinct is partial-combined (hash-only wire); duplicates
-    * must not reach the heap or multiplicity would crowd out distinct
-    * values and bias the k-th minimum. */
+    * ONE pass, no pre-distinct: the bottom-k buffer dedups by
+    * comparator equality, so duplicates can never crowd out distinct
+    * values — the wire really is ≤ k longs per partition (a distinct()
+    * here would shuffle EVERY distinct hash of the corpus first,
+    * exactly the cost the sketch exists to avoid). */
   def sketch(df: DataFrame, h: Column, k: Int, out: String): DataFrame =
-    df.select(xxhash64(h).as("__h")).distinct()
+    df.select(xxhash64(h).as("__h"))
       .agg(BottomKSample(col("__h"), col("__h"), k).as("s"))
       .select(transform(col("s"), x => x.getField("h")).as(out))
 

@@ -192,6 +192,7 @@ object MediaCodec {
     * structure. Undecodable payloads drop (dead-letter posture, same as
     * images/audio); single-frame payloads are just n_frames=1 videos. */
   def videoFrameFeatures(spark: SparkSession, media: Dataset[Payload], stride: Int): Dataset[VideoFrameFeature] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import spark.implicits._
     media.mapPartitions { it =>
       imageIoMemoryOnly
@@ -220,8 +221,11 @@ object MediaCodec {
               VideoFrameFeature(p.id, n, f, sum.toDouble / (w * h))
             }.toVector // materialize BEFORE dispose: the iterator reads lazily
           } catch {
-            // claimed-but-corrupt stream (truncated sequence): drop the row
-            case _: java.io.IOException => Vector.empty
+            // claimed-but-corrupt stream: the JDK GIF reader throws
+            // RUNTIME exceptions (AIOOBE / NegativeArraySize) on mangled
+            // LZW bodies, not just IOException — dead-letter either way,
+            // the task must survive a bad payload
+            case scala.util.control.NonFatal(_) => Vector.empty
           } finally {
             reader.dispose()
             iis.close()

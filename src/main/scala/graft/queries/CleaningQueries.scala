@@ -352,7 +352,7 @@ object CleaningQueries {
         |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
         |          '(?s)<nav[^>]*>.*?</nav>|(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
         |        '<[^>]+>', ' ', 'g'),
-        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&copy;', '(c)'),
+        |      '&lt;', '<'), '&gt;', '>'), '&copy;', '(c)'), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS extracted
         |  FROM page
         |)
@@ -442,10 +442,13 @@ object CleaningQueries {
     }
   )
 
-  /** Core HTML entity unescape as a chained translate — RE2∩Java-safe. */
+  /** Core HTML entity unescape as a chained translate — RE2∩Java-safe.
+    * `&amp;` decodes LAST: decoding it first would double-unescape
+    * nested entities (source '&amp;lt;' displays '&lt;' and must extract
+    * as '&lt;', not '<'). */
   private def translateEntities(c: org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.functions.regexp_replace
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
-      "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&copy;", "(c)")
+      "&lt;", "<"), "&gt;", ">"), "&copy;", "(c)"), "&amp;", "&")
   }
 }

@@ -37,8 +37,12 @@ object ZOrder {
     * ascending rank boundaries of dimension d (length 2^bits − 1). */
   private[sources] def zValue(zCols: Seq[String], cuts: Seq[Array[Double]], bits: Int): Column = {
     val buckets = zCols.zip(cuts).map { case (name, cs) =>
-      cs.map(c => when(col(name).cast("double") > c, 1L).otherwise(0L))
-        .reduce(_ + _)
+      // an all-NULL column yields ZERO quantile cuts (approxQuantile
+      // skips nulls) — fold from lit(0L) so the column degenerates to
+      // bucket 0 (the documented NULL posture) instead of crashing
+      // plan construction with empty.reduceLeft
+      cs.foldLeft(lit(0L): Column)((acc, c) =>
+        acc + when(col(name).cast("double") > c, 1L).otherwise(0L))
     }
     val d = buckets.size
     (0 until bits).flatMap { j =>

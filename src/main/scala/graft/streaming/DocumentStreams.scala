@@ -134,9 +134,10 @@ object DocumentStreams {
         (col("pos") + 1).cast("long").as("smp_rank"))
 
   /** foreachBatch LIVE CLUSTER MAINTENANCE sink — q130's incremental
-    * near-dup clustering applied per micro-batch: the published artifact
-    * is always a complete (docs, labels) clustering of everything that
-    * has arrived, maintained by [[graft.operators.Dedup.incrementalMinhashLabels]]
+    * near-dup clustering applied per micro-batch: the published LABELS
+    * snapshot is always a complete clustering of everything that has
+    * arrived (corpus rows append ONCE under docs/batch=<id>, outside the
+    * snapshots), maintained by [[graft.operators.Dedup.incrementalMinhashLabels]]
     * (old components enter as pointer edges; per-batch iterative work is
     * proportional to the batch's new links, never the corpus).
     *
@@ -157,29 +158,42 @@ object DocumentStreams {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val b = batch.select(col("doc_id").cast("long"), col("text"))
+    // Corpus rows live OUTSIDE the snapshots, appended ONCE per batch
+    // under docs/batch=<id> — the snapshot protocol covers only the slim
+    // (doc_id, label) artifact, so per-batch I/O is batch-sized + labels,
+    // never a corpus rewrite. (Signature recompute inside the operator is
+    // the documented local-mode posture — Dedup.incrementalMinhashLabels'
+    // scale path materializes the band index instead.)
+    val docsRoot = s"$outDir/docs"
+    def docsExist = new java.io.File(docsRoot).exists()
+    val maxOld: Option[Long] =
+      if (!docsExist) None
+      else {
+        // empty-safe: max() over zero rows is NULL, not a long
+        val r = spark.read.parquet(docsRoot).agg(max(col("doc_id"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    // monotone-id contract doubles as replay idempotence: redelivered
+    // rows are <= maxOld and drop here
+    val fresh = maxOld.map(m => b.filter(col("doc_id") > m)).getOrElse(b)
+    val haveFresh = !fresh.isEmpty
+    if (haveFresh) fresh.write.mode("overwrite").parquet(s"$docsRoot/batch=$batchId")
+    if (!docsExist && !haveFresh) return // nothing has ever arrived
+    val labelsOld = EventStreams.currentSnapshotDir(outDir)
+      .map(live => spark.read.parquet(s"$live/labels"))
+    if (!haveFresh && labelsOld.isDefined) return // replayed batch: snapshot already right
+    val all = spark.read.parquet(docsRoot).select(col("doc_id"), col("text"))
+    val labels = (labelsOld, maxOld) match {
+      case (Some(lo), Some(m)) =>
+        Dedup.incrementalMinhashLabels(all, "doc_id", "text",
+          isNew = col("doc_id") > m, lo, threshold = threshold)
+      case _ => // first publish (or crash between docs append and publish)
+        Dedup.connectedComponents(all.select(col("doc_id").as("id")),
+          Dedup.minhashDedupLinks(all, "doc_id", "text", threshold = threshold)
+            .select(col("id_a"), col("id_b")))
+    }
     val staged = java.nio.file.Paths.get(outDir,
       s"snapshot_${batchId}_${System.nanoTime()}")
-    val (docsAll, labels) = EventStreams.currentSnapshotDir(outDir) match {
-      case None =>
-        val ids = b.select(col("doc_id").as("id"))
-        (b, Dedup.connectedComponents(ids,
-          Dedup.minhashDedupLinks(b, "doc_id", "text", threshold = threshold)
-            .select(col("id_a"), col("id_b"))))
-      case Some(live) =>
-        val old = spark.read.parquet(s"$live/docs")
-        val labelsOld = spark.read.parquet(s"$live/labels")
-        val maxOld = old.agg(max(col("doc_id"))).head().getLong(0)
-        // monotone-id contract doubles as replay idempotence: redelivered
-        // rows are <= maxOld and drop here
-        val fresh = b.filter(col("doc_id") > maxOld)
-        if (fresh.isEmpty) (old, labelsOld)
-        else {
-          val all = old.unionByName(fresh)
-          (all, Dedup.incrementalMinhashLabels(all, "doc_id", "text",
-            isNew = col("doc_id") > maxOld, labelsOld, threshold = threshold))
-        }
-    }
-    docsAll.write.mode("overwrite").parquet(s"$staged/docs")
     labels.write.mode("overwrite").parquet(s"$staged/labels")
     val retired = EventStreams.currentSnapshotDir(outDir)
     EventStreams.publishSnapshot(outDir, staged.getFileName.toString)

@@ -223,7 +223,10 @@ class PlanSpec extends SpecBase {
       s"winners must map-side combine:\n${p.take(900)}")
     // sentence text reaches no exchange: every shuffle's output schema
     // carries only ids/positions/hashes/arrays of ints
-    val exchanges = p.linesIterator.filter(_.trim.startsWith("+- Exchange")).toSeq
+    // match ':- Exchange' (non-last child of a binary node) too — the
+    // '+- ' prefix alone misses build-side exchanges
+    val exchanges = p.linesIterator
+      .filter(_.dropWhile(ch => ch == ' ' || ch == ':' || ch == '+' || ch == '-').startsWith("Exchange")).toSeq
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(_.contains("sent#")),
       s"sentence bodies must not shuffle:\n${exchanges.mkString("\n")}")
