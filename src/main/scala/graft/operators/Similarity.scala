@@ -122,15 +122,22 @@ object Similarity {
               nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L,
               trainMod: Int = 4): DataFrame = {
     val idx = ivfIndex(corpus, nLists, seed, trainMod)
-    val model = idx.model
-    val assigned = idx.assigned
+    probeIvf(idx.model.clusterCenters.toSeq.map(_.toArray).zipWithIndex.map(_.swap),
+      idx.assigned, queries, k, nProbe)
+  }
 
+  /** The probe half, off (cell, centroid-array) pairs — the only part of
+    * the fitted model a probe ever needs, which is what makes the index
+    * a PERSISTABLE artifact ([[saveIvfIndex]]/[[loadIvfIndex]]): no
+    * KMeansModel round trip, just arrays + the inverted file. */
+  private def probeIvf(centroids: Seq[(Int, Array[Double])], assigned: DataFrame,
+                       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     // nProbe nearest centroids per query — fully distributed: centroids
     // (nLists of them, at most a few thousand in a real deployment) ride
     // as a broadcast-sized literal array; each query explodes against it
     // and a window keeps the nProbe closest. No driver collect.
-    val centLit = array(model.clusterCenters.map(_.toArray).zipWithIndex.map {
-      case (c, i) => struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("cvec"))
+    val centLit = array(centroids.map {
+      case (i, c) => struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("cvec"))
     }: _*)
     val qUnit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
     val probes = TopK.topKPerKey(
@@ -152,6 +159,36 @@ object Similarity {
       Seq(col("cos").desc, col("vec_id")), k, "rk")
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Persist the fitted IVF index as a reusable on-disk ARTIFACT:
+    * centroids as a tiny parquet (cell, centroid) and the inverted file
+    * PARTITIONED BY cell — the physical layout the probe prunes on.
+    * Build once per corpus version, probe from any later session: at
+    * billion scale re-training (and re-assigning) per job is the cost
+    * this artifact exists to amortize. */
+  def saveIvfIndex(idx: IvfIndex, dir: String): Unit = {
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    idx.model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Probe queries against a SAVED index — no re-training, no k-means
+    * model reconstruction (probing needs only the centroid arrays), and
+    * the cell-partitioned inverted file lets Spark's DYNAMIC PARTITION
+    * PRUNING drop every unprobed cell's files at the broadcast join
+    * (SimilaritySpec pins result equality with the in-memory index and
+    * the dynamicpruning subquery in the scan). */
+  def ivfTopKFromSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+    val assigned = spark.read.parquet(s"$dir/cells")
+    probeIvf(centroids, assigned, queries, k, nProbe)
   }
 
   /** LSH-bucketed ANN: candidates come only from the query's bucket.

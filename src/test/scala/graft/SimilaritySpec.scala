@@ -80,4 +80,20 @@ class SimilaritySpec extends SpecBase {
     val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 64, 8).as("b")).collect().map(_.getLong(0))
     assert(b1.sameElements(b2))
   }
+
+  test("saved IVF index probes identically to the in-memory one, with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val queries = emb.filter($"vec_id" < 6)
+    val inMem = Similarity.ivfTopK(emb, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    Similarity.saveIvfIndex(Similarity.ivfIndex(emb), dir)
+    val loaded = Similarity.ivfTopKFromSaved(spark, dir, queries, k = 5)
+    assert(loaded.collect().map(_.toSeq).toSet == inMem,
+      "probing the artifact must reproduce the in-memory index row-for-row")
+    // the cell-partitioned layout + broadcast probe join => dynamic
+    // partition pruning drops unprobed cells' files at the scan
+    val plan = loaded.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"cells scan must carry a DPP filter:\n${plan.take(1200)}")
+  }
 }
