@@ -98,11 +98,23 @@ object Dedup {
     * self-join on band key -> distinct pairs -> verify with exact Jaccard.
     * The verify join re-fetches shingle sets by id (broadcast when small).
     */
+  /** Band geometry guard: bands must tile the signature exactly —
+    * k % bands != 0 silently discards the signature tail (recall loss),
+    * and bands > k makes every band hash a CONSTANT, turning the band
+    * self-join into the unblocked cross product this file exists to
+    * avoid. */
+  private def bandRows(k: Int, bands: Int): Int = {
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
+    k / bands
+  }
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                       threshold: Double = 0.7): DataFrame = {
-    val rowsPerBand = k / bands
+    val rowsPerBand = bandRows(k, bands)
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
+      .localCheckpoint(false) // referenced by banding AND twice by verify
     val banded = sigs.select(
       col("id"),
       explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
@@ -135,13 +147,25 @@ object Dedup {
     * band bucket (star pattern): one window-min per bucket, linear work.
     * Links are Jaccard-verified; transitive closure over these links
     * reproduces the duplicate clusters a dedup pass needs.
+    *
+    * Recall semantics, stated precisely: a pair (b, c) is recovered iff
+    * SOME band buckets them together with a rep whose links to both pass
+    * verification (or buckets one as the other's rep). A bucket {a,b,c}
+    * where only J(b,c) clears the threshold can drop the b-c link — the
+    * rep-star + verification trades a sliver of recall for strictly
+    * linear candidate volume (the unverified rep-star of the standard
+    * corpus dedups has the same bucket-connectivity recall shape). The
+    * all-pairs q66 chain is the ORACLE for exactly this gap, and
+    * DedupSpec's star≡all-pairs cluster equality is an EMPIRICAL pin on
+    * the real corpus, not a structural identity.
     */
   def minhashDedupLinks(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                         threshold: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rowsPerBand = k / bands
+    val rowsPerBand = bandRows(k, bands)
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
+      .localCheckpoint(false) // referenced by banding AND twice by verify
     val banded = sigs.select(
       col("id"),
       explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
@@ -159,7 +183,13 @@ object Dedup {
     * clustering with a new batch without re-clustering the corpus.
     *
     * Requires MONOTONE arrival: every new id is greater than every old id
-    * (the natural shape of a growing corpus with assigned ids). Under it,
+    * (the natural shape of a growing corpus with assigned ids). The
+    * contract is the CALLER's to enforce — q130 derives `isNew` from the
+    * previous sync's max id and the streaming sink filters arrivals
+    * against it, so both callers satisfy it by construction; violating
+    * it (backfill, id reuse) silently drops links whose new endpoint
+    * became a bucket rep, so any new call site must gate ids the same
+    * way, not merely flag them. Under the contract,
     * adding new docs never changes any bucket's min, so today's star
     * links (see [[minhashDedupLinks]]) = the previous sync's star links ∪
     * links with a new endpoint — and since `id_b > id_a` in every star
@@ -182,9 +212,10 @@ object Dedup {
                                k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                                threshold: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rowsPerBand = k / bands
+    val rowsPerBand = bandRows(k, bands)
     val flagged = df.withColumn("__new", isNew)
     val sigs = minhashSignatures(flagged, idCol, textCol, k, shingleWidth)
+      .localCheckpoint(false) // referenced by banding AND twice by verify
     val newIds = flagged.select(col(idCol).as("id"), col("__new").as("is_new"))
     val banded = sigs.join(newIds, "id")
       .select(col("id"), col("is_new"),
@@ -252,7 +283,12 @@ object Dedup {
         map_from_entries(sort_array(collect_list(
           when(col("w") =!= 0, struct(col("w"), col("bits")))))).as("rest"),
         sum(bit_count(col("bits"))).cast("int").as("sz"))
-    val num = math.round(threshold * 10).toInt // threshold with one decimal -> exact int prune
+    // the integer prune is exact ONLY for one-decimal thresholds; for
+    // anything finer round() would TIGHTEN the bound and silently drop
+    // valid pairs (e.g. t=0.75 -> num=8 prunes a legal 31/40 pair)
+    require((threshold * 10) == math.round(threshold * 10).toDouble,
+      s"jaccardPairs threshold must have at most one decimal, got $threshold")
+    val num = math.round(threshold * 10).toInt // exact int prune
     // COMPOSITE BLOCK (round-2 VERDICT finding #1): `blk` alone (lang, ~10
     // values) makes candidate generation quadratic inside a block at
     // corpus scale. Add a geometric size band derived from the same
@@ -398,8 +434,7 @@ object Dedup {
     // round runs several jobs — oversized partition counts turn the loop
     // into scheduler overhead. At corpus scale nPart grows with the id
     // count; locally it keeps rounds at a handful of tasks.
-    val nPart = math.max(2, math.min(
-      ids.sparkSession.sparkContext.defaultParallelism / 4, 16))
+    val nPart = math.max(2, ids.sparkSession.sparkContext.defaultParallelism / 4)
     // Explode-flip, not union-of-selects: a union references `links` twice,
     // and when the link frame is an UNCACHED expensive discovery join (q66
     // feeds jaccardPairs straight in) the whole upstream lineage runs once
@@ -453,6 +488,7 @@ object Dedup {
     var labels = cInit
     var changed = true
     var rounds = 0
+    val maxRounds = 64
     val labelType = labels.schema("label").dataType
     // NOTE pitfalls measured here: a pointer-jump self-join or a
     // multi-step body on the UNMATERIALIZED frame recomputes the round's
@@ -466,7 +502,7 @@ object Dedup {
     // round, no separate convergence action at all (round 4's extra
     // join+count() job per round was ~half the loop's wall time; the
     // round-5 first cut still paid an isEmpty scan per round).
-    while (changed && rounds < 50) {
+    while (changed && rounds < maxRounds) {
       val obs = org.apache.spark.sql.Observation(s"graft_cc_r$rounds")
       val prop = cEdges
         .join(labels.select(col("id"), col("label")), col("v") === col("id"))
@@ -487,7 +523,27 @@ object Dedup {
       changed = Option(obs.get("changed")).exists(_.asInstanceOf[Long] > 0)
       labels = next
       rounds += 1
+      // POINTER-JUMP every 4th round: label <- label(label). One-hop BSP
+      // alone moves min labels a single edge per round, so a chain-shaped
+      // cluster (versioned/templated near-dups where only adjacent
+      // revisions link) needs diameter rounds; periodic path-halving
+      // makes the round count O(log diameter) for the same fixpoint
+      // (labels are monotone non-increasing either way). Both join sides
+      // are the freshly materialized checkpoint, so the jump costs one
+      // extra job per 4 rounds, nothing on shallow graphs.
+      if (changed && rounds % 4 == 0) {
+        labels = labels
+          .join(labels.select(col("id").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+          .repartition(nPart, col("id"))
+          .localCheckpoint(true)
+      }
     }
+    if (changed)
+      throw new IllegalStateException(
+        s"[graft.cc] NOT converged after $maxRounds rounds — component diameter " +
+          "exceeds the cap even with pointer jumping; labels would be wrong")
     logger.info(s"[graft.cc] converged after $rounds rounds over the contracted graph")
     // Compose: each id's final label is its contracted node's component
     // label; ids whose contracted node lost every edge to self-loops are

@@ -77,6 +77,17 @@ object TopKPerKeyRewrite extends Rule[LogicalPlan] with PredicateHelper {
       spec.orderSpec.length == ord.length &&
       spec.orderSpec.zip(ord).forall { case (a, b) => a.semanticEquals(b) }
 
+  private def hasFloatingPoint(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case s: StructType => s.fields.exists(f => hasFloatingPoint(f.dataType))
+      case a: ArrayType => hasFloatingPoint(a.elementType)
+      case m: MapType => hasFloatingPoint(m.keyType) || hasFloatingPoint(m.valueType)
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(EnabledKey, "true") != "true") return plan
     plan.transform {
@@ -85,6 +96,12 @@ object TopKPerKeyRewrite extends Rule[LogicalPlan] with PredicateHelper {
             part, ord, child, _)))
           if part.nonEmpty && ord.nonEmpty &&
             part.forall(_.deterministic) && ord.forall(_.deterministic) &&
+            // float/double partition keys stay on the Window path: the
+            // builtin plan normalizes them (NormalizeFloatingNumbers runs
+            // AFTER this batch and does not know TopKPerKey), while the
+            // node's byte-wise UnsafeRow key map would split NaN bit
+            // patterns / -0.0 vs 0.0 into separate groups.
+            !part.exists(e => hasFloatingPoint(e.dataType)) &&
             sameSpec(spec, part, ord) &&
             !projectList.exists(_.references.contains(alias.toAttribute)) =>
         rewrite(p, projectList, cond, alias.toAttribute, part, ord, child).getOrElse(p)

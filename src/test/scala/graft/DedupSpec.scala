@@ -173,6 +173,20 @@ class DedupSpec extends SpecBase {
     assert(sketchForm == columnForm)
   }
 
+  test("connectedComponents converges on a 512-node path (deep-diameter regime)") {
+    // One-hop min propagation alone needs ~diameter rounds — a 512-chain
+    // would blow any fixed cap and, pre-fix, silently returned wrong
+    // labels while logging 'converged'. The periodic pointer-jump makes
+    // the round count logarithmic; non-convergence now throws.
+    val n = 512L
+    val ids = spark.range(1, n + 1).toDF("id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to n).map(i => i -> 1L).toMap,
+      s"mislabeled: ${got.filter(_._2 != 1L).take(5)}")
+  }
+
   test("connectedComponents degenerate inputs: no links, self-ish links, one big chain") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val ids = spark.range(1, 11).toDF("id")
