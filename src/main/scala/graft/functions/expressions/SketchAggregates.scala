@@ -34,6 +34,12 @@ case class MinHashSketch(child: Expression, k: Int,
                          inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
     with ExpectsInputTypes {
+  require(k >= 1, "minhash_sketch: k must be >= 1") // like its sibling aggregates
+
+  // per-slot salts depend only on (i, seed) — computed once per task,
+  // not once per input row (the update loop runs per SHINGLE, corpus-hot)
+  @transient private lazy val salts: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
 
   // analysis-time gate: the update loop casts to Long, so a wrong-typed
   // SQL call must fail in the analyzer, not as a runtime CCE in a task
@@ -47,9 +53,10 @@ case class MinHashSketch(child: Expression, k: Int,
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
+      val ss = salts
       var i = 0
       while (i < k) {
-        val acc = XXH64.hashLong(h, XXH64.hashInt(i, 42L))
+        val acc = XXH64.hashLong(h, ss(i))
         if (acc < buf(i)) buf(i) = acc
         i += 1
       }

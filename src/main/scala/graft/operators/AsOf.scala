@@ -52,7 +52,13 @@ object AsOf {
     val probeCols = probe.columns
     val passthrough = probeCols.filterNot(Set(key, time))
 
-    val taggedBuild = build.filter(col(time).isNotNull).select(
+    // NULL-KEY build rows filtered for the same reason as null times:
+    // Window.partitionBy groups NULLs into one partition, so a null-key
+    // build row would carry forward onto null-key probes — while the
+    // join+rank encoding and asofLookup (equi-joins) never match NULL
+    // keys. With them gone, null-key probe rows fall through with null
+    // carry columns on all three realizations (AsOfSpec pins it).
+    val taggedBuild = build.filter(col(time).isNotNull && col(key).isNotNull).select(
       col(key) +: col(time) +: lit(0).as("__tag") +: col(buildTie).as("__tie") +:
         struct(carryCols.map(col): _*).as("__b") +:
         passthrough.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)

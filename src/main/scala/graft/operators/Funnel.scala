@@ -19,11 +19,15 @@ object Funnel {
 
   /** Input: (entity, t: Long, k: Int) rows where k is the 0-based stage
     * index (rows with null k — non-stage events — and rows with null t
-    * keep the entity in the output at depth 0 but don't advance stages). Output per entity:
-    * depth + stage times t1_ms..tN_ms (null where never reached).
+    * keep the entity in the output at depth 0 but don't advance stages).
+    * Output per entity: `entityName`, depth, and UNIT-NEUTRAL stage
+    * times t1..tN (whatever unit `t` carried in — the operator never
+    * assumes one; callers alias to t1_us etc. as their unit warrants,
+    * instead of un-mislabeling a baked-in suffix).
     * Stage advance uses STRICT t ordering (a stage-k event at exactly
     * the stage-(k-1) time does not count). */
-  def greedy(events: DataFrame, entity: Column, t: Column, k: Column, nStages: Int): DataFrame = {
+  def greedy(events: DataFrame, entity: Column, t: Column, k: Column, nStages: Int,
+             entityName: String = "entity"): DataFrame = {
     require(nStages >= 1 && nStages <= 8, "funnel: 1..8 stages")
     val M = Long.MaxValue
     def stField(st: Column, i: Int): Column = st.getField(s"t${i + 1}")
@@ -53,8 +57,8 @@ object Funnel {
       when(stField(col("st"), n - 1) =!= M, n.toLong).otherwise(acc)
     }
     folded.select(
-      Seq(col("__e"), depth.as("depth")) ++
+      Seq(col("__e").as(entityName), depth.as("depth")) ++
         (0 until nStages).map(i =>
-          when(stField(col("st"), i) =!= M, stField(col("st"), i)).as(s"t${i + 1}_ms")): _*)
+          when(stField(col("st"), i) =!= M, stField(col("st"), i)).as(s"t${i + 1}")): _*)
   }
 }

@@ -34,6 +34,32 @@ object RangeJoin {
     * @param end       exclusive interval end column (on `intervals`)
     * @param binWidth  bin width in MICROSECONDS
     */
+  /** Replicate each non-empty half-open interval into its covered bins
+    * (shared by both joins). sequence() is inclusive-inclusive; the
+    * half-open end only owns a bin when the interval crosses into it,
+    * hence the epsilon step back. Empty intervals must be dropped FIRST:
+    * sequence(a, b) with b < a would silently generate a descending
+    * range. The bins-per-interval cap fails FAST inside the row (via
+    * raise_error) instead of letting one open-ended sentinel interval
+    * (end = 9999-12-31 at a 30-minute binWidth ≈ 140M bins) OOM a task
+    * with no hint that binWidth × span is the cause — size binWidth to
+    * the data, or close sentinel intervals before joining. */
+  private val MaxBinsPerInterval = 1000000L
+  private def binned(df: DataFrame, s: String, e: String, bin: String,
+                     binWidth: Long): DataFrame = {
+    val binOf: Column => Column = c => floor(unix_micros(c) / binWidth)
+    val lastBin = binOf(timestamp_micros(unix_micros(col(e)) - 1))
+    df.filter(col(s) < col(e))
+      .withColumn(bin, explode(sequence(
+        binOf(col(s)),
+        when(lastBin - binOf(col(s)) > MaxBinsPerInterval,
+          raise_error(concat(
+            lit(s"[graft.rangejoin] interval spans more than $MaxBinsPerInterval bins at binWidth=$binWidth us: ["),
+            col(s).cast("string"), lit(", "), col(e).cast("string"),
+            lit(") - widen binWidth or close sentinel intervals")).cast("string")).cast("long")
+        ).otherwise(lastBin))))
+  }
+
   def pointInInterval(
       points: DataFrame,
       t: String,
@@ -43,16 +69,7 @@ object RangeJoin {
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val binOf: Column => Column = c => floor(unix_micros(c) / binWidth)
-
-    // sequence() is inclusive-inclusive; the half-open end only owns a
-    // bin when the interval crosses into it, hence the epsilon step back.
-    // Empty intervals must be dropped FIRST: sequence(a, b) with b < a
-    // would silently generate a descending bin range.
-    val binnedIntervals = intervals
-      .filter(col(start) < col(end))
-      .withColumn("__bin", explode(sequence(
-        binOf(col(start)),
-        binOf(timestamp_micros(unix_micros(col(end)) - 1)))))
+    val binnedIntervals = binned(intervals, start, end, "__bin", binWidth)
     val binnedPoints = points.withColumn("__bin", binOf(col(t)))
 
     binnedPoints
@@ -76,6 +93,12 @@ object RangeJoin {
     * bin holding the overlap's START (`greatest(aStart, bStart)`), a bin
     * both sides cover by construction. No dedup anywhere, work stays
     * pairs-that-share-a-bin, and the residual restores exact semantics.
+    *
+    * EMPTY intervals (start == end) never pair, on either side — they
+    * are dropped before binning (the predicate alone would let an empty
+    * interval sitting inside the other side's span "overlap"); a
+    * hand-written inequality join that wants them must filter the same
+    * way. The oracle replays this contract.
     */
   def intervalOverlap(
       a: DataFrame, aStart: String, aEnd: String,
@@ -83,14 +106,8 @@ object RangeJoin {
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val binOf: Column => Column = c => floor(unix_micros(c) / binWidth)
-    def binned(df: DataFrame, s: String, e: String, bin: String) = df
-      .filter(col(s) < col(e))
-      .withColumn(bin, explode(sequence(
-        binOf(col(s)),
-        binOf(timestamp_micros(unix_micros(col(e)) - 1)))))
-
-    val ba = binned(a, aStart, aEnd, "__bin_a")
-    val bb = binned(b, bStart, bEnd, "__bin_b")
+    val ba = binned(a, aStart, aEnd, "__bin_a", binWidth)
+    val bb = binned(b, bStart, bEnd, "__bin_b", binWidth)
     ba.join(bb,
         col("__bin_a") === col("__bin_b") &&
           col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&

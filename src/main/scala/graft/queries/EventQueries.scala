@@ -285,10 +285,9 @@ object EventQueries {
         .when(col("event_type") === "purchase", 2)
       graft.operators.Funnel.greedy(
         Tables.events(s, dir), col("user_id"), unix_micros(col("ts")), stageIdx,
-        nStages = 3)
-        .withColumnRenamed("__e", "user_id")
-        .withColumnRenamed("t1_ms", "t1_us").withColumnRenamed("t2_ms", "t2_us")
-        .withColumnRenamed("t3_ms", "t3_us")
+        nStages = 3, entityName = "user_id")
+        .withColumnRenamed("t1", "t1_us").withColumnRenamed("t2", "t2_us")
+        .withColumnRenamed("t3", "t3_us")
     },
 
     // q134: IN-SESSION funnel — did the user complete view→click→purchase
@@ -330,9 +329,9 @@ object EventQueries {
       graft.operators.Funnel.greedy(
         sessed, struct(col("user_id"), col("session_idx")), unix_micros(col("ts")), stageIdx,
         nStages = 3)
-        .select(col("__e.user_id").as("user_id"), col("__e.session_idx").as("session_idx"),
+        .select(col("entity.user_id").as("user_id"), col("entity.session_idx").as("session_idx"),
           col("depth"),
-          col("t1_ms").as("t1_us"), col("t2_ms").as("t2_us"), col("t3_ms").as("t3_us"))
+          col("t1").as("t1_us"), col("t2").as("t2_us"), col("t3").as("t3_us"))
     }
   )
 }

@@ -103,6 +103,34 @@ class AsOfSpec extends SpecBase {
     assert(lookup == expected, s"lookup: $lookup")
   }
 
+  test("null-KEY rows never match, in all three realizations") {
+    // Window.partitionBy groups NULL keys into one partition — without
+    // the build-side filter a null-key build row would carry onto
+    // null-key probes, while the equi-join realizations never match
+    // NULL = NULL. A null-key probe must fall through with null carry.
+    val probe = Seq(
+      (Option(1L), 10L, ts("2024-01-01 10:00:00")),
+      (Option.empty[Long], 11L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val build = Seq(
+      (Option(1L), 100L, ts("2024-01-01 09:00:00"), "real"),
+      (Option.empty[Long], 101L, ts("2024-01-01 08:00:00"), "null-key")
+    ).toDF("user_id", "event_id", "ts", "tag")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"asof_event_id", $"asof_tag")
+        .collect().map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    val carry = rows(AsOf.asofJoin(probe, build, "user_id", "ts",
+      carryCols = Seq("event_id", "tag"), buildTie = "event_id"))
+    val idx = AsOf.asofIndex(build, "user_id", "ts",
+      carryCols = Seq("event_id", "tag"), buildTie = "event_id")
+    val lookup = rows(AsOf.asofLookup(probe, idx, "user_id", "ts",
+      carryCols = Seq("event_id", "tag")))
+    val expected = Map(10L -> ((100L, "real")), 11L -> ((null, null)))
+    assert(carry == expected, s"carry-forward: $carry")
+    assert(lookup == expected, s"lookup: $lookup")
+  }
+
   test("lookup realization (index + equi-join) equals the carry-forward on the events table") {
     val ev = Tables.events(spark, SfDir)
     val p = ev.filter($"event_type" === "purchase")

@@ -11,7 +11,7 @@ class FunnelSpec extends SpecBase {
 
   private def run(rows: Seq[(String, Long, Integer)]) =
     Funnel.greedy(rows.toDF("u", "t", "k"), col("u"), col("t"), col("k"), nStages = 3)
-      .select(col("__e"), col("depth"), col("t1_ms"), col("t2_ms"), col("t3_ms"))
+      .select(col("entity"), col("depth"), col("t1"), col("t2"), col("t3"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
 
