@@ -65,7 +65,10 @@ object Sources {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
     if (warehouse.getScheme == null || warehouse.getScheme == "file") {
-      val loc = java.nio.file.Paths.get(warehouse.getPath, name).toFile
+      // Spark lowercases managed-table directory names: check the path the
+      // table ACTUALLY uses or a mixed-case name skips cleanup and then
+      // fails saveAsTable on the surviving non-empty location
+      val loc = java.nio.file.Paths.get(warehouse.getPath, name.toLowerCase).toFile
       if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
     }
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")

@@ -61,6 +61,9 @@ object ZOrder {
                     nFiles: Int = 64, bits: Int = 6): Unit = {
     require(zCols.nonEmpty, "zCols must be non-empty")
     require(bits >= 1 && bits <= 12, s"bits out of [1,12]: $bits")
+    require(bits * zCols.size <= 63,
+      s"bits*columns = ${bits * zCols.size} exceeds 63: the interleave would " +
+        "wrap Java's long shift (mod 64) and silently scramble the curve")
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     val cuts = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
     df.withColumn("__z", zValue(zCols, cuts.toSeq, bits))

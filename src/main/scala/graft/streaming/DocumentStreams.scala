@@ -157,37 +157,58 @@ object DocumentStreams {
                             (batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    import spark.implicits._
     val b = batch.select(col("doc_id").cast("long"), col("text"))
     // Corpus rows live OUTSIDE the snapshots, appended ONCE per batch
-    // under docs/batch=<id> — the snapshot protocol covers only the slim
-    // (doc_id, label) artifact, so per-batch I/O is batch-sized + labels,
-    // never a corpus rewrite. (Signature recompute inside the operator is
-    // the documented local-mode posture — Dedup.incrementalMinhashLabels'
+    // under docs/batch=<id>; a one-row docmax/batch=<id> manifest rides
+    // along so the replay guard reads #batches rows, not the corpus.
+    // The snapshot protocol covers only the slim (doc_id, label)
+    // artifact plus a one-row meta carrying the clustering's COVERAGE
+    // boundary. (Signature recompute inside the operator is the
+    // documented local-mode posture — Dedup.incrementalMinhashLabels'
     // scale path materializes the band index instead.)
     val docsRoot = s"$outDir/docs"
-    def docsExist = new java.io.File(docsRoot).exists()
-    val maxOld: Option[Long] =
-      if (!docsExist) None
+    val maxRoot = s"$outDir/docmax"
+    def maxDocSoFar: Option[Long] =
+      if (!new java.io.File(maxRoot).exists()) None
       else {
-        // empty-safe: max() over zero rows is NULL, not a long
-        val r = spark.read.parquet(docsRoot).agg(max(col("doc_id"))).head()
+        val r = spark.read.parquet(maxRoot).agg(max(col("max_id"))).head()
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
+    val maxOld = maxDocSoFar
     // monotone-id contract doubles as replay idempotence: redelivered
     // rows are <= maxOld and drop here
     val fresh = maxOld.map(m => b.filter(col("doc_id") > m)).getOrElse(b)
-    val haveFresh = !fresh.isEmpty
-    if (haveFresh) fresh.write.mode("overwrite").parquet(s"$docsRoot/batch=$batchId")
-    if (!docsExist && !haveFresh) return // nothing has ever arrived
-    val labelsOld = EventStreams.currentSnapshotDir(outDir)
-      .map(live => spark.read.parquet(s"$live/labels"))
-    if (!haveFresh && labelsOld.isDefined) return // replayed batch: snapshot already right
+    val freshMax: Option[Long] = {
+      val r = fresh.agg(max(col("doc_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    freshMax.foreach { fm =>
+      fresh.write.mode("overwrite").parquet(s"$docsRoot/batch=$batchId")
+      Seq(fm).toDF("max_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$maxRoot/batch=$batchId")
+    }
+    val maxAll: Option[Long] = Seq(maxOld, freshMax).flatten.reduceOption(_ max _)
+    if (maxAll.isEmpty) return // nothing has ever arrived
+    // The clustering's coverage boundary lives in the snapshot's META
+    // row, NOT inferred from the batch: a crash between the docs append
+    // and the publish leaves docs ahead of labels, and on replay `fresh`
+    // is empty — the boundary compare below still sees the gap and
+    // re-clusters the appended-but-unlabeled ids (a fresh-empty early
+    // return here would lose those links FOREVER, since later batches
+    // would treat them as already-clustered).
+    val live = EventStreams.currentSnapshotDir(outDir)
+    val coverage: Option[Long] = live.map { dir =>
+      spark.read.parquet(s"$dir/meta").head().getLong(0)
+    }
+    if (coverage == maxAll) return // snapshot already covers every doc
     val all = spark.read.parquet(docsRoot).select(col("doc_id"), col("text"))
-    val labels = (labelsOld, maxOld) match {
-      case (Some(lo), Some(m)) =>
+    val labels = (live, coverage) match {
+      case (Some(dir), Some(cov)) =>
+        val labelsOld = spark.read.parquet(s"$dir/labels")
         Dedup.incrementalMinhashLabels(all, "doc_id", "text",
-          isNew = col("doc_id") > m, lo, threshold = threshold)
-      case _ => // first publish (or crash between docs append and publish)
+          isNew = col("doc_id") > cov, labelsOld, threshold = threshold)
+      case _ => // first publish
         Dedup.connectedComponents(all.select(col("doc_id").as("id")),
           Dedup.minhashDedupLinks(all, "doc_id", "text", threshold = threshold)
             .select(col("id_a"), col("id_b")))
@@ -195,8 +216,11 @@ object DocumentStreams {
     val staged = java.nio.file.Paths.get(outDir,
       s"snapshot_${batchId}_${System.nanoTime()}")
     labels.write.mode("overwrite").parquet(s"$staged/labels")
+    Seq(maxAll.get).toDF("coverage_max_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$staged/meta")
     val retired = EventStreams.currentSnapshotDir(outDir)
     EventStreams.publishSnapshot(outDir, staged.getFileName.toString)
-    retired.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    EventStreams.reclaimSnapshots(outDir,
+      grace = retired.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet)
   }
 }

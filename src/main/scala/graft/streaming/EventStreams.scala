@@ -92,8 +92,11 @@ object EventStreams {
     merged.drop("__src").write.mode("overwrite").parquet(staged.toString)
     val retired = currentSnapshotDir(outDir)
     publishSnapshot(outDir, staged.getFileName.toString)
-    // old snapshot is dead only after the pointer swap — safe to reclaim
-    retired.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    // deferred reclamation: the retiree survives one generation for
+    // in-flight readers; everything older (and crashed staging orphans)
+    // goes now
+    reclaimSnapshots(outDir,
+      grace = retired.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet)
   }
 
   /** foreachBatch SCD TYPE-2 sink: maintains a VERSIONED dimension table
@@ -139,7 +142,12 @@ object EventStreams {
         val hist = spark.read.parquet(live)
         val closedHist = hist.filter(!col("is_current"))
         val open = hist.filter(col("is_current")).withColumn("__c_hit", lit(true))
-        val j = open.join(incoming, col(keyCol) === col("__bk"), "full_outer")
+        // NULL-SAFE equality: a plain === never matches NULL keys, so a
+        // null-key batch row would open a NEW version every batch while
+        // the old open one passes through — unboundedly many concurrent
+        // open versions for the null key. With <=> the null key versions
+        // like any other key (exactly one open row).
+        val j = open.join(incoming, col(keyCol) <=> col("__bk"), "full_outer")
         val sameVal = struct(valueCols.map(col): _*) ===
           struct(valueCols.map(c => col(s"__b_$c")): _*)
         // match markers, NOT key-null checks: a NULL key never equi-joins,
@@ -166,7 +174,8 @@ object EventStreams {
     merged.write.mode("overwrite").parquet(staged.toString)
     val retired = currentSnapshotDir(outDir)
     publishSnapshot(outDir, staged.getFileName.toString)
-    retired.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    reclaimSnapshots(outDir,
+      grace = retired.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet)
   }
 
   /** Streaming exact-dedup twin (of the q22 batch semantics): keep the
@@ -277,6 +286,23 @@ object EventStreams {
         col("trail_sum"))
 
   /** Atomically point `_current` at `snapshotName` (write-temp + rename). */
+  /** Deferred snapshot reclamation: delete every `snapshot_*` dir that
+    * is neither the CURRENT snapshot nor in `grace`. The just-retired
+    * dir stays ONE more generation — a reader that resolved `_current`
+    * just before the swap finishes its scan against live files instead
+    * of racing a delete — and crashed-attempt orphans (staged but never
+    * published) are swept on the next successful publish, which is the
+    * cleanup the staging note promises. */
+  private[streaming] def reclaimSnapshots(outDir: String, grace: Set[String]): Unit = {
+    val cur = currentSnapshotDir(outDir)
+      .map(p => java.nio.file.Paths.get(p).getFileName.toString)
+    val root = new java.io.File(outDir)
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("snapshot_"))
+      .filterNot(f => cur.contains(f.getName) || grace.contains(f.getName))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+  }
+
   private[streaming] def publishSnapshot(outDir: String, snapshotName: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(outDir, s"_current.tmp")
@@ -329,14 +355,11 @@ object EventStreams {
         keys = Seq(col(keyCol)),
         order = Seq(col("__src").desc))
     } else incoming
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      merged.drop("__src").write.mode("overwrite").partitionBy("__bucket").parquet(dir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITE option, not the session conf: flipping the global would
+    // race any concurrently running query in the same session
+    merged.drop("__src").write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(dir)
   }
 
   /** Timestamp <-> microseconds, preserving full parquet precision
@@ -434,14 +457,24 @@ object EventStreams {
             finals.iterator
           } else {
             // Sort this micro-batch's events; merge into the open session.
-            val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+            // (null-time rows drop — same rule as funnelStream/batch q21;
+            // a null ts would NPE the sort and poison-pill the query)
+            val sorted = rows.filter(_.ts != null).toSeq
+              .sortBy(e => (toMicros(e.ts), e.event_id))
             var sessions = state.getOption.getOrElse(Nil)
             var closed = List.empty[SessionSummary]
             for (e <- sorted) {
               val t = toMicros(e.ts)
               sessions match {
                 case open :: rest if t - open.end <= gapUs =>
-                  sessions = open.copy(n = open.n + 1, end = t) :: rest
+                  // a LATE (within-watermark) event can merge with t below
+                  // the open end — extend monotonically, never move the
+                  // boundaries backward (end < its own last event, or
+                  // end < start, would also split the session spuriously
+                  // on the next batch)
+                  sessions = open.copy(n = open.n + 1,
+                    start = math.min(open.start, t),
+                    end = math.max(open.end, t)) :: rest
                 case open :: rest =>
                   closed ::= SessionSummary(userId, open.idx, open.n,
                     fromMicros(open.start), fromMicros(open.end))

@@ -394,6 +394,38 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("cluster sink recovers a crash between the docs append and the publish") {
+    import graft.streaming.DocumentStreams
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    val (first, rest) = docs.splitAt(docs.length * 2 / 3)
+    val outDir = java.nio.file.Files.createTempDirectory("clusters_crash").toString
+    val sink = DocumentStreams.clusterMaintenanceSink(outDir) _
+    sink(first.toSeq.map(r => (r.getLong(0), r.getString(1))).toDF("doc_id", "text"), 0L)
+    // CRASH SIMULATION: batch 1's docs + docmax land, but the process
+    // dies before the labels snapshot publishes
+    rest.toSeq.map(r => (r.getLong(0), r.getString(1))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$outDir/docs/batch=1")
+    Seq(rest.map(_.getLong(0)).max).toDF("max_id")
+      .write.mode("overwrite").parquet(s"$outDir/docmax/batch=1")
+    // the REPLAYED batch filters to zero fresh rows — the coverage meta
+    // must still notice the unlabeled ids and re-cluster them (an
+    // early return here loses batch 1's links forever)
+    sink(rest.toSeq.map(r => (r.getLong(0), r.getString(1))).toDF("doc_id", "text"), 1L)
+    val live = spark.read
+      .parquet(s"${graft.streaming.EventStreams.currentSnapshotDir(outDir).get}/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Tables.documents(spark, SfDir).select($"doc_id", $"text")
+    val full = Dedup.connectedComponents(
+      all.select($"doc_id".as("id")),
+      Dedup.minhashDedupLinks(all, "doc_id", "text", threshold = 0.9)
+        .select($"id_a", $"id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live == full,
+      s"live-only ${(live -- full).take(3)}, full-only ${(full -- live).take(3)}")
+  }
+
   test("streaming incremental dedup (stream-static anti join) matches batch q81's keep set") {
     import graft.streaming.DocumentStreams
     import graft.streaming.DocumentStreams.Doc
