@@ -29,8 +29,13 @@ object F {
     * distance-based equivalent that stays SQL-expressible and codegen'd.
     */
   def fuzzRatio(a: Column, b: Column): Column = {
+    // null first: greatest() skips nulls, so NULL-vs-empty would
+    // otherwise take the maxLen==0 branch and score a missing value as
+    // a PERFECT match — the null result matches levenshtein's own
+    // propagation
     val maxLen = greatest(length(a), length(b))
-    when(maxLen === 0, lit(100L))
+    when(a.isNull || b.isNull, lit(null).cast("long"))
+      .when(maxLen === 0, lit(100L))
       .otherwise(round(lit(100.0) * (lit(1.0) - levenshtein(a, b).cast("double") / maxLen.cast("double"))).cast("long"))
   }
 

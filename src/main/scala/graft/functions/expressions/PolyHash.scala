@@ -18,6 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class PolyHash(child: Expression, base: Long = 31L, mod: Long = 1000000007L)
     extends UnaryExpression {
 
+  // the fold computes (acc * base + char) % mod in 64-bit arithmetic:
+  // acc < mod, char < 2^16, so mod * base + 2^16 must stay below
+  // Long.MaxValue or the hash silently wraps (and mod <= 0 divides by
+  // zero per row at execution time) — fail at construction instead
+  require(base > 0 && mod > 0 && mod <= (Long.MaxValue - 65536L) / base,
+    s"poly_hash: need base > 0, mod > 0, mod*base+2^16 <= Long.MaxValue (got base=$base, mod=$mod)")
+
   // Applied only through the typed wrapper below (string input enforced
   // there with an explicit cast), so no ExpectsInputTypes machinery.
   override def dataType: DataType = LongType

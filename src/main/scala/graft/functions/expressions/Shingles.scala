@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -20,9 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * array, inside the stage's generated code.
   */
 case class Shingles(child: Expression, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(w >= 1, "shingle width must be >= 1")
+
+  // analysis-time gate for the SQL-registered form: a non-array<string>
+  // child would reinterpret raw Unsafe bytes as (offset, length) pairs —
+  // garbage or a JVM fault, never an error
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -24,7 +24,15 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * so keys are sorted; behavior on unsorted keys is undefined (misses).
   */
 case class SortedMapBitIntersect(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  // analysis-time gate for the SQL-registered form: getInt/getLong on a
+  // differently-typed Unsafe map reinterprets raw bytes — silently wrong
+  // popcounts, never an error
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.MapType(IntegerType, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.MapType(IntegerType, org.apache.spark.sql.types.LongType))
 
   override def dataType: DataType = IntegerType
 

@@ -28,7 +28,13 @@ import org.apache.spark.sql.types._
   *
   * Floats render through DECIMAL(18,2) for min/max output so the report
   * is engine-portable (shortest-roundtrip double printing differs across
-  * engines); NDV counts RAW values — no render distortion.
+  * engines); NDV counts RAW values — no render distortion. DOCUMENTED
+  * RANGE LIMIT: |value| must fit DECIMAL(18,2) (< 1e16) and be finite —
+  * beyond it the non-ANSI cast renders min/max as NULL while n_nulls
+  * still reads 0 (a contradictory-looking row). Widening the decimal is
+  * NOT a free fix: double→decimal rounding at high magnitudes is not
+  * bit-stable across engines, which would break the hash gate — profile
+  * epoch-micros-sized columns as longs, not doubles.
   */
 object Profile {
 

@@ -43,8 +43,12 @@ object Sampling {
     * docHash32-based decision (sampling, sharding) on the same key.
     */
   def holdoutSplit(contentHash: Column, valPermille: Int, testPermille: Int): Column = {
-    val b = docHash32(concat(contentHash, lit(":split"))) % 1000
-    when(b < 1000 - valPermille - testPermille, "train")
+    val b = saltedHash32(contentHash, "split") % 1000
+    // a NULL content hash (contentless doc) must not dodge into the
+    // small held-out splits through the otherwise-branch: route it to
+    // train, where a contentless row can leak nothing
+    when(contentHash.isNull, "train")
+      .when(b < 1000 - valPermille - testPermille, "train")
       .when(b < 1000 - testPermille, "val")
       .otherwise("test")
   }

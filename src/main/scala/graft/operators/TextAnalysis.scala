@@ -48,7 +48,13 @@ object TextAnalysis {
     graft.functions.expressions.PolyHash(F.normalizeWhitespace(lower(text)))
 
   /** Reference implementation of [[fingerprint]] via array HOFs —
-    * interpreted; kept for cross-checking the native expression. */
+    * interpreted; kept for cross-checking the native expression.
+    * SINGLE-BYTE TEXT ONLY: `ascii()` returns the first UTF-8 byte
+    * (negative for multibyte chars) and `length`/`substr` count
+    * codepoints, while PolyHash folds UTF-16 charAt units — the two
+    * agree exactly on ASCII (the synthetic corpus and the spec's
+    * cross-check) and intentionally diverge beyond it; PolyHash's
+    * UTF-16 fold is the operator contract. */
   def fingerprintHof(text: Column): Column = {
     val norm = F.normalizeWhitespace(lower(text))
     val codes = transform(sequence(lit(1), length(norm)), i => ascii(norm.substr(i, lit(1))))
@@ -73,10 +79,17 @@ object TextAnalysis {
     * swallow nulls; no content -> no fingerprint is the honest contract.
     * Returns (id, min_shingle_fp). */
   def minShingleFingerprints(df: DataFrame, idCol: String, textCol: String,
-                             w: Int = 8): DataFrame = {
+                             w: Int = 8,
+                             repartitionTo: Option[Int] = None): DataFrame = {
     import graft.functions.expressions.{Shingles, XxHash64ArrayMin}
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"),
+    // repartitionTo is the small-split LOCAL knob (Profile.profile's
+    // pattern): a single parquet split would otherwise serialize the
+    // per-token kernel onto one task. Default OFF — at scale the scan
+    // already has parallelism and a forced round-robin exchange of full
+    // document text is exactly the shuffle this map-only form exists to
+    // avoid.
+    val src = repartitionTo.map(df.repartition(_)).getOrElse(df)
+    src.select(col(idCol).as("id"),
         XxHash64ArrayMin(Shingles(F.tokens(col(textCol)), w)).as("min_shingle_fp"))
   }
 }

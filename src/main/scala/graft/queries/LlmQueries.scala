@@ -536,7 +536,8 @@ object LlmQueries {
     // explode/groupBy path. Rows-only (xxhash64-seeded); exact values
     // pinned against the column form in TextAnalysisSpec.
     "q48_winnow_fingerprint" -> QueryDef.rowsOnly { (s, dir) =>
-      TextAnalysis.minShingleFingerprints(Tables.documents(s, dir), "doc_id", "text")
+      TextAnalysis.minShingleFingerprints(Tables.documents(s, dir), "doc_id", "text",
+        repartitionTo = Some(s.sparkContext.defaultParallelism)) // local small-split regime
         .withColumnRenamed("id", "doc_id")
     },
 

@@ -168,7 +168,7 @@ object SamplingQueries {
     // map-side arithmetic — zero shuffles at any scale.
     "q94_holdout_split" -> QueryDef.of(
       """SELECT doc_id, lang,
-        |  CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val' ELSE 'test' END AS split
+        |  CASE WHEN b IS NULL THEN 'train' WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val' ELSE 'test' END AS split
         |FROM (
         |  SELECT doc_id, lang,
         |    CAST(('0x' || substr(md5(md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) || ':split'), 1, 8)) AS BIGINT) % 1000 AS b
