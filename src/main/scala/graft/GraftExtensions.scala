@@ -42,16 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // error on non-castable types instead of a codegen ClassCastException)
         case Seq(c) => PolyHash(Cast(c, StringType))
         case Seq(c, b, m) =>
-          def constLong(e: Expression, name: String): Long = {
-            if (!e.foldable) throw new IllegalArgumentException(
-              s"poly_hash: $name must be a literal, got ${e.sql}")
-            e.eval() match {
-              case n: Number => n.longValue()
-              case other => throw new IllegalArgumentException(
-                s"poly_hash: $name must be numeric, got $other")
-            }
-          }
-          PolyHash(Cast(c, StringType), constLong(b, "base"), constLong(m, "mod"))
+          PolyHash(Cast(c, StringType),
+            GraftExtensions.constLong(b, "poly_hash", "base"),
+            GraftExtensions.constLong(m, "poly_hash", "mod"))
         case _ => throw new IllegalArgumentException(
           "poly_hash(str[, base, mod]) takes 1 or 3 arguments")
       }))
@@ -64,9 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
       (children: Seq[Expression]) => children match {
         case Seq(h, k) =>
-          if (!k.foldable) throw new IllegalArgumentException(
-            "minhash_sketch: k must be a literal")
-          MinHashSketch(h, k.eval().asInstanceOf[Number].intValue())
+          MinHashSketch(h, GraftExtensions.constInt(k, "minhash_sketch", "k"))
         case _ => throw new IllegalArgumentException(
           "minhash_sketch(hash_col, k) takes 2 arguments")
       }))
@@ -83,10 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FreqItemsSketch].getName, "freq_items_sketch"),
       (children: Seq[Expression]) => children match {
         case Seq(tok, cap, k) =>
-          if (!cap.foldable || !k.foldable) throw new IllegalArgumentException(
-            "freq_items_sketch: capacity and k must be literals")
-          FreqItemsSketch(tok, cap.eval().asInstanceOf[Number].intValue(),
-            k.eval().asInstanceOf[Number].intValue())
+          FreqItemsSketch(tok,
+            GraftExtensions.constInt(cap, "freq_items_sketch", "capacity"),
+            GraftExtensions.constInt(k, "freq_items_sketch", "k"))
         case _ => throw new IllegalArgumentException(
           "freq_items_sketch(tok_col, capacity, k) takes 3 arguments")
       }))
@@ -95,9 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BottomKSample].getName, "bottom_k_sample"),
       (children: Seq[Expression]) => children match {
         case Seq(h, id, k) =>
-          if (!k.foldable) throw new IllegalArgumentException(
-            "bottom_k_sample: k must be a literal")
-          BottomKSample(h, id, k.eval().asInstanceOf[Number].intValue())
+          BottomKSample(h, id, GraftExtensions.constInt(k, "bottom_k_sample", "k"))
         case _ => throw new IllegalArgumentException(
           "bottom_k_sample(hash_col, id_col, k) takes 3 arguments")
       }))
@@ -142,7 +130,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, w) =>
           if (!w.foldable) throw new IllegalArgumentException(
             "shingles: w must be a literal")
-          Shingles(c, w.eval().asInstanceOf[Number].intValue())
+          Shingles(c, GraftExtensions.constInt(w, "shingles", "w"))
         case _ => throw new IllegalArgumentException(
           "shingles(token_array, w) takes 2 arguments")
       }))
@@ -162,9 +150,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, d) =>
           if (!d.foldable) throw new IllegalArgumentException(
             "media_feature_fold: dim must be a literal")
-          MediaFeatureFold(c, d.eval().asInstanceOf[Number].intValue())
+          MediaFeatureFold(c, GraftExtensions.constInt(d, "media_feature_fold", "dim"))
         case _ => throw new IllegalArgumentException(
           "media_feature_fold(binary, dim) takes 2 arguments")
       }))
   }
+}
+
+object GraftExtensions {
+  /** Shared literal-argument gate for the SQL builders: a clear
+    * "must be a numeric literal" message instead of a raw
+    * ClassCastException reaching the SQL user. */
+  private[graft] def constLong(e: Expression, fn: String, name: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $name must be a literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be numeric, got $other")
+    }
+  }
+  private[graft] def constInt(e: Expression, fn: String, name: String): Int =
+    constLong(e, fn, name).toInt
 }

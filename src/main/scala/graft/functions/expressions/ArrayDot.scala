@@ -20,6 +20,20 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // analysis-time gate (the package convention — Shingles, XxHash64ArrayMin):
+  // a non-array child would ClassCastException inside planning with no
+  // column context, and an unsupported element type would throw per-task
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val supported = Set[DataType](DoubleType, FloatType, LongType, IntegerType)
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _)) if supported(a) && supported(b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_dot needs two arrays of double/float/long/int, got $l and $r")
+    }
+  }
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 

@@ -9,9 +9,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 /** min(xxhash64(element)) over ONE row's string array — the winnowing
   * fingerprint selection, map-only (the k=1 unsalted cousin of
   * [[MinHashSig]]). Replaces explode_outer → groupBy(id) → min(xxhash64)
-  * with a codegen'd scalar: no shuffle, hash loop in Java. NULL input
-  * yields NULL (what min-over-an-exploded-null produced), so null-text
-  * documents keep their row with a null fingerprint.
+  * with a codegen'd scalar: no shuffle, hash loop in Java.
+  *
+  * Null/empty semantics — a DELIBERATE divergence from the replaced
+  * plan, stated precisely: explode_outer turns a null/empty array into
+  * one null element, and xxhash64(null) returns its SEED (42), so the
+  * old pipeline fingerprinted contentless documents as 42 — a real
+  * value that could collide with genuine fingerprints in winnowing
+  * matches. Here NULL input yields NULL and an empty array yields NULL
+  * (no minimum over zero elements): no content → no fingerprint
+  * (TextAnalysis.minShingleFingerprints documents the same contract).
   */
 case class XxHash64ArrayMin(child: Expression)
     extends UnaryExpression {
@@ -28,7 +35,8 @@ case class XxHash64ArrayMin(child: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  // an empty array has no minimum -> null, mirroring min() over zero rows
+  // an empty array has no minimum -> null (see the class doc: the
+  // replaced explode_outer form returned the hash SEED here)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     if (arr.numElements() == 0) null else XxHash64ArrayMin.compute(arr)

@@ -28,7 +28,12 @@ object EsDocs {
     * property-tested in PropertySpec. */
   def textFields(c: Column, dt: DataType, pattern: String,
                  exclude: Set[String] = Set.empty): Column =
-    graft.functions.expressions.TextFieldsExtract(c, dt, pattern, exclude)
+    // coalesce: a NULL document must yield [] (the composed form's
+    // contract — its coalesce keeps concat well-defined), while the
+    // native walker's UnaryExpression null handling would return NULL
+    coalesce(
+      graft.functions.expressions.TextFieldsExtract(c, dt, pattern, exclude),
+      array().cast("array<string>"))
 
   /** The original composed form of [[textFields]] — kept as the
     * property-test reference for the native walker. */

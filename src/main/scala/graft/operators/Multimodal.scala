@@ -59,15 +59,20 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init would go here (codec handles, model weights)
         rows.map { r =>
-          val feats = Array.tabulate(dim) { i =>
-            // ??? real decode goes here — deterministic fake instead:
-            // fold payload bytes with an index-salted multiplicative hash.
-            var acc = 1125899906842597L + i
-            var j = 0
-            while (j < r.media.length) { acc = acc * 31 + r.media(j); j += 1 }
-            ((acc & 0xFFFFL).toFloat / 65535.0f)
+          // null payload -> null features, matching the columnar path's
+          // nullSafeEval short-circuit (the two are spec-pinned equal)
+          if (r.media == null) MediaFeatures(r.id, r.n_bytes, null)
+          else {
+            val feats = Array.tabulate(dim) { i =>
+              // ??? real decode goes here — deterministic fake instead:
+              // fold payload bytes with an index-salted multiplicative hash.
+              var acc = 1125899906842597L + i
+              var j = 0
+              while (j < r.media.length) { acc = acc * 31 + r.media(j); j += 1 }
+              ((acc & 0xFFFFL).toFloat / 65535.0f)
+            }
+            MediaFeatures(r.id, r.n_bytes, feats)
           }
-          MediaFeatures(r.id, r.n_bytes, feats)
         }
       }
   }
@@ -88,10 +93,13 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition init would go here (codec handles)
         it.map { r =>
-          val out = new Array[Byte]((r.media.length + factor - 1) / factor)
-          var i = 0
-          while (i < out.length) { out(i) = r.media(i * factor); i += 1 }
-          MediaRow(r.id, out, r.format, out.length.toLong)
+          if (r.media == null) MediaRow(r.id, null, r.format, 0L)
+          else {
+            val out = new Array[Byte]((r.media.length + factor - 1) / factor)
+            var i = 0
+            while (i < out.length) { out(i) = r.media(i * factor); i += 1 }
+            MediaRow(r.id, out, r.format, out.length.toLong)
+          }
         }
       }
     rows.select(
@@ -103,6 +111,7 @@ object Multimodal {
     * — explode-based, so each frame is its own row downstream (the shape
     * video frame extraction produces). Pure column expressions. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"sampleFrames: n must be >= 1, got $n") // like resize's factor
     val len = octet_length(col("media"))
     val chunk = greatest((len / n).cast("int"), lit(1))
     media.select(

@@ -44,7 +44,10 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Same contract as [[dedupKeepFirst]] as a `min_by` AGGREGATE:
+  /** Same contract as [[dedupKeepFirst]] — for ASCENDING orderings — as
+    * a `min_by` AGGREGATE (a SortOrder like `col.desc` cannot live in
+    * the ordering struct; use the window form, or negate/invert the
+    * column, for descending keeps):
     * min_by(struct(all columns), struct(order columns)) — struct ordering
     * is lexicographic by field, identical to a multi-column ORDER BY, so
     * the kept row matches row_number()=1 whenever `order` is total within
@@ -100,6 +103,13 @@ object Relational {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
                  saltCol: Column, saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit saltFactor COPIES of every unmatched
+    // right row (each replica fails to match independently) — the salt
+    // construction is only sound when unmatched right rows don't emit
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin: unmatched right rows would duplicate under '$joinType' — " +
+        "inner/left joins only")
     val salted = left.withColumn("__salt", pmod(hash(saltCol), lit(saltFactor)))
     val replicated = right.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated,
