@@ -124,4 +124,20 @@ class TopKRewriteSpec extends SpecBase {
     assert(!scanSchema.contains("o_comment") && !scanSchema.contains("o_totalprice"),
       s"scan not pruned: $scanSchema")
   }
+
+  test("does not fire on float/double partition keys (NaN/-0.0 normalization)") {
+    // The builtin path normalizes float Window partition keys AFTER the
+    // operator-optimization batch; the node's byte-wise key map would
+    // split NaN bit patterns into distinct groups — so the rewrite must
+    // leave float-keyed windows alone.
+    val w = Window.partitionBy($"o_totalprice").orderBy($"o_orderkey")
+    val df = orders.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .select($"o_custkey", $"o_orderkey")
+    assert(topkExecs(df).isEmpty, "float partition key must stay on the Window path")
+    // same key cast to a non-float type lowers fine
+    val w2 = Window.partitionBy($"o_totalprice".cast("decimal(18,2)")).orderBy($"o_orderkey")
+    val df2 = orders.withColumn("rn", row_number().over(w2)).filter($"rn" <= 2)
+      .select($"o_custkey", $"o_orderkey")
+    assert(topkExecs(df2).nonEmpty, "non-float key should still lower")
+  }
 }
