@@ -209,6 +209,11 @@ object CleaningQueries {
     // per-row index sequence, then codegen'd slice/join/md5 — no shuffle;
     // chunk text hashes to md5 so the output stays slim (the chunk body
     // would be re-derived by the indexer from (doc_id, offsets)).
+    // Window COUNT is the stride formula ceil(max(len-128,0)/96)+1, not
+    // ceil(len/96): the latter emits a trailing window fully contained
+    // in its predecessor whenever len mod 96 lands in 1..32 — duplicate,
+    // zero-information index entries (both engines agreed, so only a
+    // semantic review caught it).
     "q79_chunk_windows" -> QueryDef.of(
       """WITH t AS (
         |  SELECT doc_id,
@@ -216,7 +221,8 @@ object CleaningQueries {
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, toks,
-        |    unnest(range(0, CAST(ceil(len(toks) / 96.0) AS INT))) AS chunk_idx
+        |    unnest(range(0, CASE WHEN len(toks) = 0 THEN 0
+        |      ELSE CAST(ceil(greatest(len(toks) - 128, 0) / 96.0) AS INT) + 1 END)) AS chunk_idx
         |  FROM t
         |)
         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
@@ -228,8 +234,11 @@ object CleaningQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), F.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0),
-            ceil(size(col("toks")) / 96.0).cast("int") - 1)).as("chunk_idx"))
+          // empty doc -> empty sequence, NOT sequence(0,-1): Spark's
+          // sequence steps DOWNWARD when start > stop
+          explode(when(size(col("toks")) === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(0),
+              ceil(greatest(size(col("toks")) - 128, lit(0)) / 96.0).cast("int")))).as("chunk_idx"))
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           least(lit(128), size(col("toks")) - col("chunk_idx") * 96).cast("long").as("chunk_tokens"),
           md5(array_join(slice(col("toks"), col("chunk_idx") * 96 + 1, lit(128)), " ")).as("chunk_md5"))
@@ -326,7 +335,9 @@ object CleaningQueries {
     // unescape the core entities, normalize whitespace; report the
     // boilerplate share (1 − extracted/raw, the signal crawl-quality
     // filters threshold on). The synthetic page wraps each document in a
-    // deterministic chrome so every rule demonstrably fires. Whole chain
+    // deterministic chrome, and a BODY paragraph carries every entity
+    // (chrome entities are stripped before unescaping ever sees them) so
+    // each unescape rule demonstrably fires in the surviving text. Whole chain
     // is per-row codegen'd regexp work in the RE2∩Java dialect ((?s) +
     // non-greedy, no lookarounds) — zero shuffles at any scale, and the
     // oracle replays it exactly.
@@ -338,6 +349,7 @@ object CleaningQueries {
         |      || '<nav>Home &amp; Index &gt; Doc ' || CAST(doc_id AS VARCHAR) || '</nav>'
         |      || '<script>track(' || CAST(doc_id AS VARCHAR) || ');</script>'
         |      || '<p>' || replace(text, '. ', '.</p> <p>') || '</p>'
+        |      || '<p>refs &amp; notes &lt;tag&gt; &copy; set &amp;lt;esc</p>'
         |      || '<footer>&copy; corpus ' || CAST(doc_id % 100 AS VARCHAR) || '</footer>'
         |      || '</body></html>' AS html
         |  FROM documents
@@ -368,6 +380,11 @@ object CleaningQueries {
         lit("<nav>Home &amp; Index &gt; Doc "), col("doc_id").cast("string"), lit("</nav>"),
         lit("<script>track("), col("doc_id").cast("string"), lit(");</script>"),
         lit("<p>"), regexp_replace(col("text"), "\\. ", ".</p> <p>"), lit("</p>"),
+        // BODY entities (the nav/footer ones are chrome-stripped before
+        // unescaping): every rule fires in the SURVIVING text, including
+        // the nested &amp;lt; — which must extract as '&lt;', pinning
+        // the decode-&amp;-LAST ordering on live data
+        lit("<p>refs &amp; notes &lt;tag&gt; &copy; set &amp;lt;esc</p>"),
         lit("<footer>&copy; corpus "), (col("doc_id") % 100).cast("string"), lit("</footer>"),
         lit("</body></html>"))
       val stripped = regexp_replace(regexp_replace(regexp_replace(regexp_replace(

@@ -517,13 +517,17 @@ object ToolsQueries {
     // -valid-domain / drop rules composed with transform_urls' '#'-suffix
     // title split (default title preserved from the reference). Raw
     // newline-separated url strings derive from customer columns with one
-    // valid-https, one bare-domain, one titled, and one junk entry.
+    // valid-https, one bare-domain, one titled BARE-DOMAIN (it must
+    // survive the domain gate or the title-split branch is dead in the
+    // output — a path component would fail DomainRe), and one junk
+    // entry. The oracle shares DomainRe via placeholder substitution so
+    // the two engines' regexes cannot drift.
     "q51_urls" -> QueryDef.of(
       """WITH src AS (
         |  SELECT c_custkey AS custkey,
         |    'https://ex.com/c/' || CAST(c_custkey AS VARCHAR)
         |      || chr(10) || 'www.site-' || CAST(c_custkey % 50 AS VARCHAR) || '.org'
-        |      || chr(10) || 'ex.org/page#Contact ' || CAST(c_custkey % 9 AS VARCHAR)
+        |      || chr(10) || 'ex.org#Contact ' || CAST(c_custkey % 9 AS VARCHAR)
         |      || chr(10) || CASE WHEN c_custkey % 2 = 0 THEN 'not a url' ELSE 'bad-.domain' END AS raw
         |  FROM customer
         |), entries AS (
@@ -537,7 +541,7 @@ object ToolsQueries {
         |  SELECT custkey,
         |    list_filter(list_transform(us, u -> {
         |      'href': CASE WHEN starts_with(u.href, 'http') THEN u.href
-        |                   WHEN regexp_matches(u.href, '(?i)^[a-z0-9][a-z0-9\-\.]{0,61}[a-z0-9]\.[a-z]{2,}$') THEN 'http://' || u.href
+        |                   WHEN regexp_matches(u.href, '__DOMAIN_RE__') THEN 'http://' || u.href
         |                   ELSE NULL END,
         |      'title': u.title}), u -> u.href IS NOT NULL) AS us
         |  FROM entries
@@ -545,11 +549,11 @@ object ToolsQueries {
         |SELECT custkey,
         |  array_to_string(list_transform(us, u -> u.href || '^' || u.title), '|') AS urls
         |FROM fixed
-        |""".stripMargin) { (s, dir) =>
+        |""".stripMargin.replace("__DOMAIN_RE__", DomainRe)) { (s, dir) =>
       val raw = concat(
         lit("https://ex.com/c/"), col("c_custkey").cast("string"),
         lit("\nwww.site-"), (col("c_custkey") % 50).cast("string"), lit(".org"),
-        lit("\nex.org/page#Contact "), (col("c_custkey") % 9).cast("string"),
+        lit("\nex.org#Contact "), (col("c_custkey") % 9).cast("string"),
         lit("\n"),
         when(col("c_custkey") % 2 === 0, "not a url").otherwise("bad-.domain"))
       val entries = transform(split(raw, "\n"), s => struct(
