@@ -170,6 +170,12 @@ object GraftExtensions {
         s"$fn: $name must be numeric, got $other")
     }
   }
-  private[graft] def constInt(e: Expression, fn: String, name: String): Int =
-    constLong(e, fn, name).toInt
+  private[graft] def constInt(e: Expression, fn: String, name: String): Int = {
+    val v = constLong(e, fn, name)
+    // .toInt would silently wrap a too-large literal into a nonsense
+    // (possibly negative) value — report it like the non-numeric case.
+    if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+      s"$fn: $name must fit in a 32-bit int, got $v")
+    v.toInt
+  }
 }

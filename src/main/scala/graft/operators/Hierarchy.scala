@@ -53,6 +53,14 @@ object Hierarchy {
       frontier = next
       d += 1
     }
+    // Fail-loud parity with connectedComponents' round-cap guard: a
+    // frontier still alive at maxDepth means nodes BELOW the cap would be
+    // silently dropped while the recursive-CTE oracle walks them — throw
+    // rather than return a truncated flatten.
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"Hierarchy.breadcrumbs: tree deeper than maxDepth=$maxDepth " +
+          "(frontier non-empty after the last round); raise maxDepth or check for a parent cycle")
     out
   }
 }

@@ -250,6 +250,10 @@ object ConnectorQueries {
       val langCase = Languages.zipWithIndex
         .map { case (l, i) => s"WHEN '${i + 1}' THEN '$l'" }
         .mkString("CASE x ", " ", " ELSE 'other' END")
+      // Appearance-order first-occurrence dedup (list_distinct does not
+      // preserve order in DuckDB) — mirrors the Spark side exactly.
+      val sitList = "list_transform(list_filter(string_split(b.lang, ';'), x -> x <> '8'), " +
+        s"x -> 'human_situations:language:' || ($langCase) || '_speaking')"
       s"""WITH orgs AS (
          |  SELECT c_custkey AS k, c_name, c_acctbal,
          |    CASE c_custkey % 4 WHEN 0 THEN 'עמותה' WHEN 1 THEN 'חברה פרטית' WHEN 2 THEN 'חל"צ' ELSE 'רשות מקומית' END AS kind,
@@ -267,9 +271,8 @@ object ConnectorQueries {
          |  SELECT 'guidestar:' || b.bid AS id, g.k AS org_id,
          |    COALESCE(b.nickname, COALESCE(g.short_name, g.c_name) || ' - ' || b.city) AS name,
          |    b.city AS address, b.phone,
-         |    CASE WHEN b.lang IS NOT NULL THEN COALESCE(array_to_string(list_sort(list_distinct(list_transform(
-         |      list_filter(string_split(b.lang, ';'), x -> x <> '8'),
-         |      x -> 'human_situations:language:' || ($langCase) || '_speaking'))), '|'), '') END AS situations,
+         |    CASE WHEN b.lang IS NOT NULL THEN COALESCE(array_to_string(
+         |      list_filter($sitList, (x, i) -> list_position($sitList, x) = i), '|'), '') END AS situations,
          |    CAST(NULL AS VARCHAR) AS description, 'branch' AS row_kind,
          |    0 AS fam, b.bord AS bord
          |  FROM br b JOIN orgs g ON b.k = g.k),
@@ -321,10 +324,17 @@ object ConnectorQueries {
         concat(lit("03-"), lpad((o % 10000).cast("string"), 4, "0")).as("phone"),
         when(o % 5 === 0, lit("1;2")).when(o % 5 === 1, lit("3"))
           .when(o % 5 === 2, lit("8")).when(o % 5 === 3, lit("9;1")).as("lang"))
+      // unwind_branches emits the language list in ';'-split APPEARANCE
+      // order (update_branch.py keeps the split order verbatim) — so
+      // first-occurrence positional dedup (the q142 order contract), NOT
+      // sorted-distinct, which would flip e.g. '9;1' from
+      // [other, hebrew] to [hebrew, other].
+      val sitArr = transform(
+        filter(split(col("lang"), ";"), x => x =!= "8"),
+        x => concat(lit("human_situations:language:"), langName(x), lit("_speaking")))
       val situations = when(col("lang").isNotNull,
-        array_join(sort_array(array_distinct(transform(
-          filter(split(col("lang"), ";"), x => x =!= "8"),
-          x => concat(lit("human_situations:language:"), langName(x), lit("_speaking"))))), "|"))
+        array_join(filter(sitArr,
+          (x, i) => array_position(sitArr, x) === (i + 1).cast("long")), "|"))
       val nullS = lit(null).cast("string")
       val branchRows = br.join(orgs, "k").select(
         concat(lit("guidestar:"), col("bid")).as("id"), col("k").as("org_id"),

@@ -463,15 +463,32 @@ object EventStreams {
               .sortBy(e => (toMicros(e.ts), e.event_id))
             var sessions = state.getOption.getOrElse(Nil)
             var closed = List.empty[SessionSummary]
+            // A late (within-watermark) event more than one gap BEFORE the
+            // open session's span must NOT merge into it — exact gap
+            // semantics give it its own earlier session. Set such events
+            // aside (head = latest early), chain-merging earlies within a
+            // gap of each other, and reconcile after the loop: an in-range
+            // event may extend the open start down far enough to absorb
+            // them. Residual approximation (can only fire when watermark >
+            // gap): earlies split across DIFFERENT micro-batches that exact
+            // semantics would merge emit as separate sessions.
+            var earlies = List.empty[OpenSession]
             for (e <- sorted) {
               val t = toMicros(e.ts)
               sessions match {
+                case open :: _ if t < open.start - gapUs =>
+                  earlies = earlies match {
+                    case h :: tl if t - h.end <= gapUs =>
+                      h.copy(n = h.n + 1, start = math.min(h.start, t),
+                        end = math.max(h.end, t)) :: tl
+                    case _ => OpenSession(0, 1, t, t) :: earlies
+                  }
                 case open :: rest if t - open.end <= gapUs =>
-                  // a LATE (within-watermark) event can merge with t below
-                  // the open end — extend monotonically, never move the
-                  // boundaries backward (end < its own last event, or
-                  // end < start, would also split the session spuriously
-                  // on the next batch)
+                  // a LATE (within-watermark) event within one gap of the
+                  // span can merge with t below the open end — extend
+                  // monotonically, never move the boundaries backward
+                  // (end < its own last event, or end < start, would also
+                  // split the session spuriously on the next batch)
                   sessions = open.copy(n = open.n + 1,
                     start = math.min(open.start, t),
                     end = math.max(open.end, t)) :: rest
@@ -482,6 +499,29 @@ object EventStreams {
                 case Nil =>
                   sessions = OpenSession(0, 1, t, t) :: Nil
               }
+            }
+            // Reconcile the set-aside earlies: the open start can only have
+            // moved DOWN since they were deferred, so chain-merge any now
+            // within one gap of it; the rest close as separate sessions
+            // taking indices just below the open's (keeps indices unique
+            // and chronological among the not-yet-emitted sessions).
+            sessions = sessions match {
+              case open0 :: rest if earlies.nonEmpty =>
+                var open = open0
+                while (earlies.nonEmpty && earlies.head.end >= open.start - gapUs) {
+                  val h = earlies.head
+                  open = open.copy(n = open.n + h.n,
+                    start = math.min(open.start, h.start),
+                    end = math.max(open.end, h.end))
+                  earlies = earlies.tail
+                }
+                val sep = earlies.reverse // earliest-first
+                sep.zipWithIndex.foreach { case (s2, i) =>
+                  closed ::= SessionSummary(userId, open.idx + i, s2.n,
+                    fromMicros(s2.start), fromMicros(s2.end))
+                }
+                open.copy(idx = open.idx + sep.size) :: rest
+              case other => other // no open head ⇒ nothing was ever early
             }
             state.update(sessions)
             if (emitOpen) {

@@ -133,6 +133,21 @@ class ConnectorSpec extends SpecBase {
       s"got $out")
   }
 
+  test("Hierarchy.breadcrumbs throws on a tree deeper than maxDepth instead of truncating") {
+    import spark.implicits._
+    // root(1) -> 2 -> 3 -> 4 is 3 levels below root; maxDepth=2 leaves
+    // node 4 in the frontier — silent truncation would drop it while the
+    // recursive-CTE oracle walks it, so the guard must fire.
+    val nodes = Seq(
+      (1L, None: Option[Long], "root"), (2L, Some(1L), "a"),
+      (3L, Some(2L), "b"), (4L, Some(3L), "c"))
+      .toDF("nid", "parent", "nname")
+    val ex = intercept[IllegalStateException] {
+      graft.operators.Hierarchy.breadcrumbs(nodes, maxDepth = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxDepth=2"))
+  }
+
   test("q142 merges tag lists first-occurrence-ordered, not sorted") {
     val out = SparkEntry.queries("q142_meser_combine")(spark, SfDir).cache()
     try {

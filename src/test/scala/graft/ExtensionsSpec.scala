@@ -63,6 +63,13 @@ class ExtensionsSpec extends AnyFunSuite {
       // reachable via the SQL registry on containsNull arrays)
       assert(spark.sql("SELECT quantize_int8_csv(array(1.0F, NULL, -0.5F)) AS q")
         .head().getString(0) == "127,0,-64")
+      // a literal arg above Int.MaxValue reports cleanly instead of
+      // wrapping to a nonsense (negative) k via .toInt
+      val overflow = intercept[Exception] {
+        spark.sql("SELECT minhash_sketch(h, 5000000000) AS mh FROM (SELECT xxhash64('a') AS h)").head()
+      }
+      assert(overflow.getMessage.contains("fit in a 32-bit int"),
+        s"got: ${overflow.getMessage}")
     } finally {
       // Don't stop(): the SparkContext is JVM-global and shared with the
       // other suites' session; just restore the session handles.

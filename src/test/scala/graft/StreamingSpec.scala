@@ -274,6 +274,68 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("sessionizeWithState splits a late event more than one gap before the open span") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // watermark 3h > gap 30m: late events up to 3h old still reach the
+    // state function — exactly the regime where the early-split matters
+    val watermarked = stream.toDF()
+      .withWatermark("ts", "3 hours")
+      .as[Event]
+    val out = EventStreams.sessionizeWithState(spark, watermarked, emitOpen = false)
+    val query = out.writeStream.format("memory").queryName("early_split_test")
+      .outputMode("append").start()
+    try {
+      // user 7: open a session at 10:00 ...
+      stream.addData(Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 1.0))
+      query.processAllAvailable()
+      // ... then a late event at 08:00 (2h before — far outside the gap).
+      // It must become its own already-closed session (idx 0), NOT pull
+      // the open session's start back to 08:00.
+      stream.addData(Event(2L, Timestamp.valueOf("2024-01-01 08:00:00"), 7L, "view", 1.0))
+      query.processAllAvailable()
+      // 12:00 closes the 10:00 session (gap exceeded) and opens idx 2
+      stream.addData(Event(3L, Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "view", 1.0))
+      query.processAllAvailable()
+
+      // user 8: open at 10:00; then one batch carries 09:10 (early: more
+      // than a gap before 10:00) and 09:35 (in-gap: merges, pulling start
+      // to 09:35). 09:10→09:35 is a 25m step ≤ gap, so exact semantics
+      // chain all three into ONE session — the reconcile pass must
+      // re-absorb the deferred early.
+      stream.addData(Event(4L, Timestamp.valueOf("2024-01-01 10:00:00"), 8L, "view", 1.0))
+      query.processAllAvailable()
+      stream.addData(
+        Event(5L, Timestamp.valueOf("2024-01-01 09:10:00"), 8L, "view", 1.0),
+        Event(6L, Timestamp.valueOf("2024-01-01 09:35:00"), 8L, "view", 1.0))
+      query.processAllAvailable()
+      stream.addData(Event(7L, Timestamp.valueOf("2024-01-01 12:00:00"), 8L, "view", 1.0))
+      query.processAllAvailable()
+
+      // watermark-advancing traffic on another user flushes the opens
+      stream.addData(Event(8L, Timestamp.valueOf("2024-06-01 00:00:00"), 999L, "view", 1.0))
+      query.processAllAvailable()
+      stream.addData(Event(9L, Timestamp.valueOf("2024-12-01 00:00:00"), 999L, "view", 1.0))
+      query.processAllAvailable()
+
+      def sessionsOf(uid: Long) = spark.table("early_split_test")
+        .filter($"user_id" === uid)
+        .collect()
+        .map(r => (r.getAs[Long]("session_idx"), r.getAs[Long]("n_events"),
+          r.getAs[Timestamp]("start_ts")))
+        .toSet
+      assert(sessionsOf(7L) == Set(
+        (0L, 1L, Timestamp.valueOf("2024-01-01 08:00:00")),
+        (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"))),
+        s"user 7 must split the far-late event, got ${sessionsOf(7L)}")
+      assert(sessionsOf(8L) == Set(
+        (0L, 3L, Timestamp.valueOf("2024-01-01 09:10:00")),
+        (1L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"))),
+        s"user 8 must re-absorb the chained early, got ${sessionsOf(8L)}")
+    } finally query.stop()
+  }
+
   test("session_window streaming sessions match batch q21 session boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
