@@ -1,19 +1,61 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.GraftListenerBusAccess
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the given scale factor
   * and prints ONE JSON line. A first untimed pass absorbs JVM/codegen/
   * catalog warmup so the timed pass measures steady-state throughput (the
   * number that scales to cluster runs).
+  *
+  * Besides wall seconds (load-SENSITIVE on a shared box — see the
+  * sandbox-drift protocol in BASELINE.md) each query also records the
+  * load-INVARIANT execution profile from Spark's task metrics:
+  * shuffle-read/-write bytes, summed executor task time, and the max
+  * per-task peak execution memory. Bytes are a property of the plan, not
+  * of ambient load — cross-round regression checks should look at them
+  * first and only then at seconds.
   */
 object Bench {
+
+  /** Accumulates task metrics across all stages; Bench snapshots deltas
+    * around each query (one query runs at a time, so deltas attribute
+    * cleanly once the listener bus is drained). */
+  private final class MetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val taskTimeMs = new AtomicLong
+    val peakMem = new AtomicLong // max across tasks, not a sum
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        taskTimeMs.addAndGet(m.executorRunTime)
+        peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    def snapshot(): (Long, Long, Long, Long) =
+      (shuffleRead.get(), shuffleWrite.get(), taskTimeMs.get(), peakMem.get())
+    def resetPeak(): Unit = peakMem.set(0L)
+  }
+
+  private case class QueryProfile(sec: Double, shuffleReadBytes: Long,
+                                  shuffleWriteBytes: Long, taskTimeMs: Long, peakMemBytes: Long)
+
+  private def round3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
     val spark: SparkSession = GraftSession.builder(Some(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
 
     // Optional comma-separated filter for local bisection; prefixes work:
     // SPARK_GRAFT_ONLY=q23,q25_ngram_jaccard
@@ -35,8 +77,10 @@ object Bench {
     // Steady-state seconds: best of two timed runs (local runs share the
     // box with other work; min is the honest throughput estimate). A
     // failing query records -1, never a fake near-zero "fast" time.
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // The metric deltas come from the FIRST timed run — bytes and task
+    // structure are plan properties, identical across repeats.
+    val results: Seq[(String, QueryProfile)] = queries.map { case (name, fn) =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         try { run(fn); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -44,20 +88,39 @@ object Bench {
           -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      GraftListenerBusAccess.drain(spark.sparkContext)
+      listener.resetPeak()
+      val before = listener.snapshot()
+      val t1 = timed()
+      GraftListenerBusAccess.drain(spark.sparkContext)
+      val afterFirst = listener.snapshot()
+      val t2 = timed()
+      val sec = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
+      name -> QueryProfile(sec,
+        afterFirst._1 - before._1, afterFirst._2 - before._2,
+        afterFirst._3 - before._3, afterFirst._4)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val secOf = results.map { case (k, p) => "\"" + k + "\":" + round3(p.sec) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout does not reliably survive sbt's output forwarding (the driver
-    // saw "parsed": null two rounds running), so the file is the contract
-    // and the stdout line is for humans.
+    val profileOf = results.map { case (k, p) =>
+      "\"" + k + "\":{\"sec\":" + round3(p.sec) +
+        ",\"shufR\":" + p.shuffleReadBytes + ",\"shufW\":" + p.shuffleWriteBytes +
+        ",\"taskMs\":" + p.taskTimeMs + ",\"peakMem\":" + p.peakMemBytes + "}"
+    }.mkString("{", ",", "}")
+    val total = round3(results.map(_._2.sec).sum)
+    // stdout keeps the driver's compact contract (seconds only, 3 dp so
+    // more of the 145-entry map survives the 2000-char tail capture); the
+    // FILE carries the full per-query profile and is the real artifact.
+    val stdoutJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$secOf,"sf":"$sfDir"}"""
+    val fileJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$secOf,"profile":$profileOf,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    println(json)
+    java.nio.file.Files.write(out, (fileJson + "\n").getBytes("UTF-8"))
+    println(stdoutJson)
     System.err.println(s"[bench] json written to ${out.toAbsolutePath}")
     spark.stop()
   }

@@ -956,6 +956,156 @@ object ConnectorQueries {
             when(u.startsWith("http"), concat(u, lit(urlTag)))
               .when(u.rlike(goodDomain), concat(lit("http://"), u, lit(urlTag)))),
             u => u.isNotNull), "\n")).as("urls"))
+    },
+
+    // q146: the DAY_CARE branch staging flow (operators/day_care/
+    // update_branch.py) — the one connector transform the suite had not
+    // yet mapped:
+    //  - :28 transform_dataframe_to_branch: field renames, content id
+    //    'mol_daycare-' + hash(symbol + regno) (srm_tools hasher shape,
+    //    8-hex prefix — md5 here, as q143/q144: DuckDB lacks sha1),
+    //    make_address joins [city, street, house] keeping only TRUTHY
+    //    fields — a house number of 0 is falsy in Python and drops, the
+    //    quirk kept; description is f"{manager or ''} \n {symbol or ''}"
+    //    (spaces around the newline; symbol 0 is falsy → '', kept);
+    //    service matcher from the type description (משפחתון/צהרון/else).
+    //  - :48 load_foreign_keys via get_foreign_key_by_field
+    //    (meser/utilities/get_foreign_key_by_field.py:96): map the org
+    //    regno through the organization table's record map ([rec] when
+    //    present, [] when absent — modeled as a BROADCAST left join, the
+    //    driver-dict → join re-expression), then :45 merge_foreign_key
+    //    unions pre-existing links; `list(set.union(...))` order is
+    //    nondeterministic BY CONSTRUCTION in Python — pinned sorted here.
+    //    The service map is 3 static config rows → a CASE, with
+    //    'mol_daycare-2' absent to exercise the empty-map arm.
+    //  - update_branch then runs clean_fields (astype(str) — which turns
+    //    the link LISTS into python-repr strings "['recA', 'recB']") and
+    //    :9 ensure_list_fields parses them BACK (strip brackets, split
+    //    ',', strip spaces+quotes, drop empties). The engine replays the
+    //    full round trip: organization_raw is the python-repr stage
+    //    (pinning str() formatting) and organization/services the
+    //    re-parsed '|'-joins — the oracle computes the join DIRECTLY
+    //    from the list, so the hash gate genuinely checks the parser.
+    //  - utilities/update.py:20 prepare_airtable_dataframe: project the
+    //    prepared fields and dedup by id keep-LAST — pandas keeps input
+    //    order, pinned here to the source row order (max o_orderkey
+    //    wins); filter_valid_rows is a no-op ('source' is a non-empty
+    //    constant on every row). (Missing address parts are modeled as
+    //    absent/None → dropped; a pandas-NaN would be TRUTHY and inject
+    //    the string 'nan' — a loader artifact, not a semantic, not
+    //    modeled.)
+    // Plan: map-only + one ≤700-row broadcast dim + the single keep-last
+    // exchange through the TopKPerKey node (bounded heaps, no map-side
+    // sort of the string-wide rows — the q139/q144 measured argument).
+    "q146_daycare_branch_staging" -> QueryDef.of(
+      """WITH src AS (
+        |  SELECT o_orderkey AS ord, o_orderkey % 3000 AS sym,
+        |    '5' || lpad(CAST(o_custkey % 700 AS VARCHAR), 8, '0') AS regno,
+        |    'City ' || CAST(o_orderkey % 40 AS VARCHAR) AS city,
+        |    CASE WHEN o_orderkey % 7 <> 0 THEN 'St ' || CAST(o_orderkey % 25 AS VARCHAR) END AS street,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_orderkey % 120 END AS house,
+        |    CASE WHEN o_orderkey % 4 <> 0 THEN 'Mgr ' || CAST(o_orderkey % 50 AS VARCHAR) END AS manager,
+        |    '02-' || lpad(CAST(o_orderkey % 10000 AS VARCHAR), 7, '0') AS phone_numbers,
+        |    CASE o_orderkey % 3 WHEN 0 THEN 'משפחתון' WHEN 1 THEN 'צהרון' ELSE 'מעון יום' END AS tdesc
+        |  FROM orders),
+        |orgmap AS (
+        |  SELECT DISTINCT
+        |    '5' || lpad(CAST(c_custkey % 700 AS VARCHAR), 8, '0') AS regno,
+        |    'recO' || substr(md5('5' || lpad(CAST(c_custkey % 700 AS VARCHAR), 8, '0')), 1, 6) AS rec
+        |  FROM customer WHERE (c_custkey % 700) % 3 <> 0),
+        |t AS (
+        |  SELECT s.*,
+        |    'mol_daycare-' || substr(md5(CAST(s.sym AS VARCHAR) || s.regno), 1, 8) AS id,
+        |    'מעון ' || CAST(s.sym AS VARCHAR) AS name,
+        |    concat_ws(' ', s.city, s.street,
+        |      CASE WHEN s.house IS NOT NULL AND s.house <> 0 THEN CAST(s.house AS VARCHAR) END) AS address,
+        |    COALESCE(s.manager, '') || ' ' || chr(10) || ' ' ||
+        |      CASE WHEN s.sym <> 0 THEN CAST(s.sym AS VARCHAR) ELSE '' END AS description,
+        |    CASE s.tdesc WHEN 'משפחתון' THEN 'mol_daycare-1' WHEN 'צהרון' THEN 'mol_daycare-2'
+        |         ELSE 'mol_daycare-0' END AS matcher,
+        |    m.rec AS orgrec
+        |  FROM src s LEFT JOIN orgmap m ON s.regno = m.regno),
+        |fk AS (
+        |  SELECT *,
+        |    list_sort(list_filter([orgrec,
+        |      CASE WHEN sym % 5 = 0 THEN 'recOLD' || CAST(sym % 97 AS VARCHAR) END],
+        |      x -> x IS NOT NULL)) AS org_l,
+        |    list_sort(list_filter([
+        |      CASE matcher WHEN 'mol_daycare-0' THEN 'recS0' WHEN 'mol_daycare-1' THEN 'recS1' END,
+        |      CASE WHEN sym % 7 = 0 THEN 'recSOLD' || CAST(sym % 13 AS VARCHAR) END],
+        |      x -> x IS NOT NULL)) AS svc_l
+        |  FROM t),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ord DESC) AS rn FROM fk)
+        |SELECT id, name, 'mol_daycare' AS source, address AS location, address, phone_numbers,
+        |  description, 'ACTIVE' AS status,
+        |  CASE WHEN len(org_l) = 0 THEN '[]'
+        |       ELSE '[' || array_to_string(list_transform(org_l, x -> chr(39) || x || chr(39)), ', ') || ']'
+        |  END AS organization_raw,
+        |  COALESCE(array_to_string(org_l, '|'), '') AS organization,
+        |  COALESCE(array_to_string(svc_l, '|'), '') AS services
+        |FROM ranked WHERE rn = 1
+        |""".stripMargin) { (s, dir) =>
+      val o = col("o_orderkey")
+      val src = Tables.orders(s, dir).select(
+        o.as("ord"), (o % 3000).as("sym"),
+        concat(lit("5"), lpad((col("o_custkey") % 700).cast("string"), 8, "0")).as("regno"),
+        concat(lit("City "), (o % 40).cast("string")).as("city"),
+        when(o % 7 =!= 0, concat(lit("St "), (o % 25).cast("string"))).as("street"),
+        when(o % 3 =!= 0, o % 120).as("house"),
+        when(o % 4 =!= 0, concat(lit("Mgr "), (o % 50).cast("string"))).as("manager"),
+        concat(lit("02-"), lpad((o % 10000).cast("string"), 7, "0")).as("phone_numbers"),
+        when(o % 3 === 0, lit("משפחתון")).when(o % 3 === 1, lit("צהרון"))
+          .otherwise(lit("מעון יום")).as("tdesc"))
+      val ck = col("c_custkey") % 700
+      val orgMap = Tables.customer(s, dir).filter(ck % 3 =!= 0)
+        .select(concat(lit("5"), lpad(ck.cast("string"), 8, "0")).as("regno")).distinct()
+        .withColumn("rec", concat(lit("recO"), substring(md5(col("regno")), 1, 6)))
+      val t = src.join(broadcast(orgMap), Seq("regno"), "left")
+      val symS = col("sym").cast("string")
+      val matcher = when(col("tdesc") === "משפחתון", lit("mol_daycare-1"))
+        .when(col("tdesc") === "צהרון", lit("mol_daycare-2"))
+        .otherwise(lit("mol_daycare-0"))
+      val orgL = sort_array(filter(array(col("rec"),
+        when(col("sym") % 5 === 0, concat(lit("recOLD"), (col("sym") % 97).cast("string")))),
+        x => x.isNotNull))
+      val svcL = sort_array(filter(array(
+        when(matcher === "mol_daycare-0", lit("recS0"))
+          .when(matcher === "mol_daycare-1", lit("recS1")),
+        when(col("sym") % 7 === 0, concat(lit("recSOLD"), (col("sym") % 13).cast("string")))),
+        x => x.isNotNull))
+      // clean_fields' astype(str): a python list prints "['a', 'b']"
+      def pyStr(l: Column): Column = when(size(l) === 0, lit("[]"))
+        .otherwise(concat(lit("["),
+          array_join(transform(l, x => concat(lit("'"), x, lit("'"))), ", "), lit("]")))
+      // ensure_list_fields' str_to_list: '' / '[]' → []; else strip the
+      // brackets, split ',', keep non-blank items, strip spaces then
+      // quote runs from both ends
+      def strToList(sc: Column): Column =
+        when(sc.isNull || sc === "" || sc === "[]", array().cast("array<string>"))
+          .otherwise(transform(
+            filter(split(regexp_replace(sc, "^\\[|\\]$", ""), ","), x => trim(x) =!= ""),
+            x => regexp_replace(trim(x), "^['\"]*|['\"]*$", "")))
+      val staged = t.select(
+        col("ord"),
+        concat(lit("mol_daycare-"), substring(md5(concat(symS, col("regno"))), 1, 8)).as("id"),
+        concat(lit("מעון "), symS).as("name"),
+        lit("mol_daycare").as("source"),
+        concat_ws(" ", col("city"), col("street"),
+          when(col("house").isNotNull && col("house") =!= 0, col("house").cast("string"))).as("address"),
+        col("phone_numbers"),
+        concat(coalesce(col("manager"), lit("")), lit(" \n "),
+          when(col("sym") =!= 0, symS).otherwise(lit(""))).as("description"),
+        lit("ACTIVE").as("status"),
+        pyStr(orgL).as("organization_raw"),
+        pyStr(svcL).as("services_raw"))
+      val parsed = staged
+        .withColumn("organization", array_join(strToList(col("organization_raw")), "|"))
+        .withColumn("services", array_join(strToList(col("services_raw")), "|"))
+      graft.operators.TopK.topKPerKey(parsed, Seq(col("id")), Seq(col("ord").desc), 1)
+        .select(col("id"), col("name"), col("source"), col("address").as("location"),
+          col("address"), col("phone_numbers"), col("description"), col("status"),
+          col("organization_raw"), col("organization"), col("services"))
     }
   )
 

@@ -133,6 +133,38 @@ class ConnectorSpec extends SpecBase {
       s"got $out")
   }
 
+  test("q146 stays broadcast + TopKPerKey: one exchange, no sort-merge join") {
+    val p = planOf("q146_daycare_branch_staging")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"org-map lookup must broadcast:\n${p.take(800)}")
+    assert(p.contains("TopKPerKey"), "keep-last dedup must route through the plan node")
+    // 2 = the keep-last exchange + the org-dim build's distinct INSIDE
+    // its broadcast subtree (≤700 rows — same allowance as q140's dims);
+    // the probe-side row stream itself shuffles exactly once.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"only the keep-last + dim-build exchanges may shuffle:\n${p.take(800)}")
+  }
+
+  test("q146 round-trips the python-repr link lists through str_to_list") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q146_daycare_branch_staging")(spark, SfDir)
+      .select(col("organization_raw"), col("organization")).cache()
+    try {
+      // '[]' must parse to the empty join; every parsed value must be the
+      // raw repr minus brackets/quotes with ', ' → '|'
+      val rows = out.as[(String, String)].collect()
+      assert(rows.exists(_._1 == "[]") && rows.exists(_._1 != "[]"),
+        "fixture must exercise both the empty and non-empty repr arms")
+      rows.foreach { case (raw, joined) =>
+        val expect =
+          if (raw == "[]") ""
+          else raw.stripPrefix("[").stripSuffix("]").split(",")
+            .map(_.trim.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty).mkString("|")
+        assert(joined == expect, s"raw=$raw joined=$joined expect=$expect")
+      }
+    } finally out.unpersist()
+  }
+
   test("Hierarchy.breadcrumbs throws on a tree deeper than maxDepth instead of truncating") {
     import spark.implicits._
     // root(1) -> 2 -> 3 -> 4 is 3 levels below root; maxDepth=2 leaves
