@@ -36,6 +36,23 @@ object ConnectorQueries {
   // replace_language_number_with_actual_value (entities/__init__.py:149):
   // 1-based index into this list; out of range / non-numeric -> "other".
   private val Languages = Seq("hebrew", "arabic", "russian", "french", "english", "amharic", "spanish")
+  // tipat ORGS static config (operators/tipat/__init__.py:23): ownership
+  // name → org id, a literal dict in the reference — kept literal here
+  // (8 entries is config, not a dimension).
+  private val TipatOrgs = Seq(
+    "הסהר האדום" -> "580205615",
+    "משרד הבריאות" -> "500100904",
+    "שירותי בריאות כללית" -> "srm0012",
+    "מכבי שירותי בריאות" -> "srm0011",
+    "קופת חולים מאוחדת" -> "srm0013",
+    "קופת חולים לאומית" -> "srm0010",
+    "עיריית ירושלים" -> "500230008",
+    "עיריית תל אביב יפו" -> "500250006")
+  private val TipatItemUrl =
+    "https://tipatchalavappointments.health.gov.il/patient-details?codeStation="
+  private val TipatNatName = "טיפת חלב - מוקד טלפוני"
+  private val SoprocUrl = "https://www.socialpro.org.il/i/activities/gov_social_service/"
+  private val SoprocTag = "דף השירות ב״מפתח לרכש החברתי״"
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -1106,6 +1123,186 @@ object ConnectorQueries {
         .select(col("id"), col("name"), col("source"), col("address").as("location"),
           col("address"), col("phone_numbers"), col("description"), col("status"),
           col("organization_raw"), col("organization"), col("services"))
+    },
+
+    // q147: the last three connector REMNANTS, one staging pass with an
+    // arm per source (the q143 posture):
+    //  - revaha/__init__.py:268 update_urls_from_db: a branch-urls
+    //    datapackage becomes a code→urls dict probed per row — a
+    //    BROADCAST left join here; a found url OVERWRITES the row's urls,
+    //    a miss keeps them (`if urls:` — coalesce). rv_* columns.
+    //  - soproc/__init__.py soprocServices: click_data extra keyed by
+    //    catalog number (None catalog → no extra — the null join key
+    //    simply misses); its data_sources string boxed to a list, the
+    //    socialpro service url appended, each 'url#text' rendered to an
+    //    <a> anchor (split at the FIRST '#' — the fixture has exactly
+    //    one, so substring_index/split_part agree) and newline-joined;
+    //    organizations = entity ids of ACTIVE suppliers in order
+    //    (`suppliers or []` — a None list yields ''); office-name →
+    //    hotline phone (רווחה 118 / בריאות *5400 / else none). The
+    //    error-path (verifyDataExistance's >10-missing raise) is
+    //    operational alerting, not a row transform — not modeled. sp_*.
+    //  - tipat/__init__.py:23 ORGS + FIELD_MAP branch synthesis: the
+    //    static ownership→org dict (:122 `[ORGS[r['ownerShip']]]`),
+    //    local-vs-national service pick, normalize_address ladder
+    //    (:96 — national → 'שירות ארצי'; street+number+city; street+
+    //    city; city; district — a buildingNum of 0 is `or ''`-falsy and
+    //    drops, the quirk kept), get_location (:112 — OLC-11 when BOTH
+    //    coords are truthy, so x=0 falls back to the address; same digit
+    //    peel as q137), per-code appointment url (national → None). tp_*.
+    // Plan: one customer scan + TWO small broadcast dims (urls ≤800,
+    // click ≤350 — driver-dict → broadcast-join re-expressions); the
+    // probe side is map-only, zero shuffles at any scale (dim builds
+    // aggregate inside their broadcast subtrees, the q140 allowance).
+    "q147_remnant_staging" -> QueryDef.of {
+      val ownerCase = TipatOrgs.zipWithIndex
+        .map { case ((n, _), i) => s"WHEN $i THEN '$n'" }
+        .mkString("CASE cid % 8 ", " ", " END")
+      val orgCase = TipatOrgs
+        .map { case (n, v) => s"WHEN '$n' THEN '$v'" }
+        .mkString("CASE owner ", " ", " END")
+      s"""WITH urld0 AS (
+         |  SELECT DISTINCT s_suppkey % 800 AS rvnum FROM supplier
+         |  WHERE (s_suppkey % 800) % 5 <> 3),
+         |urld AS (
+         |  SELECT 'revaha:' || CAST(rvnum AS VARCHAR) AS rv_id,
+         |    'http://ex/rv/' || CAST(rvnum AS VARCHAR) AS rv_db_urls FROM urld0),
+         |clickd0 AS (
+         |  SELECT DISTINCT p_partkey % 350 AS catn FROM part
+         |  WHERE (p_partkey % 350) % 4 <> 2),
+         |clickd AS (
+         |  SELECT CAST(catn AS VARCHAR) AS cat,
+         |    CASE WHEN catn % 3 <> 0 THEN 'http://ex/click/' || CAST(catn AS VARCHAR) || '#מקור רכש' END AS click_ds
+         |  FROM clickd0),
+         |b AS (
+         |  SELECT c_custkey AS cid,
+         |    'revaha:' || CAST(c_custkey % 800 AS VARCHAR) AS rv_id,
+         |    CASE WHEN c_custkey % 3 <> 0 THEN 'http://ex/old/' || CAST(c_custkey % 97 AS VARCHAR) END AS rv_old_urls,
+         |    CAST(c_custkey % 2500 AS VARCHAR) AS sid,
+         |    CASE WHEN c_custkey % 9 <> 4 THEN CAST(c_custkey % 350 AS VARCHAR) END AS cat
+         |  FROM customer),
+         |j AS (
+         |  SELECT b.*, u.rv_db_urls, c.click_ds
+         |  FROM b LEFT JOIN urld u ON b.rv_id = u.rv_id
+         |         LEFT JOIN clickd c ON b.cat = c.cat),
+         |t AS (
+         |  SELECT *,
+         |    CASE WHEN cid % 1200 = 0 THEN 'national' ELSE CAST(cid % 1200 AS VARCHAR) END AS code,
+         |    CASE WHEN cid % 10 <> 9 THEN 'עיר ' || CAST(cid % 40 AS VARCHAR) END AS city,
+         |    CASE WHEN cid % 3 <> 0 THEN 'רחוב ' || CAST(cid % 30 AS VARCHAR) END AS street,
+         |    CASE WHEN cid % 4 <> 0 THEN cid % 90 END AS bnum,
+         |    'מחוז ' || CAST(cid % 7 AS VARCHAR) AS district,
+         |    CASE WHEN cid % 6 IN (1, 2, 3) THEN 34.5e0 + (cid % 80) * 1e-2
+         |         WHEN cid % 6 = 4 THEN 0e0 END AS tx,
+         |    CASE WHEN cid % 6 IN (1, 2, 3, 4) THEN 31e0 + (cid % 100) * 1e-2 END AS ty
+         |  FROM j),
+         |t2 AS (
+         |  SELECT *,
+         |    CASE WHEN code = 'national' THEN '$NationalSvc'
+         |         WHEN city IS NOT NULL AND street IS NOT NULL AND bnum IS NOT NULL AND bnum <> 0
+         |           THEN street || ' ' || CAST(bnum AS VARCHAR) || ', ' || city
+         |         WHEN city IS NOT NULL AND street IS NOT NULL THEN street || ', ' || city
+         |         WHEN city IS NOT NULL THEN city
+         |         ELSE district END AS tp_address,
+         |    CASE WHEN code = 'national' THEN 'משרד הבריאות' ELSE ($ownerCase) END AS owner
+         |  FROM t)
+         |SELECT cid,
+         |  COALESCE(rv_db_urls, rv_old_urls) AS rv_urls,
+         |  'soproc:' || sid AS sp_id,
+         |  CASE WHEN cid % 13 <> 6 THEN 'Svc desc ' || CAST(cid % 400 AS VARCHAR) ELSE '' END AS sp_description,
+         |  COALESCE(array_to_string(list_filter([
+         |    CASE WHEN cid % 11 <> 7 AND cid % 2 = 0 THEN '5' || lpad(CAST(cid % 900 AS VARCHAR), 8, '0') END,
+         |    CASE WHEN cid % 11 <> 7 AND cid % 4 <> 1 AND cid % 3 = 0 THEN '6' || lpad(CAST(cid % 700 AS VARCHAR), 8, '0') END,
+         |    CASE WHEN cid % 11 <> 7 AND cid % 5 = 0 THEN '7' || lpad(CAST(cid % 500 AS VARCHAR), 8, '0') END],
+         |    x -> x IS NOT NULL), '|'), '') AS sp_organizations,
+         |  array_to_string(list_transform(
+         |    list_filter([click_ds, '$SoprocUrl' || sid || '#$SoprocTag'], x -> x IS NOT NULL),
+         |    ds -> '<a href="' || split_part(ds, '#', 1) || '" target="_blank">' || split_part(ds, '#', 2) || '</a>'),
+         |    chr(10)) AS sp_data_sources,
+         |  CASE WHEN cid % 5 = 0 THEN '118' WHEN cid % 5 = 1 THEN '*5400' END AS sp_phone,
+         |  'tipat-halav:' || code AS tp_id,
+         |  CASE WHEN code = 'national' THEN '$TipatNatName' ELSE 'תחנה ' || CAST(cid % 1200 AS VARCHAR) END AS tp_name,
+         |  ($orgCase) AS tp_org,
+         |  CASE WHEN code = 'national' THEN 'tipat-halav-2' ELSE 'tipat-halav-1' END AS tp_service,
+         |  tp_address,
+         |  CASE WHEN tx IS NOT NULL AND tx <> 0 AND ty IS NOT NULL AND ty <> 0
+         |       THEN ${Olc.Sql.encode11("ty", "tx")} ELSE tp_address END AS tp_location,
+         |  CASE WHEN code <> 'national' THEN '$TipatItemUrl' || code END AS tp_urls
+         |FROM t2
+         |""".stripMargin
+    } { (s, dir) =>
+      val k = col("c_custkey")
+      val rvn = col("s_suppkey") % 800
+      val urlDim = Tables.supplier(s, dir).filter(rvn % 5 =!= 3)
+        .select(rvn.as("rvnum")).distinct()
+        .select(concat(lit("revaha:"), col("rvnum").cast("string")).as("rv_id"),
+          concat(lit("http://ex/rv/"), col("rvnum").cast("string")).as("rv_db_urls"))
+      val catn = col("p_partkey") % 350
+      val clickDim = Tables.part(s, dir).filter(catn % 4 =!= 2)
+        .select(catn.as("catn")).distinct()
+        .select(col("catn").cast("string").as("cat"),
+          when(col("catn") % 3 =!= 0,
+            concat(lit("http://ex/click/"), col("catn").cast("string"), lit("#מקור רכש"))).as("click_ds"))
+      val base = Tables.customer(s, dir).select(k.as("cid"),
+        concat(lit("revaha:"), (k % 800).cast("string")).as("rv_id"),
+        when(k % 3 =!= 0, concat(lit("http://ex/old/"), (k % 97).cast("string"))).as("rv_old_urls"),
+        (k % 2500).cast("string").as("sid"),
+        when(k % 9 =!= 4, (k % 350).cast("string")).as("cat"))
+      val j = base
+        .join(broadcast(urlDim), Seq("rv_id"), "left")
+        .join(broadcast(clickDim), Seq("cat"), "left")
+      val c = col("cid")
+      def cs(m: Int) = (c % m).cast("string")
+      val code = when(c % 1200 === 0, lit("national")).otherwise(cs(1200))
+      val city = when(c % 10 =!= 9, concat(lit("עיר "), cs(40)))
+      val street = when(c % 3 =!= 0, concat(lit("רחוב "), cs(30)))
+      val bnum = when(c % 4 =!= 0, c % 90)
+      val district = concat(lit("מחוז "), cs(7))
+      val tpAddress = when(code === "national", lit(NationalSvc))
+        .when(city.isNotNull && street.isNotNull && bnum.isNotNull && bnum =!= 0,
+          concat(street, lit(" "), bnum.cast("string"), lit(", "), city))
+        .when(city.isNotNull && street.isNotNull, concat(street, lit(", "), city))
+        .when(city.isNotNull, city)
+        .otherwise(district)
+      val owner = when(code === "national", lit("משרד הבריאות")).otherwise(
+        TipatOrgs.zipWithIndex.tail.foldLeft(
+          when(c % 8 === 0, lit(TipatOrgs.head._1))) { case (acc, ((n, _), i)) =>
+          acc.when(c % 8 === i, lit(n))
+        })
+      // the ORGS dict lookup, keyed on the NAME (as the reference does)
+      val tpOrg = TipatOrgs.tail.foldLeft(
+        when(owner === TipatOrgs.head._1, lit(TipatOrgs.head._2))) { case (acc, (n, v)) =>
+        acc.when(owner === n, lit(v))
+      }
+      val tx = when((c % 6).isin(1, 2, 3), lit(34.5) + (c % 80).cast("double") * lit(0.01))
+        .when(c % 6 === 4, lit(0.0))
+      val ty = when((c % 6).isin(1, 2, 3, 4), lit(31.0) + (c % 100).cast("double") * lit(0.01))
+      def anchor(u: Column): Column = concat(
+        lit("<a href=\""), substring_index(u, "#", 1),
+        lit("\" target=\"_blank\">"), substring_index(u, "#", -1), lit("</a>"))
+      j.select(c,
+        coalesce(col("rv_db_urls"), col("rv_old_urls")).as("rv_urls"),
+        concat(lit("soproc:"), col("sid")).as("sp_id"),
+        when(c % 13 =!= 6, concat(lit("Svc desc "), cs(400))).otherwise(lit("")).as("sp_description"),
+        array_join(filter(array(
+          when(c % 11 =!= 7 && c % 2 === 0, concat(lit("5"), lpad(cs(900), 8, "0"))),
+          when(c % 11 =!= 7 && c % 4 =!= 1 && c % 3 === 0, concat(lit("6"), lpad(cs(700), 8, "0"))),
+          when(c % 11 =!= 7 && c % 5 === 0, concat(lit("7"), lpad(cs(500), 8, "0")))),
+          x => x.isNotNull), "|").as("sp_organizations"),
+        array_join(transform(filter(array(col("click_ds"),
+          concat(lit(SoprocUrl), col("sid"), lit("#" + SoprocTag))),
+          x => x.isNotNull), u => anchor(u)), "\n").as("sp_data_sources"),
+        when(c % 5 === 0, lit("118")).when(c % 5 === 1, lit("*5400")).as("sp_phone"),
+        concat(lit("tipat-halav:"), code).as("tp_id"),
+        when(code === "national", lit(TipatNatName))
+          .otherwise(concat(lit("תחנה "), cs(1200))).as("tp_name"),
+        tpOrg.as("tp_org"),
+        when(code === "national", lit("tipat-halav-2"))
+          .otherwise(lit("tipat-halav-1")).as("tp_service"),
+        tpAddress.as("tp_address"),
+        when(tx.isNotNull && tx =!= 0.0 && ty.isNotNull && ty =!= 0.0,
+          Olc.encode11(ty, tx)).otherwise(tpAddress).as("tp_location"),
+        when(code =!= "national", concat(lit(TipatItemUrl), code)).as("tp_urls"))
     }
   )
 

@@ -174,7 +174,14 @@ object CorpusQueries {
     "q130_incremental_clusters" -> QueryDef.rowsOnly { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val cutoff = docs.agg((floor(max(col("doc_id")) * 3L / 4L) + 1L).cast("long")).head().getLong(0)
+      // Batch boundary: in production it arrives as a PARAMETER (the
+      // ingest ledger's watermark) — at 100 TB a max(doc_id) scan is a
+      // full corpus pass spent computing something the pipeline already
+      // knows. The scan-derived 3/4 split stays the deterministic test
+      // default when the conf is unset.
+      val cutoff = s.conf.getOption("spark.graft.incrementalCutoff").map(_.toLong)
+        .getOrElse(
+          docs.agg((floor(max(col("doc_id")) * 3L / 4L) + 1L).cast("long")).head().getLong(0))
       val oldDocs = docs.filter(col("doc_id") < cutoff)
       val labelsOld = Dedup.connectedComponents(
         oldDocs.select(col("doc_id").as("id")),

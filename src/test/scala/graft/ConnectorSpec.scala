@@ -145,6 +145,19 @@ class ConnectorSpec extends SpecBase {
       s"only the keep-last + dim-build exchanges may shuffle:\n${p.take(800)}")
   }
 
+  test("q147 probe side is map-only: broadcast joins, zero probe shuffles") {
+    val p = planOf("q147_remnant_staging")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"url/click dims must broadcast:\n${p.take(800)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      "both the revaha url dim and the soproc click dim must broadcast")
+    // the only hash exchanges allowed are the two dim builds' distincts
+    // INSIDE their broadcast subtrees (q140's allowance); the customer
+    // probe stream itself never shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"probe side must not shuffle:\n${p.take(800)}")
+  }
+
   test("q146 round-trips the python-repr link lists through str_to_list") {
     import spark.implicits._
     val out = SparkEntry.queries("q146_daycare_branch_staging")(spark, SfDir)

@@ -293,4 +293,20 @@ class DedupSpec extends SpecBase {
       assert(mergedAcross, s"th=$th: no new doc joined an old cluster; weak data")
     }
   }
+
+  test("q130 takes the batch cutoff as a conf parameter, skipping the max-scan") {
+    // Param-supplied cutoff (same value the scan would derive) must
+    // reproduce the default run exactly — the production hook for a
+    // ledger-watermark boundary without the extra corpus pass.
+    val q = SparkEntry.queries("q130_incremental_clusters")
+    val byScan = q(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cluster"))).toSet
+    val cutoff = docs.agg((floor(max($"doc_id") * 3L / 4L) + 1L).cast("long")).head().getLong(0)
+    spark.conf.set("spark.graft.incrementalCutoff", cutoff.toString)
+    try {
+      val byParam = q(spark, SfDir)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("cluster"))).toSet
+      assert(byParam == byScan)
+    } finally spark.conf.unset("spark.graft.incrementalCutoff")
+  }
 }
