@@ -69,8 +69,13 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_QUICK=1: no warmup pass, single timed run — for
+    // scaling probes (sf1) where the 3× repeat would triple an already
+    // long wall time and ±20% noise is acceptable for exponents.
+    val quick = sys.env.get("SPARK_GRAFT_QUICK").contains("1")
+
     // Warmup: run everything once (exercises codegen + file listing).
-    queries.foreach { case (_, fn) =>
+    if (!quick) queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
 
@@ -94,7 +99,7 @@ object Bench {
       val t1 = timed()
       GraftListenerBusAccess.drain(spark.sparkContext)
       val afterFirst = listener.snapshot()
-      val t2 = timed()
+      val t2 = if (quick) t1 else timed()
       val sec = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
       name -> QueryProfile(sec,
         afterFirst._1 - before._1, afterFirst._2 - before._2,

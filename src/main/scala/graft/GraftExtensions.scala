@@ -49,6 +49,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "poly_hash(str[, base, mod]) takes 1 or 3 arguments")
       }))
 
+    ext.injectFunction((
+      new FunctionIdentifier("nfkc_fold"),
+      new ExpressionInfo(classOf[graft.functions.expressions.NfkcFold].getName, "nfkc_fold"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => graft.functions.expressions.NfkcFold(Cast(c, StringType))
+        case _ => throw new IllegalArgumentException(
+          "nfkc_fold(str) takes 1 argument")
+      }))
+
     // Sketch aggregates + the sorted-map intersect, for spark.sql users.
     // Aggregate builders return the AggregateFunction; the analyzer wraps
     // it into an AggregateExpression during function resolution.

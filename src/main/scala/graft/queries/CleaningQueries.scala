@@ -456,6 +456,59 @@ object CleaningQueries {
             .as("text_dedup"),
           size(col("sents")).cast("long").as("n_sent"),
           size(col("keep")).cast("long").as("n_kept"))
+    },
+
+    // q148: UNICODE-normalized exact dedup — the NFKC/case-fold key the
+    // corpus family's `lower(trim(...))` approximates (q22/q94/q132 keep
+    // their oracle-locked simple keys; this is the production-grade key
+    // as its own operator). Six visually-equivalent spellings per base
+    // string — plain, fullwidth+ideographic-space, ﬁ ligature, ﬃ
+    // ligature, pre-folded, uppercase — must collapse to ONE group under
+    // nfkc_fold (functions/expressions/NfkcFold.scala, java.text
+    // .Normalizer's public Unicode tables). DuckDB cannot compute NFKC,
+    // so the oracle REPLAYS the fold on exactly the char classes the
+    // fixture uses (positional translate for the fullwidth forms,
+    // replace for the ligatures, lower() last) — the hash gate thus pins
+    // the expression's behavior on each class, and NfkcSpec pins the
+    // broader vectors (①, ½, combining composition, ß non-fold note).
+    // Plan: map-side fold + one groupBy exchange on the folded key;
+    // the fold is inside whole-stage codegen (nullSafeCodeGen).
+    "q148_nfkc_dedup" -> QueryDef.of(
+      """WITH raw AS (
+        |  SELECT c_custkey AS k,
+        |    CASE c_custkey % 6
+        |      WHEN 0 THEN 'Office fi strasse '
+        |      WHEN 1 THEN 'Ｏｆｆｉｃｅ　ｆｉ strasse '
+        |      WHEN 2 THEN 'OFFICE ﬁ strasse '
+        |      WHEN 3 THEN 'Oﬃce fi strasse '
+        |      WHEN 4 THEN 'office fi strasse '
+        |      ELSE 'OFFICE FI STRASSE ' END || 'unit ' || CAST(c_custkey % 50 AS VARCHAR) AS text
+        |  FROM customer),
+        |folded AS (
+        |  SELECT k, text,
+        |    lower(replace(replace(translate(text, 'Ｏｆｉｃｅ　', 'Ofice '), 'ﬁ', 'fi'), 'ﬃ', 'ffi')) AS folded_key
+        |  FROM raw)
+        |SELECT folded_key, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_forms,
+        |  CAST(min(k) AS BIGINT) AS keep_id
+        |FROM folded GROUP BY folded_key
+        |""".stripMargin) { (s, dir) =>
+      val k = col("c_custkey")
+      val raw = Tables.customer(s, dir).select(k.as("k"),
+        concat(
+          when(k % 6 === 0, lit("Office fi strasse "))
+            .when(k % 6 === 1, lit("Ｏｆｆｉｃｅ　ｆｉ strasse "))
+            .when(k % 6 === 2, lit("OFFICE ﬁ strasse "))
+            .when(k % 6 === 3, lit("Oﬃce fi strasse "))
+            .when(k % 6 === 4, lit("office fi strasse "))
+            .otherwise(lit("OFFICE FI STRASSE ")),
+          lit("unit "), (k % 50).cast("string")).as("text"))
+      raw
+        .withColumn("folded_key", graft.functions.expressions.NfkcFold(col("text")))
+        .groupBy(col("folded_key"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("text")).as("n_forms"),
+          min(col("k")).as("keep_id"))
     }
   )
 
