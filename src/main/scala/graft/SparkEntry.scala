@@ -14,7 +14,8 @@ object SparkEntry {
       CurationQueries.defs ++ ToolsQueries.defs ++ PipelineQueries.defs ++
       PreprocessQueries.defs ++ SamplingQueries.defs ++ CleaningQueries.defs ++
       CorpusQueries.defs ++ PlacesQueries.defs ++ MediaQueries.defs ++
-      ProfileQueries.defs ++ AnalyticsQueries.defs ++ ConnectorQueries.defs
+      ProfileQueries.defs ++ AnalyticsQueries.defs ++ ConnectorQueries.defs ++
+      BenchmarkQueries.defs
 
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * full card-derivation pipeline — the reference's to_dp.py flow
