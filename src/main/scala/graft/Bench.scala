@@ -101,7 +101,11 @@ object Bench {
       val afterFirst = listener.snapshot()
       val t2 = if (quick) t1 else timed()
       val sec = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
-      name -> QueryProfile(sec,
+      // A failed run's partial task metrics are NOT a plan profile —
+      // recording them would poison the bytes-first regression protocol
+      // (BASELINE.md r7). Zero them so -1/0 reads unambiguously "failed".
+      if (sec < 0) name -> QueryProfile(sec, 0L, 0L, 0L, 0L)
+      else name -> QueryProfile(sec,
         afterFirst._1 - before._1, afterFirst._2 - before._2,
         afterFirst._3 - before._3, afterFirst._4)
     }

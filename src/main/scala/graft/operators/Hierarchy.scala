@@ -53,14 +53,20 @@ object Hierarchy {
       frontier = next
       d += 1
     }
-    // Fail-loud parity with connectedComponents' round-cap guard: a
-    // frontier still alive at maxDepth means nodes BELOW the cap would be
-    // silently dropped while the recursive-CTE oracle walks them — throw
-    // rather than return a truncated flatten.
-    if (!frontier.isEmpty)
-      throw new IllegalStateException(
-        s"Hierarchy.breadcrumbs: tree deeper than maxDepth=$maxDepth " +
-          "(frontier non-empty after the last round); raise maxDepth or check for a parent cycle")
+    // Fail-loud parity with connectedComponents' round-cap guard: nodes
+    // BELOW the cap would be silently dropped while the recursive-CTE
+    // oracle walks them — throw rather than return a truncated flatten.
+    // The guard checks for CHILDREN of the last frontier (a tree whose
+    // deepest level is exactly maxDepth is complete — its final frontier
+    // is non-empty but nothing was dropped).
+    if (!frontier.isEmpty) {
+      val dropped = nodes.join(
+        frontier.select(col("nid").as("pid")), col("parent") === col("pid"))
+      if (!dropped.isEmpty)
+        throw new IllegalStateException(
+          s"Hierarchy.breadcrumbs: tree deeper than maxDepth=$maxDepth " +
+            "(unvisited children remain below the last level); raise maxDepth or check for a parent cycle")
+    }
     out
   }
 }

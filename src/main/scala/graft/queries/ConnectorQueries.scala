@@ -1020,7 +1020,7 @@ object ConnectorQueries {
         |    '5' || lpad(CAST(o_custkey % 700 AS VARCHAR), 8, '0') AS regno,
         |    'City ' || CAST(o_orderkey % 40 AS VARCHAR) AS city,
         |    CASE WHEN o_orderkey % 7 <> 0 THEN 'St ' || CAST(o_orderkey % 25 AS VARCHAR) END AS street,
-        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_orderkey % 120 END AS house,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_orderkey % 121 END AS house,
         |    CASE WHEN o_orderkey % 4 <> 0 THEN 'Mgr ' || CAST(o_orderkey % 50 AS VARCHAR) END AS manager,
         |    '02-' || lpad(CAST(o_orderkey % 10000 AS VARCHAR), 7, '0') AS phone_numbers,
         |    CASE o_orderkey % 3 WHEN 0 THEN 'משפחתון' WHEN 1 THEN 'צהרון' ELSE 'מעון יום' END AS tdesc
@@ -1069,7 +1069,10 @@ object ConnectorQueries {
         concat(lit("5"), lpad((col("o_custkey") % 700).cast("string"), 8, "0")).as("regno"),
         concat(lit("City "), (o % 40).cast("string")).as("city"),
         when(o % 7 =!= 0, concat(lit("St "), (o % 25).cast("string"))).as("street"),
-        when(o % 3 =!= 0, o % 120).as("house"),
+        // 121 is coprime to the %3 presence gate, so house = 0 rows EXIST
+        // (o=121,…) and the make_address falsy-drop arm is genuinely
+        // exercised by the oracle — a %120 modulus made it dead code
+        when(o % 3 =!= 0, o % 121).as("house"),
         when(o % 4 =!= 0, concat(lit("Mgr "), (o % 50).cast("string"))).as("manager"),
         concat(lit("02-"), lpad((o % 10000).cast("string"), 7, "0")).as("phone_numbers"),
         when(o % 3 === 0, lit("משפחתון")).when(o % 3 === 1, lit("צהרון"))
@@ -1190,7 +1193,7 @@ object ConnectorQueries {
          |    CASE WHEN cid % 1200 = 0 THEN 'national' ELSE CAST(cid % 1200 AS VARCHAR) END AS code,
          |    CASE WHEN cid % 10 <> 9 THEN 'עיר ' || CAST(cid % 40 AS VARCHAR) END AS city,
          |    CASE WHEN cid % 3 <> 0 THEN 'רחוב ' || CAST(cid % 30 AS VARCHAR) END AS street,
-         |    CASE WHEN cid % 4 <> 0 THEN cid % 90 END AS bnum,
+         |    CASE WHEN cid % 4 <> 0 THEN cid % 91 END AS bnum,
          |    'מחוז ' || CAST(cid % 7 AS VARCHAR) AS district,
          |    CASE WHEN cid % 6 IN (1, 2, 3) THEN 34.5e0 + (cid % 80) * 1e-2
          |         WHEN cid % 6 = 4 THEN 0e0 END AS tx,
@@ -1256,7 +1259,9 @@ object ConnectorQueries {
       val code = when(c % 1200 === 0, lit("national")).otherwise(cs(1200))
       val city = when(c % 10 =!= 9, concat(lit("עיר "), cs(40)))
       val street = when(c % 3 =!= 0, concat(lit("רחוב "), cs(30)))
-      val bnum = when(c % 4 =!= 0, c % 90)
+      // 91 is coprime to the street gate's %3, so bnum = 0 coexists with
+      // a street and the `or ''`-falsy drop arm is genuinely exercised
+      val bnum = when(c % 4 =!= 0, c % 91)
       val district = concat(lit("מחוז "), cs(7))
       val tpAddress = when(code === "national", lit(NationalSvc))
         .when(city.isNotNull && street.isNotNull && bnum.isNotNull && bnum =!= 0,

@@ -467,12 +467,40 @@ object EventStreams {
             // open session's span must NOT merge into it — exact gap
             // semantics give it its own earlier session. Set such events
             // aside (head = latest early), chain-merging earlies within a
-            // gap of each other, and reconcile after the loop: an in-range
-            // event may extend the open start down far enough to absorb
-            // them. Residual approximation (can only fire when watermark >
-            // gap): earlies split across DIFFERENT micro-batches that exact
+            // gap of each other; `absorb` re-merges them into the open
+            // session EAGERLY whenever its start moves down (an in-range
+            // late event) and `flush` closes the leftovers as separate
+            // sessions just before the open session itself emits or the
+            // batch ends — so every within-batch composition is exact.
+            // Residual approximation (can only fire when watermark > gap):
+            // earlies split across DIFFERENT micro-batches that exact
             // semantics would merge emit as separate sessions.
             var earlies = List.empty[OpenSession]
+            // chain-merge earlies whose span is within one gap of the
+            // (possibly just-extended) open session
+            def absorb(open0: OpenSession): OpenSession = {
+              var open = open0
+              while (earlies.nonEmpty && earlies.head.end >= open.start - gapUs) {
+                val h = earlies.head
+                open = open.copy(n = open.n + h.n,
+                  start = math.min(open.start, h.start),
+                  end = math.max(open.end, h.end))
+                earlies = earlies.tail
+              }
+              open
+            }
+            // close the remaining earlies as their own sessions, taking
+            // indices just below the open's (keeps indices unique and
+            // chronological among the not-yet-emitted sessions)
+            def flush(open0: OpenSession): OpenSession = {
+              val sep = earlies.reverse // earliest-first
+              earlies = Nil
+              sep.zipWithIndex.foreach { case (s2, i2) =>
+                closed ::= SessionSummary(userId, open0.idx + i2, s2.n,
+                  fromMicros(s2.start), fromMicros(s2.end))
+              }
+              open0.copy(idx = open0.idx + sep.size)
+            }
             for (e <- sorted) {
               val t = toMicros(e.ts)
               sessions match {
@@ -488,11 +516,18 @@ object EventStreams {
                   // span can merge with t below the open end — extend
                   // monotonically, never move the boundaries backward
                   // (end < its own last event, or end < start, would also
-                  // split the session spuriously on the next batch)
-                  sessions = open.copy(n = open.n + 1,
+                  // split the session spuriously on the next batch); a
+                  // downward-moving start may bring deferred earlies into
+                  // range — absorb them now, BEFORE any later close fixes
+                  // this session's membership
+                  sessions = absorb(open.copy(n = open.n + 1,
                     start = math.min(open.start, t),
-                    end = math.max(open.end, t)) :: rest
-                case open :: rest =>
+                    end = math.max(open.end, t))) :: rest
+                case open0 :: rest =>
+                  // gap exceeded: settle the earlies against the closing
+                  // session first (absorb what reaches it, flush the rest
+                  // BELOW its index), then emit it and open the next
+                  val open = flush(absorb(open0))
                   closed ::= SessionSummary(userId, open.idx, open.n,
                     fromMicros(open.start), fromMicros(open.end))
                   sessions = OpenSession(open.idx + 1, 1, t, t) :: rest
@@ -500,27 +535,9 @@ object EventStreams {
                   sessions = OpenSession(0, 1, t, t) :: Nil
               }
             }
-            // Reconcile the set-aside earlies: the open start can only have
-            // moved DOWN since they were deferred, so chain-merge any now
-            // within one gap of it; the rest close as separate sessions
-            // taking indices just below the open's (keeps indices unique
-            // and chronological among the not-yet-emitted sessions).
+            // end of batch: reconcile whatever is still deferred
             sessions = sessions match {
-              case open0 :: rest if earlies.nonEmpty =>
-                var open = open0
-                while (earlies.nonEmpty && earlies.head.end >= open.start - gapUs) {
-                  val h = earlies.head
-                  open = open.copy(n = open.n + h.n,
-                    start = math.min(open.start, h.start),
-                    end = math.max(open.end, h.end))
-                  earlies = earlies.tail
-                }
-                val sep = earlies.reverse // earliest-first
-                sep.zipWithIndex.foreach { case (s2, i) =>
-                  closed ::= SessionSummary(userId, open.idx + i, s2.n,
-                    fromMicros(s2.start), fromMicros(s2.end))
-                }
-                open.copy(idx = open.idx + sep.size) :: rest
+              case open :: rest if earlies.nonEmpty => flush(absorb(open)) :: rest
               case other => other // no open head ⇒ nothing was ever early
             }
             state.update(sessions)

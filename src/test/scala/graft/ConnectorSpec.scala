@@ -191,6 +191,39 @@ class ConnectorSpec extends SpecBase {
       graft.operators.Hierarchy.breadcrumbs(nodes, maxDepth = 2).collect()
     }
     assert(ex.getMessage.contains("maxDepth=2"))
+    // a tree whose DEEPEST level is exactly maxDepth is complete — the
+    // final frontier is non-empty but childless, and the guard must not
+    // fire (nothing was truncated)
+    val exact = Seq(
+      (1L, None: Option[Long], "root"), (2L, Some(1L), "a"), (3L, Some(2L), "b"))
+      .toDF("nid", "parent", "nname")
+    val ok = graft.operators.Hierarchy.breadcrumbs(exact, maxDepth = 2).collect()
+    assert(ok.length == 3)
+  }
+
+  test("q146/q147 falsy-zero fixtures are reachable and the drop arms fire") {
+    import spark.implicits._
+    // the coprime moduli guarantee rows where the house/building number
+    // is 0 while the street exists — the regime the Python `or ''` drop
+    // acts on; without such rows the <>0 conjuncts are dead code
+    val o = Tables.orders(spark, SfDir)
+      .filter(col("o_orderkey") % 121 === 0 && col("o_orderkey") % 3 =!= 0 &&
+        col("o_orderkey") % 7 =!= 0).count()
+    assert(o > 0, "q146 fixture has no house=0-with-street rows")
+    val c = Tables.customer(spark, SfDir)
+      .filter(col("c_custkey") % 91 === 0 && col("c_custkey") % 4 =!= 0 &&
+        col("c_custkey") % 3 =!= 0 && col("c_custkey") % 10 =!= 9).count()
+    assert(c > 0, "q147 fixture has no bnum=0-with-street rows")
+    // and the drop really happened: no emitted address carries a bare
+    // trailing '0' house token
+    // the house token would be the trailing '0' AFTER city(+street) —
+    // not the city/street numbers themselves, which can legitimately be 0
+    val a146 = SparkEntry.queries("q146_daycare_branch_staging")(spark, SfDir)
+      .filter(col("address").rlike("^City [0-9]+( St [0-9]+)? 0$")).count()
+    assert(a146 == 0, "q146 emitted a falsy house 0")
+    val a147 = SparkEntry.queries("q147_remnant_staging")(spark, SfDir)
+      .filter(col("tp_address").rlike("^רחוב [0-9]+ 0, ")).count()
+    assert(a147 == 0, "q147 emitted a falsy building 0")
   }
 
   test("q142 merges tag lists first-occurrence-ordered, not sorted") {

@@ -312,6 +312,19 @@ class StreamingSpec extends SpecBase {
       stream.addData(Event(7L, Timestamp.valueOf("2024-01-01 12:00:00"), 8L, "view", 1.0))
       query.processAllAvailable()
 
+      // user 9: the in-batch close case — open at 10:00, then ONE batch
+      // carries 09:15 (early), 09:40 (merges, start → 09:40; 09:15 is
+      // now within one gap and must be absorbed EAGERLY) and 12:00
+      // (closes the merged session). Exact semantics: one closed session
+      // [09:15, 10:00] n=3 at idx 0, then idx 1 opens at 12:00.
+      stream.addData(Event(10L, Timestamp.valueOf("2024-01-01 10:00:00"), 9L, "view", 1.0))
+      query.processAllAvailable()
+      stream.addData(
+        Event(11L, Timestamp.valueOf("2024-01-01 09:15:00"), 9L, "view", 1.0),
+        Event(12L, Timestamp.valueOf("2024-01-01 09:40:00"), 9L, "view", 1.0),
+        Event(13L, Timestamp.valueOf("2024-01-01 12:00:00"), 9L, "view", 1.0))
+      query.processAllAvailable()
+
       // watermark-advancing traffic on another user flushes the opens
       stream.addData(Event(8L, Timestamp.valueOf("2024-06-01 00:00:00"), 999L, "view", 1.0))
       query.processAllAvailable()
@@ -333,6 +346,10 @@ class StreamingSpec extends SpecBase {
         (0L, 3L, Timestamp.valueOf("2024-01-01 09:10:00")),
         (1L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"))),
         s"user 8 must re-absorb the chained early, got ${sessionsOf(8L)}")
+      assert(sessionsOf(9L) == Set(
+        (0L, 3L, Timestamp.valueOf("2024-01-01 09:15:00")),
+        (1L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"))),
+        s"user 9's early must absorb into the session CLOSED in the same batch, got ${sessionsOf(9L)}")
     } finally query.stop()
   }
 
