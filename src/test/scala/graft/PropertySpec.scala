@@ -291,4 +291,29 @@ class PropertySpec extends SpecBase {
     val heavy = sample.filter(col("w") === 100L).count().toDouble
     assert(heavy / 40.0 > 0.8, s"heavy share ${heavy / 40.0} should dominate")
   }
+
+  test("nfkc_fold is idempotent and length/whitespace-stable on ASCII") {
+    import graft.functions.expressions.NfkcFold
+    // unicode-rich generator: ascii plus the compatibility classes the
+    // fold acts on (fullwidth, ligatures, NBSP, combining marks, Hebrew)
+    val uchar: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('Ａ', 'ｆ', 'ﬁ', 'ﬃ', '①', '½', ' ', '　'),
+      1 -> Gen.oneOf('é', '́', 'ß', 'א', 'ש'))
+    val inputs = cases(Gen.listOf(uchar).map(_.mkString), 300)
+    val df = inputs.map(Tuple1(_)).toDF("t")
+      .select(col("t"), NfkcFold(col("t")).as("once"))
+      .select(col("t"), col("once"), NfkcFold(col("once")).as("twice"))
+    df.collect().foreach { r =>
+      val raw = r.getString(0); val once = r.getString(1); val twice = r.getString(2)
+      assert(once == twice, s"not idempotent on ${raw.map(_.toInt)}: $once vs $twice")
+      assert(!once.exists(_.isUpper), s"uppercase survived: $once")
+    }
+    // pure-ASCII inputs only fold case — length and token structure hold
+    val ascii = cases(asciiText, 100)
+    ascii.map(Tuple1(_)).toDF("t")
+      .select(col("t"), NfkcFold(col("t")).as("f")).collect().foreach { r =>
+      assert(r.getString(1) == r.getString(0).toLowerCase(java.util.Locale.ROOT))
+    }
+  }
 }
