@@ -245,6 +245,63 @@ object RelationalQueries {
           && abs(length(col("name_a")) - length(col("name_b"))) * 5 <= greatest(length(col("name_a")), length(col("name_b")))
           && lev >= 0 && ratioOf(lev) >= 80)
         .select(col("key_a"), col("key_b"), ratioOf(lev).as("ratio"))
+    },
+
+    // q151: q10's 100 TB form — the sf1 scaling probe measured q10 at
+    // 51× wall for 10× data (BASELINE.md r7): its brand blocks grow
+    // linearly, so the per-pair Levenshtein calls grow quadratically.
+    // But the ratio depends ONLY on the two names, and name columns in
+    // entity-resolution corpora are low-cardinality (~150 distinct names
+    // over 20k parts here) — so compute the banded Levenshtein once per
+    // DISTINCT name pair (the q145 sufficient-statistics argument
+    // applied to fuzzy matching), broadcast the ≥80 name-pair matrix,
+    // and expand back to part pairs with two equi-joins. Lev calls:
+    // O(distinct²) instead of O(Σ block²); the expansion is
+    // output-proportional. Degrades gracefully: all-unique names make
+    // distinct² = n² and q10's block form is equally good — the regime
+    // rule, not a universal win. SAME ORACLE as q10 (identical answer,
+    // full hash gate); FuzzySpec additionally pins set-equality against
+    // q10 and the broadcast plan shape.
+    "q151_fuzzy_distinct" -> QueryDef.of(
+      """SELECT * FROM (
+        |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |    CAST(round(100.0 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) / greatest(length(a.p_name), length(b.p_name)))) AS BIGINT) AS ratio
+        |  FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |    AND abs(length(a.p_name) - length(b.p_name)) * 5 <= greatest(length(a.p_name), length(b.p_name))
+        |) WHERE ratio >= 80
+        |""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val names = p.select(col("p_name")).distinct()
+      // full (ordered-both-ways) distinct-name-pair matrix: a part pair
+      // (key_a < key_b) can carry its names in either lexical order, and
+      // equal names (exact duplicates, ratio 100) must be included
+      val na = names.select(col("p_name").as("na"))
+      val nb = names.select(col("p_name").as("nb"))
+      val maxLen = greatest(length(col("na")), length(col("nb")))
+      val bandCol = greatest(ceil(lit(0.205) * maxLen), lit(1)).cast("int")
+      val lev = {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.Levenshtein(
+          ColumnBridge.expression(col("na")),
+          ColumnBridge.expression(col("nb")),
+          Some(ColumnBridge.expression(bandCol))))
+      }
+      def ratioOf(l: org.apache.spark.sql.Column) =
+        round(lit(100.0) * (lit(1.0) - l.cast("double") / maxLen.cast("double"))).cast("long")
+      // distinct² pairs — the cross product is the POINT: it is the
+      // sufficient statistic, sized by name cardinality, not corpus rows
+      val nameMatches = na.crossJoin(nb)
+        .filter(abs(length(col("na")) - length(col("nb"))) * 5 <= maxLen
+          && lev >= 0 && ratioOf(lev) >= 80)
+        .select(col("na"), col("nb"), ratioOf(lev).as("ratio"))
+      val a = p.select(col("p_partkey").as("key_a"), col("p_brand").as("brand_a"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand_b"),
+        col("p_name").as("name_b"))
+      a.join(broadcast(nameMatches), col("name_a") === col("na"))
+        .join(b, col("brand_a") === col("brand_b") && col("name_b") === col("nb")
+          && col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"), col("ratio"))
     }
   )
 }

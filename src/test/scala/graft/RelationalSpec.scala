@@ -58,6 +58,25 @@ class RelationalSpec extends SpecBase {
     assert(salted == plain && plain.size == 902)
   }
 
+  test("q151 distinct-name fuzzy equals q10's block form pair-for-pair") {
+    // the sufficient-statistics twin must produce the identical pair set
+    // (it shares q10's oracle, but the direct cross-check also pins the
+    // expansion-join mechanics: both name orders, equal-name pairs,
+    // key_a < key_b)
+    def pairs(q: String) = SparkEntry.queries(q)(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val block = pairs("q10_fuzzy")
+    val dist = pairs("q151_fuzzy_distinct")
+    assert(dist == block,
+      s"only-in-distinct ${(dist -- block).take(3)}, only-in-block ${(block -- dist).take(3)}")
+    assert(block.nonEmpty)
+    // and the name-pair matrix must BROADCAST — the whole point is that
+    // lev work is name-cardinality-sized, not corpus-sized
+    val p = SparkEntry.queries("q151_fuzzy_distinct")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"name matrix must broadcast:\n${p.take(600)}")
+  }
+
   test("filterWithStat counts kept and dropped in one scan") {
     val df = Seq(1, 2, 3, 4, 5).toDF("x")
     val (kept, stat) = Relational.filterWithStat(df, "s", $"x" > 3)
