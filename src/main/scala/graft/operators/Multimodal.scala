@@ -65,7 +65,12 @@ object Multimodal {
           else {
             val feats = Array.tabulate(dim) { i =>
               // ??? real decode goes here — deterministic fake instead:
-              // fold payload bytes with an index-salted multiplicative hash.
+              // fold payload bytes with an index-salted multiplicative
+              // hash. This is the oracle-replayable PROXY only; the REAL
+              // decoders live in MediaCodec.scala (q101 PNG via
+              // javax.imageio, q102 WAV via javax.sound.sampled, q128
+              // GIF frame sampling) — swap this body for one of those
+              // when the payload format is known.
               var acc = 1125899906842597L + i
               var j = 0
               while (j < r.media.length) { acc = acc * 31 + r.media(j); j += 1 }
