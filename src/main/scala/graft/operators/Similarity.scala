@@ -209,4 +209,113 @@ object Similarity {
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("vec_id").as("neighbor_id"), col("cos"))
   }
+
+  // ---------------------------------------------------------------- PQ
+
+  /** A trained product quantizer: per-subspace codebooks + the encoded
+    * corpus (`vec_id`, `code` binary — m bytes per vector, the 32×
+    * memory layout that makes billion-scale ANN fit in RAM). */
+  final case class PqIndex(codebook: Array[Array[Array[Float]]], codes: DataFrame)
+
+  private val pqMemo =
+    scala.collection.mutable.LinkedHashMap.empty[(Int, Int, Int, Int, Int, Long, Int), PqIndex]
+  private val PqMemoMax = 4
+
+  /** Train (or fetch the memoized) product quantizer: `m` independent
+    * per-subspace k-means fits on the SAME deterministic hash-sample the
+    * IVF quantizer trains on, then ONE corpus pass through the codegen'd
+    * [[graft.functions.expressions.PqEncode]] builds the code column.
+    * Embeddings are L2-normalized first so the quantized L2 ordering
+    * equals the cosine ordering (‖a−b‖² = 2−2cos on unit vectors). */
+  def pqIndex(corpus: DataFrame, dim: Int, m: Int = 8, ks: Int = 16,
+              seed: Long = 42L, trainMod: Int = 4): PqIndex = synchronized {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.expressions.PqEncode
+    require(dim % m == 0, s"pq: dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    val planHash = corpus match {
+      case d: org.apache.spark.sql.classic.Dataset[_] => d.queryExecution.analyzed.semanticHash()
+      case d => d.schema.hashCode()
+    }
+    val key = (System.identityHashCode(corpus.sparkSession), planHash, dim, m, ks, seed, trainMod)
+    pqMemo.get(key) match {
+      case Some(idx) => idx
+      case None =>
+        val unit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
+        val sample = corpus
+          .filter(pmod(xxhash64(col("vec_id")), lit(trainMod.toLong)) === 0)
+          .select(unit.as("u")).cache()
+        val codebook = Array.tabulate(m) { j =>
+          val sub = sample.select(
+            array_to_vector(slice(col("u"), j * subDim + 1, subDim)).as("features"))
+          val centers = new KMeans().setK(ks).setSeed(seed + j).setMaxIter(5)
+            .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
+          // k-means can return < ks centers on degenerate subspaces; pad
+          // by repeating the last (strict-< argmin never picks a repeat,
+          // so codes stay dense and the ks-stride ADC table stays valid)
+          centers ++ Array.fill(ks - centers.length)(centers.last)
+        }
+        sample.unpersist()
+        val codes = corpus
+          .select(col("vec_id"), PqEncode(unit, codebook).as("code")).cache()
+        val idx = PqIndex(codebook, codes)
+        if (pqMemo.size >= PqMemoMax) {
+          val (oldKey, old) = pqMemo.head
+          old.codes.unpersist()
+          pqMemo.remove(oldKey)
+        }
+        pqMemo.put(key, idx)
+        idx
+    }
+  }
+
+  /** PQ-ADC shortlist: score every candidate with m table LOOKUPS
+    * against the query's precomputed distance table (no float math per
+    * candidate — the asymmetric distance computation of Jégou et al.),
+    * rank ascending through the TopKPerKey node. Output shape matches
+    * cosineTopK with `adist` (approx squared L2 on unit vectors) in
+    * place of `cos`. The scan reads only the code column — 32× less
+    * memory traffic than raw floats, which IS the point. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                m: Int = 8, ks: Int = 16, seed: Long = 42L, trainMod: Int = 4): DataFrame = {
+    import graft.functions.expressions.{PqAdcScore, PqDistTable}
+    val idx = pqIndex(corpus, dim, m, ks, seed, trainMod)
+    val unit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      PqDistTable(unit, idx.codebook).as("tbl"))
+    val scored = idx.codes
+      .select(col("vec_id").as("neighbor_id"), col("code"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", round(PqAdcScore(col("code"), col("tbl"), ks), 4))
+    TopK.topKWithRank(scored, col("query_id"),
+      Seq(col("adist").asc, col("neighbor_id")), k, "rk")
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), col("adist"))
+  }
+
+  /** PQ ANN with exact RE-RANK — the production composition: the ADC
+    * pass shortlists `k·rerank` candidates per query off the 8-byte
+    * codes (the corpus-sized work, float-free), then ONLY the shortlist
+    * rows fetch their raw embeddings for an exact cosine re-rank. Same
+    * output shape as cosineTopK (`cos`). Quantization error then costs
+    * recall only when a true neighbor misses the shortlist entirely,
+    * not whenever codes reorder the top-k. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+             m: Int = 8, ks: Int = 16, rerank: Int = 8,
+             seed: Long = 42L, trainMod: Int = 4): DataFrame = {
+    val shortlist = pqAdcTopK(corpus, queries, dim, k * rerank, m, ks, seed, trainMod)
+      .select(col("query_id"), col("neighbor_id"))
+    val qEmb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val rescored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .withColumn("cos", round(F.cosine(col("q_emb"), col("c_emb")), 4))
+    TopK.topKWithRank(rescored, col("query_id"),
+      Seq(col("cos").desc, col("neighbor_id")), k, "rk")
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), col("cos"))
+  }
 }

@@ -356,6 +356,26 @@ object LlmQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     },
 
+    // q152: PQ ANN with exact re-rank — the billion-scale MEMORY layout
+    // (Jégou et al. TPAMI'11) completing the ANN family: q26 exact /
+    // q27 LSH buckets / q40 IVF cells / q152 product-quantized codes.
+    // 16 subspaces × 64 centroids: 64 floats → 16 code bytes (16×);
+    // the corpus-sized pass scores candidates with 16 table LOOKUPS
+    // through the codegen'd PqAdcScore kernel (zero float math), then
+    // only the k·8 shortlist rows fetch raw embeddings for the exact
+    // cosine re-rank (the production ADC+rerank composition — measured
+    // recall@5 0.98 vs the q26 baseline at this config; the pure-ADC
+    // shortlist alone reads 0.2-0.44 on these near-random vectors,
+    // probed across 6 configs before pinning this one). Approximate +
+    // iterative trainer -> rows-only; SimilaritySpec pins recall, code
+    // shape, determinism, and the lookup-kernel arithmetic against an
+    // exact Scala replay.
+    "q152_pq_ann" -> QueryDef.rowsOnly { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5,
+        m = 16, ks = 64, rerank = 8, trainMod = 2)
+    },
+
     // q119: CLUSTER-BALANCED draw — the diversity-sampling step of an
     // eval-set/curation pipeline: partition the corpus semantically
     // (the SAME coarse k-means quantizer q40's IVF index already

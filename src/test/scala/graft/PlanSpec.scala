@@ -243,10 +243,16 @@ class PlanSpec extends SpecBase {
     // sketches are 1-row frames meeting in a 1×1 cross join — the same
     // broadcast-scalar pattern, with k-entry arrays as the payload.
     // q133 inherits q93's 1-row hot-window mean cross join; its pair join
-    // is a BroadcastHashJoin on the bin key.
+    // is a BroadcastHashJoin on the bin key. q151: the distinct-name
+    // cross product IS the sufficient statistic (vocabulary-sized, both
+    // sides tiny; the corpus-sized expansion joins are equi-joins).
+    // q152: the ADC scan is corpus × broadcast-queries — q26's exact
+    // pattern with 16-byte codes instead of raw vectors; the re-rank
+    // joins are equi-joins on query_id/neighbor_id.
     val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob",
       "q93_range_join", "q106_bigram_logprob", "q118_cooccurrence",
-      "q127_corpus_overlap", "q133_session_incidents")
+      "q127_corpus_overlap", "q133_session_incidents",
+      "q151_fuzzy_distinct", "q152_pq_ann")
     val offenders = SparkEntry.queries.keys.filter { name =>
       try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
       catch { case _: Throwable => false }

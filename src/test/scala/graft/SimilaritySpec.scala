@@ -51,6 +51,56 @@ class SimilaritySpec extends SpecBase {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("pqTopK: code shape, ADC arithmetic vs an exact replay, recall, determinism") {
+    val idx = Similarity.pqIndex(emb, dim = 64)
+    // code column: exactly m bytes per vector, every byte a valid centroid id
+    val codes = idx.codes.collect().map(r => r.getAs[Array[Byte]]("code"))
+    assert(codes.forall(c => c != null && c.length == 8))
+    assert(codes.forall(_.forall(b => (b & 0xFF) < 16)))
+    // ADC score replay: for one (query, candidate) pair recompute the
+    // quantized distance from the codebook + code directly in Scala and
+    // match the expression's output (pins both PqDistTable and
+    // PqAdcScore arithmetic, including the flat-table stride). Uses the
+    // pure-ADC shortlist form — q152 itself re-ranks exactly.
+    val adc = Similarity.pqAdcTopK(emb, emb.filter($"vec_id" < 10), dim = 64, k = 5)
+      .orderBy("query_id", "rk").collect()
+    assert(adc.length == 50)
+    val r0 = adc.head
+    val codeOf = idx.codes.filter($"vec_id" === r0.getAs[Long]("neighbor_id"))
+      .head().getAs[Array[Byte]]("code")
+    def unitOf(id: Long): Array[Double] = {
+      val v = emb.filter($"vec_id" === id).head().getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val qu = unitOf(r0.getAs[Long]("query_id"))
+    val expect = (0 until 8).map { j =>
+      val c = codeOf(j) & 0xFF
+      (0 until 8).map { i =>
+        val d = qu(j * 8 + i) - idx.codebook(j)(c)(i)
+        (d * d).toFloat // the table stores per-cell floats; replay the cast
+      }.sum.toDouble
+    }.sum
+    assert(math.abs(r0.getAs[Double]("adist") - expect) < 1e-3,
+      s"adist ${r0.getAs[Double]("adist")} vs replay $expect")
+    // recall vs the exact baseline: the ADC shortlist alone is the weak
+    // form (measured 0.2 recall@5 here — 16 centroids on near-random
+    // subspaces quantize coarsely); q152's exact re-rank recovers every
+    // true neighbor whose shortlist survives
+    val out = SparkEntry.queries("q152_pq_ann")(spark, SfDir)
+      .orderBy("query_id", "rk").collect()
+    assert(out.length == 50)
+    val brute = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pqPairs = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(pqPairs.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"PQ+rerank recall $recall (q152 config measured 0.98)")
+    // rerun determinism (memoized index + seeded trainers)
+    val again = SparkEntry.queries("q152_pq_ann")(spark, SfDir)
+      .orderBy("query_id", "rk").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q119 cluster-balanced draw: cover, cap arithmetic, membership, determinism") {
     val q = graft.queries.LlmQueries.defs("q119_cluster_balance").build
     val out = q(spark, SfDir).collect()
