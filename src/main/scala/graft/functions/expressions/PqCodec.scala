@@ -13,16 +13,70 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
   * Search", TPAMI 2011): the vector splits into `m` subspaces, each
   * sub-vector quantizes to its nearest of `ks` per-subspace centroids,
-  * and the whole embedding stores as `m` code BYTES (64 floats → 8
-  * bytes here, 32×). Query-time ADC (asymmetric distance computation)
-  * precomputes one m×ks distance table per query and scores candidates
-  * with m table lookups — no float math per candidate.
+  * and the whole embedding stores as `m` code BYTES. Query-time ADC
+  * (asymmetric distance computation) precomputes one m×ks distance
+  * table per query and scores candidates with m table lookups — no
+  * float math per candidate.
   *
   * All three kernels are native codegen Expressions (the per-candidate
   * ADC lookup is the hot path — an interpreted HOF or UDF there would
   * dominate the scan): codebooks ride into generated code as reference
-  * objects, not literal trees.
+  * objects, not literal trees. The per-subspace squared-distance inner
+  * loop is shared between encode and table build ([[PqCodec]]) so the
+  * two sides can never drift — ADC ordering rests on them agreeing.
   */
+object PqCodec {
+
+  /** Construction-time shape gate shared by both codebook expressions:
+    * runs BEFORE any dimension is derived, so an empty or ragged
+    * codebook reports cleanly instead of AIOOBE-ing in a field
+    * initializer. */
+  private[expressions] def validate(fn: String, cb: Array[Array[Array[Float]]]): Unit = {
+    require(cb != null && cb.nonEmpty && cb.forall(j => j != null && j.nonEmpty),
+      s"$fn: codebook must have at least one centroid per subspace")
+    val ks = cb(0).length
+    val subDim = cb(0)(0).length
+    require(ks > 1 && ks <= 256, s"$fn: need 2..256 centroids per subspace, got $ks")
+    require(subDim > 0, s"$fn: sub-vector dimension must be positive")
+    require(cb.forall(_.length == ks) && cb.forall(_.forall(_.length == subDim)),
+      s"$fn: ragged codebook (every subspace needs $ks centroids of $subDim dims)")
+  }
+
+  /** Interpreted-path squared distance of sub-vector j to centroid c.
+    * NaN signals a null element (callers return null). */
+  private[expressions] def subDist(a: ArrayData, j: Int, c: Int,
+                                   cb: Array[Array[Array[Float]]], subDim: Int,
+                                   isDouble: Boolean): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < subDim) {
+      if (a.isNullAt(j * subDim + i)) return Double.NaN
+      val x = if (isDouble) a.getDouble(j * subDim + i) else a.getFloat(j * subDim + i).toDouble
+      val diff = x - cb(j)(c)(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Codegen snippet for the same loop: leaves the squared distance in
+    * `d` and sets `ev.isNull` on a null element — identical arithmetic
+    * to [[subDist]] by construction (one shared template). */
+  private[expressions] def subDistGen(a: String, cb: String, j: String, c: String,
+                                      i: String, d: String, subDim: Int,
+                                      isDouble: Boolean, isNull: String): String = {
+    val getElem =
+      if (isDouble) s"$a.getDouble($j * $subDim + $i)"
+      else s"(double) $a.getFloat($j * $subDim + $i)"
+    s"""double $d = 0.0;
+       |for (int $i = 0; $i < $subDim; $i++) {
+       |  if ($a.isNullAt($j * $subDim + $i)) { $isNull = true; break; }
+       |  double __x = $getElem;
+       |  double __df = __x - $cb[$j][$c][$i];
+       |  $d += __df * __df;
+       |}""".stripMargin
+  }
+}
 
 /** Encode: array<float|double> → binary of `m` codes. Null element or a
   * length ≠ m·subDim yields null (the ArrayDot convention). Ties in the
@@ -30,11 +84,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
     extends UnaryExpression {
 
+  PqCodec.validate("pq_encode", codebook)
   private val m = codebook.length
   private val ks = codebook(0).length
   private val subDim = codebook(0)(0).length
-  require(m > 0 && ks > 1 && ks <= 256 && subDim > 0,
-    s"pq_encode: need 1..256 centroids per subspace, got m=$m ks=$ks subDim=$subDim")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -45,7 +98,9 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
       s"pq_encode needs array<float|double>, got $other")
   }
 
-  private def isDouble = child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  // fixed once the child resolves; a def here would pattern-match per
+  // ELEMENT on the interpreted path
+  private lazy val isDouble = child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -56,14 +111,8 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < ks) {
-        var d = 0.0; var i = 0
-        while (i < subDim) {
-          if (a.isNullAt(j * subDim + i)) return null
-          val x = if (isDouble) a.getDouble(j * subDim + i) else a.getFloat(j * subDim + i).toDouble
-          val diff = x - codebook(j)(c)(i)
-          d += diff * diff
-          i += 1
-        }
+        val d = PqCodec.subDist(a, j, c, codebook, subDim, isDouble)
+        if (d.isNaN) return null
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -79,10 +128,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
       val out = ctx.freshName("out")
       val j = ctx.freshName("j"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
       val d = ctx.freshName("d"); val bestD = ctx.freshName("bestD")
-      val best = ctx.freshName("best"); val x = ctx.freshName("x"); val df = ctx.freshName("df")
-      val getElem =
-        if (isDouble) s"$a.getDouble($j * $subDim + $i)"
-        else s"(double) $a.getFloat($j * $subDim + $i)"
+      val best = ctx.freshName("best")
       s"""
          |if ($a.numElements() != ${m * subDim}) {
          |  ${ev.isNull} = true;
@@ -91,13 +137,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
          |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
          |    int $best = 0; double $bestD = Double.MAX_VALUE;
          |    for (int $c = 0; $c < $ks; $c++) {
-         |      double $d = 0.0;
-         |      for (int $i = 0; $i < $subDim; $i++) {
-         |        if ($a.isNullAt($j * $subDim + $i)) { ${ev.isNull} = true; break; }
-         |        double $x = $getElem;
-         |        double $df = $x - $cb[$j][$c][$i];
-         |        $d += $df * $df;
-         |      }
+         |      ${PqCodec.subDistGen(a, cb, j, c, i, d, subDim, isDouble, ev.isNull)}
          |      if (${ev.isNull}) break;
          |      if ($d < $bestD) { $bestD = $d; $best = $c; }
          |    }
@@ -120,11 +160,13 @@ object PqEncode {
 
 /** Per-query ADC distance table, FLATTENED: array<float> of m·ks entries,
   * entry j·ks+c = squared L2 distance between the query's j-th
-  * sub-vector and centroid c of subspace j. Evaluated once per QUERY row
-  * (the tiny side of the probe join). */
+  * sub-vector and centroid c of subspace j (accumulated in DOUBLE, cast
+  * to float once per cell). Evaluated once per QUERY row (the tiny side
+  * of the probe join). */
 case class PqDistTable(child: Expression, codebook: Array[Array[Array[Float]]])
     extends UnaryExpression {
 
+  PqCodec.validate("pq_dist_table", codebook)
   private val m = codebook.length
   private val ks = codebook(0).length
   private val subDim = codebook(0)(0).length
@@ -138,7 +180,7 @@ case class PqDistTable(child: Expression, codebook: Array[Array[Array[Float]]])
       s"pq_dist_table needs array<float|double>, got $other")
   }
 
-  private def isDouble = child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  private lazy val isDouble = child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -148,14 +190,8 @@ case class PqDistTable(child: Expression, codebook: Array[Array[Array[Float]]])
     while (j < m) {
       var c = 0
       while (c < ks) {
-        var d = 0.0; var i = 0
-        while (i < subDim) {
-          if (a.isNullAt(j * subDim + i)) return null
-          val x = if (isDouble) a.getDouble(j * subDim + i) else a.getFloat(j * subDim + i).toDouble
-          val diff = x - codebook(j)(c)(i)
-          d += diff * diff
-          i += 1
-        }
+        val d = PqCodec.subDist(a, j, c, codebook, subDim, isDouble)
+        if (d.isNaN) return null
         out(j * ks + c) = d.toFloat
         c += 1
       }
@@ -171,10 +207,7 @@ case class PqDistTable(child: Expression, codebook: Array[Array[Array[Float]]])
       val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
       val out = ctx.freshName("out")
       val j = ctx.freshName("j"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
-      val d = ctx.freshName("d"); val x = ctx.freshName("x"); val df = ctx.freshName("df")
-      val getElem =
-        if (isDouble) s"$a.getDouble($j * $subDim + $i)"
-        else s"(double) $a.getFloat($j * $subDim + $i)"
+      val d = ctx.freshName("d")
       s"""
          |if ($a.numElements() != ${m * subDim}) {
          |  ${ev.isNull} = true;
@@ -182,13 +215,7 @@ case class PqDistTable(child: Expression, codebook: Array[Array[Array[Float]]])
          |  float[] $out = new float[${m * ks}];
          |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
          |    for (int $c = 0; $c < $ks; $c++) {
-         |      double $d = 0.0;
-         |      for (int $i = 0; $i < $subDim; $i++) {
-         |        if ($a.isNullAt($j * $subDim + $i)) { ${ev.isNull} = true; break; }
-         |        double $x = $getElem;
-         |        double $df = $x - $cb[$j][$c][$i];
-         |        $d += $df * $df;
-         |      }
+         |      ${PqCodec.subDistGen(a, cb, j, c, i, d, subDim, isDouble, ev.isNull)}
          |      if (${ev.isNull}) break;
          |      $out[$j * $ks + $c] = (float) $d;
          |    }
@@ -211,8 +238,10 @@ object PqDistTable {
 /** ADC score: m table lookups summed — the per-candidate hot kernel.
   * `left` = the candidate's m-byte code, `right` = the query's flattened
   * m×ks table. Returns the approximate squared L2 distance (rank
-  * ASCENDING; on unit vectors ‖a−b‖² = 2−2cos, so the ordering equals
-  * the cosine ordering). */
+  * ASCENDING with nulls LAST; on unit vectors ‖a−b‖² = 2−2cos, so the
+  * ordering equals the cosine ordering). A null table CELL yields a
+  * null score (tables from arbitrary sources may carry nulls —
+  * silently reading the slot would understate the distance). */
 case class PqAdcScore(left: Expression, right: Expression, ks: Int)
     extends BinaryExpression {
 
@@ -234,7 +263,9 @@ case class PqAdcScore(left: Expression, right: Expression, ks: Int)
     var acc = 0.0
     var j = 0
     while (j < codes.length) {
-      acc += table.getFloat(j * ks + (codes(j) & 0xFF))
+      val slot = j * ks + (codes(j) & 0xFF)
+      if (table.isNullAt(slot)) return null
+      acc += table.getFloat(slot)
       j += 1
     }
     acc
@@ -244,15 +275,18 @@ case class PqAdcScore(left: Expression, right: Expression, ks: Int)
     nullSafeCodeGen(ctx, ev, (codes, table) => {
       val j = ctx.freshName("j")
       val acc = ctx.freshName("acc")
+      val slot = ctx.freshName("slot")
       s"""
          |if ($table.numElements() != $codes.length * $ks) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
          |  for (int $j = 0; $j < $codes.length; $j++) {
-         |    $acc += $table.getFloat($j * $ks + (($codes[$j]) & 0xFF));
+         |    int $slot = $j * $ks + (($codes[$j]) & 0xFF);
+         |    if ($table.isNullAt($slot)) { ${ev.isNull} = true; break; }
+         |    $acc += $table.getFloat($slot);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })

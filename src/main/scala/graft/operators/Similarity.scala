@@ -11,6 +11,42 @@ import graft.functions.F
   */
 object Similarity {
 
+  /** L2-unit normalization of the `embedding` column — ONE definition
+    * shared by the IVF cell geometry and the PQ codec so the two can
+    * never drift (the PQ codes are documented to share the IVF's
+    * normalized space). A zero vector yields NaN elements; both
+    * consumers treat the row as unmatchable rather than crash. */
+  private def unitEmbedding: org.apache.spark.sql.Column =
+    transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
+
+  /** Bounded build-once index memo: FIFO eviction at `max`, releasing
+    * the evicted entry's cached frame. Shared scaffolding for the IVF
+    * and PQ indexes (one lifecycle, not two hand-rolled copies). */
+  private final class BoundedMemo[K, V](max: Int, release: V => Unit) {
+    private val map = scala.collection.mutable.LinkedHashMap.empty[K, V]
+    def getOrElseUpdate(key: K)(build: => V): V = map.get(key) match {
+      case Some(v) => v
+      case None =>
+        val v = build
+        if (map.size >= max) {
+          val (oldKey, old) = map.head
+          release(old)
+          map.remove(oldKey)
+        }
+        map.put(key, v)
+        v
+    }
+  }
+
+  /** Memo key half: the corpus' analyzed-plan identity within a session. */
+  private def planKey(corpus: DataFrame): (Int, Int) = {
+    val planHash = corpus match {
+      case d: org.apache.spark.sql.classic.Dataset[_] => d.queryExecution.analyzed.semanticHash()
+      case d => d.schema.hashCode()
+    }
+    (System.identityHashCode(corpus.sparkSession), planHash)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors. The query side is broadcast (queries are few by
     * construction); similarity is double-precision and the ranking uses
@@ -63,8 +99,7 @@ object Similarity {
   // bounded (oldest entry unpersisted + evicted) so repeated builds with
   // changing corpora can't accumulate executor storage.
   private val ivfMemo =
-    scala.collection.mutable.LinkedHashMap.empty[(Int, Int, Int, Long, Int), IvfIndex]
-  private val IvfMemoMax = 4
+    new BoundedMemo[(Int, Int, Int, Long, Int), IvfIndex](4, _.assigned.unpersist())
 
   /** Build (or fetch the memoized) IVF index over `corpus`.
     *
@@ -78,36 +113,22 @@ object Similarity {
                trainMod: Int = 4): IvfIndex = synchronized {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val planHash = corpus match {
-      case d: org.apache.spark.sql.classic.Dataset[_] => d.queryExecution.analyzed.semanticHash()
-      case d => d.schema.hashCode()
-    }
-    val key = (System.identityHashCode(corpus.sparkSession), planHash, nLists, seed, trainMod)
-    ivfMemo.get(key) match {
-      case Some(idx) => idx
-      case None =>
-        // L2-normalize for clustering/probing so euclidean cell geometry
-        // matches cosine ranking; raw embeddings still score candidates.
-        val unit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
-        val corpusVec = corpus.select(
-          col("vec_id"), col("embedding"),
-          array_to_vector(unit).as("features"))
-        val trainVec = corpusVec
-          .filter(pmod(xxhash64(col("vec_id")), lit(trainMod.toLong)) === 0)
-          .select(col("features")).cache()
-        val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(trainVec)
-        trainVec.unpersist()
-        val assigned = model.transform(corpusVec)
-          .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-          .cache()
-        val idx = IvfIndex(model, assigned)
-        if (ivfMemo.size >= IvfMemoMax) {
-          val (oldKey, old) = ivfMemo.head
-          old.assigned.unpersist()
-          ivfMemo.remove(oldKey)
-        }
-        ivfMemo.put(key, idx)
-        idx
+    val (sess, planHash) = planKey(corpus)
+    ivfMemo.getOrElseUpdate((sess, planHash, nLists, seed, trainMod)) {
+      // L2-normalize for clustering/probing so euclidean cell geometry
+      // matches cosine ranking; raw embeddings still score candidates.
+      val corpusVec = corpus.select(
+        col("vec_id"), col("embedding"),
+        array_to_vector(unitEmbedding).as("features"))
+      val trainVec = corpusVec
+        .filter(pmod(xxhash64(col("vec_id")), lit(trainMod.toLong)) === 0)
+        .select(col("features")).cache()
+      val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5).fit(trainVec)
+      trainVec.unpersist()
+      val assigned = model.transform(corpusVec)
+        .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+        .cache()
+      IvfIndex(model, assigned)
     }
   }
 
@@ -139,7 +160,7 @@ object Similarity {
     val centLit = array(centroids.map {
       case (i, c) => struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("cvec"))
     }: _*)
-    val qUnit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
+    val qUnit = unitEmbedding
     val probes = TopK.topKPerKey(
       queries
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), qUnit.as("q_unit"))
@@ -218,8 +239,7 @@ object Similarity {
   final case class PqIndex(codebook: Array[Array[Array[Float]]], codes: DataFrame)
 
   private val pqMemo =
-    scala.collection.mutable.LinkedHashMap.empty[(Int, Int, Int, Int, Int, Long, Int), PqIndex]
-  private val PqMemoMax = 4
+    new BoundedMemo[(Int, Int, Int, Int, Int, Long, Int), PqIndex](4, _.codes.unpersist())
 
   /** Train (or fetch the memoized) product quantizer: `m` independent
     * per-subspace k-means fits on the SAME deterministic hash-sample the
@@ -234,39 +254,25 @@ object Similarity {
     import graft.functions.expressions.PqEncode
     require(dim % m == 0, s"pq: dim $dim must split into m=$m subspaces")
     val subDim = dim / m
-    val planHash = corpus match {
-      case d: org.apache.spark.sql.classic.Dataset[_] => d.queryExecution.analyzed.semanticHash()
-      case d => d.schema.hashCode()
-    }
-    val key = (System.identityHashCode(corpus.sparkSession), planHash, dim, m, ks, seed, trainMod)
-    pqMemo.get(key) match {
-      case Some(idx) => idx
-      case None =>
-        val unit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
-        val sample = corpus
-          .filter(pmod(xxhash64(col("vec_id")), lit(trainMod.toLong)) === 0)
-          .select(unit.as("u")).cache()
-        val codebook = Array.tabulate(m) { j =>
-          val sub = sample.select(
-            array_to_vector(slice(col("u"), j * subDim + 1, subDim)).as("features"))
-          val centers = new KMeans().setK(ks).setSeed(seed + j).setMaxIter(5)
-            .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
-          // k-means can return < ks centers on degenerate subspaces; pad
-          // by repeating the last (strict-< argmin never picks a repeat,
-          // so codes stay dense and the ks-stride ADC table stays valid)
-          centers ++ Array.fill(ks - centers.length)(centers.last)
-        }
-        sample.unpersist()
-        val codes = corpus
-          .select(col("vec_id"), PqEncode(unit, codebook).as("code")).cache()
-        val idx = PqIndex(codebook, codes)
-        if (pqMemo.size >= PqMemoMax) {
-          val (oldKey, old) = pqMemo.head
-          old.codes.unpersist()
-          pqMemo.remove(oldKey)
-        }
-        pqMemo.put(key, idx)
-        idx
+    val (sess, planHash) = planKey(corpus)
+    pqMemo.getOrElseUpdate((sess, planHash, dim, m, ks, seed, trainMod)) {
+      val sample = corpus
+        .filter(pmod(xxhash64(col("vec_id")), lit(trainMod.toLong)) === 0)
+        .select(unitEmbedding.as("u")).cache()
+      val codebook = Array.tabulate(m) { j =>
+        val sub = sample.select(
+          array_to_vector(slice(col("u"), j * subDim + 1, subDim)).as("features"))
+        val centers = new KMeans().setK(ks).setSeed(seed + j).setMaxIter(5)
+          .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
+        // k-means can return < ks centers on degenerate subspaces; pad
+        // by repeating the last (strict-< argmin never picks a repeat,
+        // so codes stay dense and the ks-stride ADC table stays valid)
+        centers ++ Array.fill(ks - centers.length)(centers.last)
+      }
+      sample.unpersist()
+      val codes = corpus
+        .select(col("vec_id"), PqEncode(unitEmbedding, codebook).as("code")).cache()
+      PqIndex(codebook, codes)
     }
   }
 
@@ -281,16 +287,17 @@ object Similarity {
                 m: Int = 8, ks: Int = 16, seed: Long = 42L, trainMod: Int = 4): DataFrame = {
     import graft.functions.expressions.{PqAdcScore, PqDistTable}
     val idx = pqIndex(corpus, dim, m, ks, seed, trainMod)
-    val unit = transform(col("embedding"), x => x.cast("double") / F.l2Norm(col("embedding")))
     val q = queries.select(col("vec_id").as("query_id"),
-      PqDistTable(unit, idx.codebook).as("tbl"))
+      PqDistTable(unitEmbedding, idx.codebook).as("tbl"))
     val scored = idx.codes
       .select(col("vec_id").as("neighbor_id"), col("code"))
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adist", round(PqAdcScore(col("code"), col("tbl"), ks), 4))
+    // nulls LAST: a null code (malformed embedding) must sink, not rank
+    // #1 for every query — ascending order defaults to NullsFirst
     TopK.topKWithRank(scored, col("query_id"),
-      Seq(col("adist").asc, col("neighbor_id")), k, "rk")
+      Seq(col("adist").asc_nulls_last, col("neighbor_id")), k, "rk")
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("neighbor_id"), col("adist"))
   }

@@ -74,15 +74,23 @@ class SimilaritySpec extends SpecBase {
       v.map(_ / n)
     }
     val qu = unitOf(r0.getAs[Long]("query_id"))
+    // replay the kernel's EXACT float semantics: each table cell
+    // accumulates diff² in DOUBLE and casts to float ONCE (PqDistTable),
+    // then ADC sums the float cells in double (PqAdcScore), and the
+    // query rounds to 4dp — a per-term float accumulation here would
+    // hide a real ordering/precision regression behind a loose tolerance
     val expect = (0 until 8).map { j =>
       val c = codeOf(j) & 0xFF
-      (0 until 8).map { i =>
+      val cell = (0 until 8).map { i =>
         val d = qu(j * 8 + i) - idx.codebook(j)(c)(i)
-        (d * d).toFloat // the table stores per-cell floats; replay the cast
-      }.sum.toDouble
+        d * d
+      }.sum // double accumulation inside the cell
+      cell.toFloat.toDouble // one float cast per cell
     }.sum
-    assert(math.abs(r0.getAs[Double]("adist") - expect) < 1e-3,
-      s"adist ${r0.getAs[Double]("adist")} vs replay $expect")
+    val expectRounded =
+      BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r0.getAs[Double]("adist") - expectRounded) < 1e-9,
+      s"adist ${r0.getAs[Double]("adist")} vs replay $expectRounded")
     // recall vs the exact baseline: the ADC shortlist alone is the weak
     // form (measured 0.2 recall@5 here — 16 centroids on near-random
     // subspaces quantize coarsely); q152's exact re-rank recovers every
