@@ -151,19 +151,21 @@ object Similarity {
     * the fitted model a probe ever needs, which is what makes the index
     * a PERSISTABLE artifact ([[saveIvfIndex]]/[[loadIvfIndex]]): no
     * KMeansModel round trip, just arrays + the inverted file. */
-  private def probeIvf(centroids: Seq[(Int, Array[Double])], assigned: DataFrame,
-                       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    // nProbe nearest centroids per query — fully distributed: centroids
-    // (nLists of them, at most a few thousand in a real deployment) ride
-    // as a broadcast-sized literal array; each query explodes against it
-    // and a window keeps the nProbe closest. No driver collect.
+  /** nProbe nearest cells per query — fully distributed: centroids
+    * (nLists of them, at most a few thousand in a real deployment) ride
+    * as a broadcast-sized literal array; each query explodes against it
+    * and the TopKPerKey node keeps the nProbe closest. No driver
+    * collect. Shared by the exact IVF probe and the IVF-PQ composition.
+    * Returns (query_id, cell, q_emb). */
+  private def probeCells(centroids: Seq[(Int, Array[Double])],
+                         queries: DataFrame, nProbe: Int): DataFrame = {
     val centLit = array(centroids.map {
       case (i, c) => struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("cvec"))
     }: _*)
-    val qUnit = unitEmbedding
-    val probes = TopK.topKPerKey(
+    TopK.topKPerKey(
       queries
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), qUnit.as("q_unit"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          unitEmbedding.as("q_unit"))
         .select(col("query_id"), col("q_emb"), col("q_unit"), explode(centLit).as("c"))
         .withColumn("dist",
           aggregate(
@@ -172,7 +174,11 @@ object Similarity {
         .withColumn("cell", col("c.cell")),
       keys = Seq(col("query_id")), order = Seq(col("dist"), col("cell")), k = nProbe)
       .select(col("query_id"), col("cell"), col("q_emb"))
+  }
 
+  private def probeIvf(centroids: Seq[(Int, Array[Double])], assigned: DataFrame,
+                       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(centroids, queries, nProbe)
     val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(F.cosine(col("q_emb"), col("embedding")), 4))
@@ -314,6 +320,14 @@ object Similarity {
              seed: Long = 42L, trainMod: Int = 4): DataFrame = {
     val shortlist = pqAdcTopK(corpus, queries, dim, k * rerank, m, ks, seed, trainMod)
       .select(col("query_id"), col("neighbor_id"))
+    rerankExact(corpus, queries, shortlist, k)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist — the
+    * closing stage shared by [[pqTopK]] and [[ivfPqTopK]]: only the
+    * shortlist rows (k·rerank per query) ever fetch raw embeddings. */
+  private def rerankExact(corpus: DataFrame, queries: DataFrame,
+                          shortlist: DataFrame, k: Int): DataFrame = {
     val qEmb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val rescored = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
@@ -324,5 +338,38 @@ object Similarity {
       Seq(col("cos").desc, col("neighbor_id")), k, "rk")
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("neighbor_id"), col("cos"))
+  }
+
+  /** IVFADC — the full composition of Jégou et al.: the coarse
+    * quantizer's nProbe cells prune the candidate set FIRST (a query
+    * touches nProbe/nLists of the codes, not all of them), the ADC
+    * kernel scores only the probed cells' 16-byte codes, and the exact
+    * re-rank closes. At a billion vectors this is the layout that fits:
+    * cells bound the scan, codes bound the memory, and the re-rank
+    * bounds the float work to k·rerank rows per query. Both indexes are
+    * the SAME memoized build-once artifacts q40/q152 use — one coarse
+    * quantizer + one PQ codebook serve every composition. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                nLists: Int = 8, nProbe: Int = 3, m: Int = 16, ks: Int = 64,
+                rerank: Int = 8, seed: Long = 42L, trainMod: Int = 4): DataFrame = {
+    import graft.functions.expressions.{PqAdcScore, PqDistTable}
+    val ivf = ivfIndex(corpus, nLists, seed, trainMod)
+    val pq = pqIndex(corpus, dim, m, ks, seed, trainMod)
+    val centroids = ivf.model.clusterCenters.toSeq.map(_.toArray).zipWithIndex.map(_.swap)
+    val probes = probeCells(centroids, queries, nProbe)
+      .select(col("query_id"), col("cell"))
+    val qTbl = queries.select(col("vec_id").as("query_id"),
+      PqDistTable(unitEmbedding, pq.codebook).as("tbl"))
+    // (query_id, cell, tbl): nProbe rows per query, still broadcast-tiny
+    val probesT = probes.join(qTbl, "query_id")
+    val cellCodes = pq.codes
+      .join(ivf.assigned.select(col("vec_id"), col("cell")), "vec_id")
+    val scored = cellCodes.join(broadcast(probesT), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", round(PqAdcScore(col("code"), col("tbl"), ks), 4))
+    val shortlist = TopK.topKPerKey(scored, Seq(col("query_id")),
+      Seq(col("adist").asc_nulls_last, col("vec_id")), k * rerank)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    rerankExact(corpus, queries, shortlist, k)
   }
 }

@@ -376,6 +376,21 @@ object LlmQueries {
         m = 16, ks = 64, rerank = 8, trainMod = 2)
     },
 
+    // q153: IVFADC — the FULL Jégou et al. composition closing the ANN
+    // ladder: q40's coarse cells prune the candidate set (a query
+    // touches nProbe/nLists of the codes), q152's ADC kernel scores only
+    // the probed cells' 16-byte codes, the exact re-rank closes. The two
+    // indexes are the same memoized build-once artifacts q40/q152 train —
+    // one coarse quantizer + one codebook serve every composition.
+    // Rows-only (iterative trainers); SimilaritySpec pins recall vs q26,
+    // the cell-containment property (every emitted neighbor sits in one
+    // of its query's probed cells), and rerun determinism.
+    "q153_ivfpq_ann" -> QueryDef.rowsOnly { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), dim = 64, k = 5,
+        nLists = 8, nProbe = 3, m = 16, ks = 64, rerank = 8, trainMod = 2)
+    },
+
     // q119: CLUSTER-BALANCED draw — the diversity-sampling step of an
     // eval-set/curation pipeline: partition the corpus semantically
     // (the SAME coarse k-means quantizer q40's IVF index already

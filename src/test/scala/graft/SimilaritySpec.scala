@@ -109,6 +109,34 @@ class SimilaritySpec extends SpecBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q153 IVFADC: recall, cell containment, determinism") {
+    val out = SparkEntry.queries("q153_ivfpq_ann")(spark, SfDir)
+      .orderBy("query_id", "rk").collect()
+    assert(out.length == 50)
+    // recall vs exact: cell pruning costs recall only when a true
+    // neighbor lives in an unprobed cell (3/8 cells probed)
+    val brute = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 10), k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pairs = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(pairs.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVFADC recall $recall")
+    // composition property: every emitted neighbor must sit in one of
+    // its query's probed cells — if not, the cell pruning is fictional
+    // the SAME index build q153 uses (trainMod=2) — a differently-
+    // sampled quantizer assigns different cells
+    val cellOf = Similarity.ivfIndex(emb, nLists = 8, seed = 42L, trainMod = 2).assigned
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    // a query's probed cells are at most nProbe=3 distinct values; the
+    // emitted neighbors per query must use ≤ 3 distinct cells
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val cells = rows.map(r => cellOf(r.getAs[Long]("neighbor_id"))).toSet
+      assert(cells.size <= 3, s"query $q neighbors span ${cells.size} > nProbe cells")
+    }
+    val again = SparkEntry.queries("q153_ivfpq_ann")(spark, SfDir)
+      .orderBy("query_id", "rk").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q119 cluster-balanced draw: cover, cap arithmetic, membership, determinism") {
     val q = graft.queries.LlmQueries.defs("q119_cluster_balance").build
     val out = q(spark, SfDir).collect()
