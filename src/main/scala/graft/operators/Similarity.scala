@@ -352,7 +352,7 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
                 nLists: Int = 8, nProbe: Int = 3, m: Int = 16, ks: Int = 64,
                 rerank: Int = 8, seed: Long = 42L, trainMod: Int = 4): DataFrame = {
-    import graft.functions.expressions.{PqAdcScore, PqDistTable}
+    import graft.functions.expressions.{PqAdcScore, PqDistTable, PqEncode}
     val ivf = ivfIndex(corpus, nLists, seed, trainMod)
     val pq = pqIndex(corpus, dim, m, ks, seed, trainMod)
     val centroids = ivf.model.clusterCenters.toSeq.map(_.toArray).zipWithIndex.map(_.swap)
@@ -362,8 +362,14 @@ object Similarity {
       PqDistTable(unitEmbedding, pq.codebook).as("tbl"))
     // (query_id, cell, tbl): nProbe rows per query, still broadcast-tiny
     val probesT = probes.join(qTbl, "query_id")
-    val cellCodes = pq.codes
-      .join(ivf.assigned.select(col("vec_id"), col("cell")), "vec_id")
+    // Codes are re-derived MAP-SIDE on the cached inverted file (assigned
+    // already carries the embedding) rather than joining pq.codes: a
+    // codegen'd encode pass over cached rows is a narrow map, while the
+    // join would shuffle two corpus-sized frames by vec_id. In a stored
+    // deployment the inverted file simply carries the code column
+    // (saveIvfIndex's cells + 16 bytes), the same zero-join posture.
+    val cellCodes = ivf.assigned.select(col("vec_id"), col("cell"),
+      PqEncode(unitEmbedding, pq.codebook).as("code"))
     val scored = cellCodes.join(broadcast(probesT), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adist", round(PqAdcScore(col("code"), col("tbl"), ks), 4))
