@@ -54,6 +54,35 @@ object ConnectorQueries {
   private val SoprocUrl = "https://www.socialpro.org.il/i/activities/gov_social_service/"
   private val SoprocTag = "דף השירות ב״מפתח לרכש החברתי״"
 
+  // q156 literals — static config from the small staging flows.
+  // child_care/update_service.py:9 sector_to_situations: the dict's
+  // literal LIST ORDER is the output order (pinned verbatim, '|'-joined).
+  private val CcSectors = Seq(
+    "ערבי" -> "human_situations:sectors:arabs|human_situations:language:arabic_speaking|human_situations:age_group:infants",
+    "בדואי" -> "human_situations:sectors:bedouin|human_situations:language:arabic_speaking|human_situations:age_group:infants",
+    "דרוזי" -> "human_situations:sectors:druze|human_situations:language:arabic_speaking|human_situations:age_group:infants",
+    "צרקסי" -> "human_situations:sectors:circassians|human_situations:age_group:infants",
+    "יהודי" -> "human_situations:age_group:infants")
+  private val CcSvcName = "מעון יום מסובסד לפעוטות בפיקוח משרד החינוך"
+  private val CcDetailsPrefix = "המעון מיועד עבור החברה ה"
+  // day_care/update_organization.py:11 council mask + kinds
+  private val DcCouncilRe = "מועצה מקומית|מועצה אזורית"
+  private val DcKindCouncil = "רשות מקומית"
+  private val DcKindPrivate = "חברה פרטית"
+  // day_care/update_service.py:9 static service records (name/situations/
+  // responses; the long description prose literals are config text and
+  // stay in the reference)
+  private val DcStatic = Seq(
+    ("mol_daycare-1", "משפחתון בפיקוח משרד העבודה",
+      "human_services:care:daytime_care", "human_situations:age_group:infants"),
+    ("mol_daycare-2", "צהרון לילדי גן",
+      "human_services:education:afterschool_care", "human_situations:age_group:children"))
+  // revaha/process_urls_gsheet.py:8 url field labels, loop order (ar, he)
+  private val RvLabelAr = "האתר של המחלקה בערבית"
+  private val RvLabelHe = "האתר של המחלקה בעברית"
+  // meser/__init__.py:152 sanitize magic values (else-branch nulling)
+  private val MsMissing = Seq("NULL", "-1", "לא ידוע", "לא משויך", "רב תכליתי")
+
   val defs: Map[String, QueryDef] = Map(
 
     // q137: branch location keys (operators/entities/__init__.py:253
@@ -1308,6 +1337,410 @@ object ConnectorQueries {
         when(tx.isNotNull && tx =!= 0.0 && ty.isNotNull && ty =!= 0.0,
           Olc.encode11(ty, tx)).otherwise(tpAddress).as("tp_location"),
         when(code =!= "national", concat(lit(TipatItemUrl), code)).as("tp_urls"))
+    },
+
+    // q154: STATUS RECONCILIATION (operators/meser/utilities/
+    // trigger_status_check.py — the sync step every update_* flow runs
+    // before its upsert: day_care, child_care, meser org/branch/service).
+    // The offline math (the Airtable I/O halves stay out of scope):
+    //  - :7 fetch_airtable_records builds key -> (id, status) over the
+    //    STORED table with the reference's exact key-extraction ladder:
+    //    a LIST value takes its first element, an EMPTY list drops the
+    //    record (isinstance(str) fails on []), a string is strip()ped and
+    //    drops when empty, a missing value drops, and a NUMERIC value
+    //    drops too (there is no int branch — the isinstance(str) quirk);
+    //    records scope to fields['source'] == only_from_source; duplicate
+    //    keys LAST-WINS (dict overwrite in table.all() fetch order).
+    //  - :43 build_status_update_dataframe emits ONLY deactivations:
+    //    stored keys absent from the staged batch whose current status
+    //    differs from the inactive value (a NULL status differs — Python
+    //    None != 'INACTIVE'). The docstring claims actives are synced
+    //    too; the code never emits them — the CODE's contract is pinned.
+    //  - staged keys are df[key].dropna().astype(str) — a set-membership
+    //    probe, re-expressed as a broadcast LEFT ANTI join (the
+    //    driver-dict -> join re-expression; at 100 TB the staged set
+    //    rides a bloom filter, q125's posture).
+    // Plan: stored scan projects (key, status, ord) only; keep-last
+    // routes through the TopKPerKey node (bounded heaps — lesson 41's
+    // keep-first argument, mirrored for keep-last); one keys-only
+    // exchange + one broadcast anti join, nothing row-width ever moves.
+    "q154_status_sync" -> QueryDef.of(
+      """WITH stored AS (
+        |  SELECT c_custkey AS ord, c_custkey % 7 AS vt,
+        |    'M' || CAST(c_custkey % 450 AS VARCHAR) AS skey,
+        |    CASE WHEN c_custkey % 5 = 2 THEN 'other' ELSE 'meser' END AS source,
+        |    CASE c_custkey % 4 WHEN 0 THEN 'ACTIVE' WHEN 1 THEN 'INACTIVE'
+        |         WHEN 3 THEN 'ACTIVE' END AS status
+        |  FROM customer),
+        |extracted AS (
+        |  SELECT ord, source, status,
+        |    nullif(trim(CASE vt WHEN 0 THEN skey
+        |                        WHEN 2 THEN '  ' || skey || ' '
+        |                        WHEN 6 THEN skey END), '') AS key
+        |  FROM stored),
+        |scoped AS (
+        |  SELECT * FROM extracted WHERE key IS NOT NULL AND source = 'meser'),
+        |last_wins AS (
+        |  SELECT key, status FROM (
+        |    SELECT key, status,
+        |      row_number() OVER (PARTITION BY key ORDER BY ord DESC) AS rn
+        |    FROM scoped) WHERE rn = 1),
+        |staged AS (
+        |  SELECT DISTINCT 'M' || CAST(o_custkey % 600 AS VARCHAR) AS key
+        |  FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND (o_custkey % 600) % 3 <> 1 AND o_orderkey % 11 <> 5)
+        |SELECT l.key AS id, l.status AS prior_status, 'INACTIVE' AS status
+        |FROM last_wins l LEFT JOIN staged s ON l.key = s.key
+        |WHERE s.key IS NULL AND l.status IS DISTINCT FROM 'INACTIVE'
+        |""".stripMargin) { (s, dir) =>
+      val k = col("c_custkey")
+      val vt = k % 7
+      val skey = concat(lit("M"), (k % 450).cast("string"))
+      // The stored table's raw key value is DYNAMICALLY typed in the
+      // reference (Airtable cell: list / string / number / missing); one
+      // column per shape here, exactly one non-null per row, and the
+      // extraction ladder replays fetch_airtable_records:34-39 verbatim.
+      val rawArr = when(vt === 0, array(skey, lit("alt")))
+        .when(vt === 1, array().cast("array<string>"))
+      val rawNum = when(vt === 5, k)
+      val rawStr = when(vt === 2, concat(lit("  "), skey, lit(" ")))
+        .when(vt === 3, lit("   "))
+        .when(vt === 6, skey)
+      val stored = Tables.customer(s, dir).select(
+        k.as("ord"), rawArr.as("raw_l"), rawNum.as("raw_n"), rawStr.as("raw_s"),
+        when(k % 5 === 2, lit("other")).otherwise(lit("meser")).as("source"),
+        when(k % 4 === 0, lit("ACTIVE")).when(k % 4 === 1, lit("INACTIVE"))
+          .when(k % 4 === 3, lit("ACTIVE")).as("status"))
+      val candidate = when(col("raw_l").isNotNull && size(col("raw_l")) > 0,
+          element_at(col("raw_l"), 1))                     // list -> first
+        .when(col("raw_l").isNotNull, lit(null).cast("string")) // [] drops
+        .when(col("raw_n").isNotNull, lit(null).cast("string")) // int drops
+        .otherwise(col("raw_s"))
+      val keyed = stored
+        .withColumn("key", when(length(trim(candidate)) > 0, trim(candidate)))
+        .filter(col("key").isNotNull && col("source") === "meser")
+        .select(col("key"), col("status"), col("ord"))
+      val lastWins = graft.operators.TopK
+        .topKPerKey(keyed, Seq(col("key")), Seq(col("ord").desc), 1)
+      val o = col("o_custkey") % 600
+      val staged = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 3 === 0 && o % 3 =!= 1 && col("o_orderkey") % 11 =!= 5)
+        .select(concat(lit("M"), o.cast("string")).as("key")).distinct()
+      lastWins.join(broadcast(staged), Seq("key"), "left_anti")
+        .filter(!(col("status") <=> lit("INACTIVE")))
+        .select(col("key").as("id"), col("status").as("prior_status"),
+          lit("INACTIVE").as("status"))
+    },
+
+    // q155: the meser BRANCH publish aggregate (operators/meser/
+    // update_branch.py:10 update_airtable_branches_from_df) on top of the
+    // combine shape q142 models, plus run()'s organization-id gate
+    // (meser/__init__.py:214 — str len BETWEEN 5 AND 15, dropping the
+    // too-short/too-long business numbers before every update flow):
+    //  - FK map (get_foreign_key_by_field:29): each organization_id maps
+    //    through the org table's record map to [recId] or [] — the
+    //    driver-dict -> BROADCAST left-join re-expression (q146's arm).
+    //    The :45 merge-with-existing step is a documented NO-OP here:
+    //    merge_foreign_key keys on row['id'], a column the branch frame
+    //    does not have, so existing_map.get('None') never hits and the
+    //    merged list is exactly the newly-mapped one — the reference
+    //    BUG's behavior is pinned, not "fixed" (contrast q146, where the
+    //    service frame HAS 'id' and the merge genuinely unions).
+    //  - :38 groupby branch_id: `organization` is the SET of mapped rec
+    //    ids over the group with falsy drops — list(set) order is
+    //    nondeterministic in Python, pinned sorted here (q146's pin);
+    //    `address` is pandas groupby-first = first NON-NULL in row
+    //    order (the DuckDB arg_min null-skip IS that contract; Spark's
+    //    min_by keeps nulls, so the engine side min's a null-guarded
+    //    (ord, addr) struct — the min_by parity trap, inverted);
+    //    `phone_numbers` joins the group's phones ', ' in ROW ORDER,
+    //    dropping blank and literal-'0' entries, duplicates KEPT.
+    //  - enrich: source/status constants, location copies address.
+    // Plan: one broadcast dim probe + ONE exchange on branch_id; the
+    // only buffered state is the per-group rec set and phone list
+    // (bounded by group size); nothing re-scans, nothing sorts map-side.
+    "q155_meser_branch_publish" -> QueryDef.of(
+      """WITH dim0 AS (
+        |  SELECT DISTINCT '5' || lpad(CAST(c_custkey % 700 AS VARCHAR), 8, '0') AS org
+        |  FROM customer WHERE (c_custkey % 700) % 3 <> 0
+        |  UNION
+        |  SELECT DISTINCT '6' || lpad(CAST(c_custkey % 500 AS VARCHAR), 8, '0')
+        |  FROM customer WHERE (c_custkey % 500) % 4 <> 1
+        |  UNION SELECT '500106406'),
+        |dim AS (SELECT org, 'recO' || substr(md5(org), 1, 6) AS rec FROM dim0),
+        |b AS (
+        |  SELECT o_orderkey AS ord,
+        |    'meser-b-' || CAST(o_orderkey % 2500 AS VARCHAR) AS branch_id,
+        |    CASE o_orderkey % 6
+        |      WHEN 0 THEN '123' WHEN 1 THEN '500106406'
+        |      WHEN 2 THEN '5' || lpad(CAST(o_orderkey % 700 AS VARCHAR), 8, '0')
+        |      WHEN 3 THEN '1234567890123456'
+        |      ELSE '6' || lpad(CAST(o_orderkey % 500 AS VARCHAR), 8, '0') END AS org,
+        |    CASE WHEN o_orderkey % 5 <> 0 THEN 'Addr ' || CAST(o_orderkey % 300 AS VARCHAR) END AS address,
+        |    CASE o_orderkey % 7 WHEN 0 THEN '' WHEN 1 THEN '0' WHEN 2 THEN NULL
+        |      ELSE '05' || lpad(CAST(o_orderkey % 10000 AS VARCHAR), 7, '0') END AS phone
+        |  FROM orders),
+        |gated AS (SELECT * FROM b WHERE length(org) BETWEEN 5 AND 15),
+        |mapped AS (SELECT g.*, d.rec FROM gated g LEFT JOIN dim d ON g.org = d.org),
+        |agg AS (
+        |  SELECT branch_id,
+        |    COALESCE(array_to_string(list_sort(list_distinct(
+        |      list(rec ORDER BY ord) FILTER (WHERE rec IS NOT NULL))), '|'), '') AS organization,
+        |    arg_min(address, ord) AS address,
+        |    COALESCE(array_to_string(
+        |      list(phone ORDER BY ord) FILTER (WHERE phone IS NOT NULL AND trim(phone) NOT IN ('', '0')),
+        |      ', '), '') AS phone_numbers
+        |  FROM mapped GROUP BY branch_id)
+        |SELECT branch_id, organization, address, address AS location, phone_numbers,
+        |  'meser' AS source, 'ACTIVE' AS status
+        |FROM agg
+        |""".stripMargin) { (s, dir) =>
+      val c7 = col("c_custkey") % 700
+      val d5 = Tables.customer(s, dir).filter(c7 % 3 =!= 0)
+        .select(concat(lit("5"), lpad(c7.cast("string"), 8, "0")).as("org")).distinct()
+      val c5 = col("c_custkey") % 500
+      val d6 = Tables.customer(s, dir).filter(c5 % 4 =!= 1)
+        .select(concat(lit("6"), lpad(c5.cast("string"), 8, "0")).as("org")).distinct()
+      val dConst = s.range(1).select(lit("500106406").as("org"))
+      // UNION (not UNION ALL) in the oracle: the arms are prefix-disjoint
+      // so the final distinct is a no-op, kept for literal parity.
+      val dim = d5.unionByName(d6).unionByName(dConst).distinct()
+        .withColumn("rec", concat(lit("recO"), substring(md5(col("org")), 1, 6)))
+      val o = col("o_orderkey")
+      val base = Tables.orders(s, dir).select(
+        o.as("ord"),
+        concat(lit("meser-b-"), (o % 2500).cast("string")).as("branch_id"),
+        when(o % 6 === 0, lit("123")).when(o % 6 === 1, lit("500106406"))
+          .when(o % 6 === 2, concat(lit("5"), lpad((o % 700).cast("string"), 8, "0")))
+          .when(o % 6 === 3, lit("1234567890123456"))
+          .otherwise(concat(lit("6"), lpad((o % 500).cast("string"), 8, "0"))).as("org"),
+        when(o % 5 =!= 0, concat(lit("Addr "), (o % 300).cast("string"))).as("address"),
+        when(o % 7 === 0, lit("")).when(o % 7 === 1, lit("0"))
+          .when(o % 7 === 2, lit(null).cast("string"))
+          .otherwise(concat(lit("05"), lpad((o % 10000).cast("string"), 7, "0"))).as("phone"))
+      val mapped = base.filter(length(col("org")).between(5, 15))
+        .join(broadcast(dim), Seq("org"), "left")
+      val phoneKeep = col("phone").isNotNull && !trim(col("phone")).isin("", "0")
+      mapped.groupBy(col("branch_id")).agg(
+          array_join(sort_array(collect_set(col("rec"))), "|").as("organization"),
+          // pandas groupby-first skips NaN: min over a null-guarded
+          // (ord, addr) struct finds the first non-null in row order
+          // (Spark's min_by would keep the null at the smallest ord)
+          min(when(col("address").isNotNull,
+            struct(col("ord").as("o"), col("address").as("a")))).getField("a").as("address"),
+          array_join(transform(
+            array_sort(collect_list(when(phoneKeep,
+              struct(col("ord").as("o"), col("phone").as("p"))))),
+            x => x.getField("p")), ", ").as("phone_numbers"))
+        .select(col("branch_id"), col("organization"), col("address"),
+          col("address").as("location"), col("phone_numbers"),
+          lit("meser").as("source"), lit("ACTIVE").as("status"))
+    },
+
+    // q156: the SMALL-STAGING remnants — the last five row-level
+    // transforms in the reference without a query, one scan, five arms
+    // (plus two static rows), q147's several-sources-one-pass posture:
+    //  - dc_org (day_care/update_organization.py:9 setup_kind, :18
+    //    rename, :27 astype(str) + len>=5 gate): council regex CONTAINS
+    //    match ('מועצה מקומית|מועצה אזורית', na=False — a NULL name is
+    //    private) -> kind; short business numbers drop.
+    //  - cc_svc (child_care/update_service.py:34): id is 'meonot-' +
+    //    hash(str(name)[-5:]) — python's [-5:] returns the WHOLE string
+    //    when shorter, replayed with right(.,5) / a length guard; the
+    //    sector dict maps to situations in its literal LIST order;
+    //    details is '' for the default sector, a prefixed sector string
+    //    otherwise (np.where, both branches pinned).
+    //  - dc_static (day_care/update_service.py:9): the two literal
+    //    service records appended to an empty frame (name/responses/
+    //    situations; the long description prose stays in the reference).
+    //  - rv_urls (revaha/process_urls_gsheet.py:6 calc_urls): the two
+    //    language-site fields join as url#field-label lines, ARABIC
+    //    field first (the loop's tuple order); falsy urls ('' or
+    //    missing) drop; no urls at all -> '' (join of empty list).
+    //  - ms_sanitize (meser/__init__.py:151 sanitize_for_airtable):
+    //    numeric columns coerce -> TRUNCATE toward zero -> fillna(0)
+    //    (python int(12.5)=12 — DuckDB CAST rounds, so the oracle goes
+    //    through trunc(); '-1' in a NUMERIC column survives, the magic
+    //    list only nulls the else-branch strings); dates parse dayfirst
+    //    (%d/%m/%Y) with errors='coerce' -> ISO or NULL; other columns
+    //    null the MISSING_VALUES magic literals.
+    //  - ms_org_flat (meser/update_organization.py:11 clean_fields):
+    //    dynamic-typed situations — a LIST joins ', ' (an EMPTY list is
+    //    still a list -> ''), a truthy string passes through, falsy
+    //    (''/None) -> ''.
+    // Plan: ONE customer scan, all arms map-side into an array-of-struct
+    // explode (row count x5, column-pruned to cid), union with a 2-row
+    // literal frame; zero joins, zero exchanges. The oracle replays as
+    // UNION ALL arms — same multiset, engine-appropriate shape.
+    "q156_small_staging" -> QueryDef.of {
+      val ccSitCase = CcSectors.map { case (n, v) => s"WHEN '$n' THEN '$v'" }
+        .mkString("CASE sector ", " ", " END")
+      val msMissingSql = MsMissing.map(v => s"'$v'").mkString("(", ", ", ")")
+      s"""WITH c AS (SELECT c_custkey AS cid FROM customer),
+         |dc AS (
+         |  SELECT CASE WHEN cid % 4 = 0 THEN CAST(cid % 90 AS VARCHAR)
+         |              ELSE '5' || lpad(CAST(cid % 800 AS VARCHAR), 7, '0') END AS id,
+         |    CASE cid % 6 WHEN 0 THEN 'מועצה מקומית עיר ' || CAST(cid % 40 AS VARCHAR)
+         |                 WHEN 1 THEN 'מועצה אזורית אזור ' || CAST(cid % 15 AS VARCHAR)
+         |                 WHEN 2 THEN 'ארגון מועצה'
+         |                 WHEN 4 THEN 'חברה ' || CAST(cid % 50 AS VARCHAR)
+         |                 WHEN 5 THEN 'חברה ' || CAST(cid % 50 AS VARCHAR) END AS name
+         |  FROM c),
+         |cc AS (
+         |  SELECT cid,
+         |    CASE WHEN cid % 9 = 0 THEN CAST(cid % 90 AS VARCHAR)
+         |         ELSE 'מעון ' || CAST(cid % 3000 AS VARCHAR) END AS name_sym,
+         |    CASE cid % 5 WHEN 0 THEN 'יהודי' WHEN 1 THEN 'ערבי' WHEN 2 THEN 'בדואי'
+         |                 WHEN 3 THEN 'דרוזי' ELSE 'צרקסי' END AS sector
+         |  FROM c),
+         |rv AS (
+         |  SELECT cid,
+         |    CASE WHEN cid % 4 IN (1, 2) THEN 'http://ex/ar/' || CAST(cid % 89 AS VARCHAR)
+         |         WHEN cid % 4 = 3 THEN '' END AS url_ar,
+         |    CASE WHEN cid % 3 <> 0 THEN 'http://ex/he/' || CAST(cid % 97 AS VARCHAR) END AS url_he
+         |  FROM c),
+         |ms AS (
+         |  SELECT cid,
+         |    CASE cid % 5 WHEN 0 THEN '' WHEN 1 THEN 'x12' WHEN 2 THEN '-1'
+         |                 WHEN 3 THEN CAST(cid % 80 AS VARCHAR) ELSE '12.5' END AS cap_raw,
+         |    CASE cid % 4 WHEN 0 THEN lpad(CAST(1 + cid % 28 AS VARCHAR), 2, '0') || '/' ||
+         |                             lpad(CAST(1 + cid % 12 AS VARCHAR), 2, '0') || '/20' ||
+         |                             lpad(CAST(cid % 30 AS VARCHAR), 2, '0')
+         |                 WHEN 1 THEN 'garbage' WHEN 2 THEN '' END AS startd_raw,
+         |    CASE cid % 6 WHEN 0 THEN 'NULL' WHEN 1 THEN '-1' WHEN 2 THEN 'לא ידוע'
+         |                 WHEN 3 THEN 'לא משויך' WHEN 4 THEN 'רב תכליתי'
+         |                 ELSE 'מחלקה ' || CAST(cid % 9 AS VARCHAR) END AS owner_raw
+         |  FROM c),
+         |mf AS (
+         |  SELECT cid,
+         |    CASE WHEN cid % 5 = 0 THEN ['hs:s' || CAST(cid % 11 AS VARCHAR), 'hs:t' || CAST(cid % 7 AS VARCHAR)]
+         |         WHEN cid % 5 = 1 THEN []::VARCHAR[] END AS sit_l,
+         |    CASE WHEN cid % 5 = 2 THEN 'hs:u' || CAST(cid % 13 AS VARCHAR)
+         |         WHEN cid % 5 = 3 THEN '' END AS sit_s
+         |  FROM c)
+         |SELECT 'dc_org' AS arm, id, name,
+         |  CASE WHEN name IS NOT NULL AND regexp_matches(name, '$DcCouncilRe')
+         |       THEN '$DcKindCouncil' ELSE '$DcKindPrivate' END AS extra1,
+         |  CAST(NULL AS VARCHAR) AS extra2
+         |FROM dc WHERE length(id) >= 5
+         |UNION ALL
+         |SELECT 'cc_svc', 'meonot-' || substr(md5(right(name_sym, 5)), 1, 8), '$CcSvcName',
+         |  CASE WHEN sector = 'יהודי' THEN '' ELSE '$CcDetailsPrefix' || sector END,
+         |  $ccSitCase
+         |FROM cc
+         |UNION ALL
+         |SELECT 'rv_urls', 'rv' || CAST(cid % 300 AS VARCHAR), CAST(NULL AS VARCHAR),
+         |  COALESCE(array_to_string(list_filter([
+         |    CASE WHEN url_ar IS NOT NULL AND url_ar <> '' THEN url_ar || '#$RvLabelAr' END,
+         |    CASE WHEN url_he IS NOT NULL AND url_he <> '' THEN url_he || '#$RvLabelHe' END],
+         |    x -> x IS NOT NULL), chr(10)), ''),
+         |  CAST(NULL AS VARCHAR)
+         |FROM rv
+         |UNION ALL
+         |SELECT 'ms_sanitize', 'ms' || CAST(cid AS VARCHAR),
+         |  CASE WHEN owner_raw IN $msMissingSql THEN NULL ELSE owner_raw END,
+         |  CAST(COALESCE(CAST(trunc(TRY_CAST(cap_raw AS DOUBLE)) AS BIGINT), 0) AS VARCHAR),
+         |  strftime(try_strptime(startd_raw, '%d/%m/%Y'), '%Y-%m-%d')
+         |FROM ms
+         |UNION ALL
+         |SELECT 'ms_org_flat', 'mo' || CAST(cid AS VARCHAR), CAST(NULL AS VARCHAR),
+         |  CASE WHEN sit_l IS NOT NULL THEN COALESCE(array_to_string(sit_l, ', '), '')
+         |       WHEN sit_s IS NOT NULL AND sit_s <> '' THEN sit_s ELSE '' END,
+         |  CAST(NULL AS VARCHAR)
+         |FROM mf
+         |UNION ALL SELECT 'dc_static', '${DcStatic(0)._1}', '${DcStatic(0)._2}', '${DcStatic(0)._3}', '${DcStatic(0)._4}'
+         |UNION ALL SELECT 'dc_static', '${DcStatic(1)._1}', '${DcStatic(1)._2}', '${DcStatic(1)._3}', '${DcStatic(1)._4}'
+         |""".stripMargin
+    } { (s, dir) =>
+      val nullS = lit(null).cast("string")
+      val base0 = Tables.customer(s, dir).select(col("c_custkey").as("cid"))
+      val k = col("cid")
+      def csn(m: Int) = (k % m).cast("string")
+      val sector = when(k % 5 === 0, lit("יהודי")).when(k % 5 === 1, lit("ערבי"))
+        .when(k % 5 === 2, lit("בדואי")).when(k % 5 === 3, lit("דרוזי"))
+        .otherwise(lit("צרקסי"))
+      val withCols = base0
+        .withColumn("dc_id",
+          when(k % 4 === 0, csn(90)).otherwise(concat(lit("5"), lpad(csn(800), 7, "0"))))
+        .withColumn("dc_name",
+          when(k % 6 === 0, concat(lit("מועצה מקומית עיר "), csn(40)))
+            .when(k % 6 === 1, concat(lit("מועצה אזורית אזור "), csn(15)))
+            .when(k % 6 === 2, lit("ארגון מועצה"))
+            .when(k % 6 === 4, concat(lit("חברה "), csn(50)))
+            .when(k % 6 === 5, concat(lit("חברה "), csn(50))))
+        .withColumn("cc_sym",
+          when(k % 9 === 0, csn(90)).otherwise(concat(lit("מעון "), csn(3000))))
+        .withColumn("sector", sector)
+        .withColumn("url_ar",
+          when((k % 4).isin(1, 2), concat(lit("http://ex/ar/"), csn(89)))
+            .when(k % 4 === 3, lit("")))
+        .withColumn("url_he", when(k % 3 =!= 0, concat(lit("http://ex/he/"), csn(97))))
+        .withColumn("cap_raw",
+          when(k % 5 === 0, lit("")).when(k % 5 === 1, lit("x12"))
+            .when(k % 5 === 2, lit("-1")).when(k % 5 === 3, csn(80))
+            .otherwise(lit("12.5")))
+        .withColumn("startd_raw",
+          when(k % 4 === 0, concat(
+            lpad((k % 28 + 1).cast("string"), 2, "0"), lit("/"),
+            lpad((k % 12 + 1).cast("string"), 2, "0"), lit("/20"),
+            lpad(csn(30), 2, "0")))
+            .when(k % 4 === 1, lit("garbage")).when(k % 4 === 2, lit("")))
+        .withColumn("owner_raw",
+          when(k % 6 === 0, lit("NULL")).when(k % 6 === 1, lit("-1"))
+            .when(k % 6 === 2, lit("לא ידוע")).when(k % 6 === 3, lit("לא משויך"))
+            .when(k % 6 === 4, lit("רב תכליתי"))
+            .otherwise(concat(lit("מחלקה "), csn(9))))
+        .withColumn("sit_l",
+          when(k % 5 === 0, array(concat(lit("hs:s"), csn(11)), concat(lit("hs:t"), csn(7))))
+            .when(k % 5 === 1, array().cast("array<string>")))
+        .withColumn("sit_s",
+          when(k % 5 === 2, concat(lit("hs:u"), csn(13))).when(k % 5 === 3, lit("")))
+      val dcKind = when(col("dc_name").isNotNull && col("dc_name").rlike(DcCouncilRe),
+        lit(DcKindCouncil)).otherwise(lit(DcKindPrivate))
+      val ccDetails = when(col("sector") === "יהודי", lit(""))
+        .otherwise(concat(lit(CcDetailsPrefix), col("sector")))
+      val ccSit = CcSectors.tail.foldLeft(
+        when(col("sector") === CcSectors.head._1, lit(CcSectors.head._2))) {
+        case (acc, (n, v)) => acc.when(col("sector") === n, lit(v))
+      }
+      val rvJoined = array_join(filter(array(
+        when(col("url_ar").isNotNull && col("url_ar") =!= "",
+          concat(col("url_ar"), lit("#" + RvLabelAr))),
+        when(col("url_he").isNotNull && col("url_he") =!= "",
+          concat(col("url_he"), lit("#" + RvLabelHe)))),
+        x => x.isNotNull), "\n")
+      val msOwner = when(col("owner_raw").isin(MsMissing: _*), nullS)
+        .otherwise(col("owner_raw"))
+      // python int() TRUNCATES toward zero; double->long cast does too
+      val msCap = coalesce(expr("try_cast(cap_raw AS double)").cast("long"), lit(0L))
+        .cast("string")
+      val msDate = date_format(
+        expr("try_to_timestamp(startd_raw, 'dd/MM/yyyy')"), "yyyy-MM-dd")
+      val mfFlat = when(col("sit_l").isNotNull, array_join(col("sit_l"), ", "))
+        .when(col("sit_s").isNotNull && col("sit_s") =!= "", col("sit_s"))
+        .otherwise(lit(""))
+      def armS(tag: String, id: Column, name: Column, e1: Column, e2: Column) =
+        struct(lit(tag).as("arm"), id.cast("string").as("id"),
+          name.cast("string").as("name"), e1.cast("string").as("extra1"),
+          e2.cast("string").as("extra2"))
+      val rows = withCols.select(explode(filter(array(
+          when(length(col("dc_id")) >= 5,
+            armS("dc_org", col("dc_id"), col("dc_name"), dcKind, nullS)),
+          armS("cc_svc",
+            concat(lit("meonot-"), substring(md5(expr("right(cc_sym, 5)")), 1, 8)),
+            lit(CcSvcName), ccDetails, ccSit),
+          armS("rv_urls", concat(lit("rv"), csn(300)), nullS, rvJoined, nullS),
+          armS("ms_sanitize", concat(lit("ms"), k.cast("string")), msOwner, msCap, msDate),
+          armS("ms_org_flat", concat(lit("mo"), k.cast("string")), nullS, mfFlat, nullS)),
+        x => x.isNotNull)).as("r"))
+        .select(col("r.arm").as("arm"), col("r.id").as("id"), col("r.name").as("name"),
+          col("r.extra1").as("extra1"), col("r.extra2").as("extra2"))
+      val statics = s.range(1).select(explode(array(DcStatic.map {
+        case (id, nm, resp, sit) =>
+          struct(lit("dc_static").as("arm"), lit(id).as("id"), lit(nm).as("name"),
+            lit(resp).as("extra1"), lit(sit).as("extra2"))
+      }: _*)).as("r")).select(col("r.*"))
+      rows.unionByName(statics)
     }
   )
 

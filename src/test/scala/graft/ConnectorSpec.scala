@@ -264,4 +264,126 @@ class ConnectorSpec extends SpecBase {
       assert(n(col("resolved_address").contains(" | ")) == 0)
     } finally out.unpersist()
   }
+
+  test("q154 status sync: plan shape, deactivation-only contract, last-wins reachability") {
+    val p = planOf("q154_status_sync")
+    assert(p.contains("TopKPerKey"), "keep-last must route through the plan node")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"staged-set probe must broadcast:\n${p.take(800)}")
+    // keep-last exchange + the staged distinct INSIDE its broadcast subtree
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"only keep-last + staged-distinct may shuffle:\n${p.take(800)}")
+    val out = SparkEntry.queries("q154_status_sync")(spark, SfDir).cache()
+    try {
+      // the code's contract (NOT the docstring's): deactivations only,
+      // never a row whose current status is already the inactive value
+      assert(out.filter(col("status") =!= "INACTIVE").count() == 0)
+      assert(out.filter(col("prior_status") === "INACTIVE").count() == 0)
+      // Python None != 'INACTIVE' is TRUE: null-status records deactivate
+      assert(out.filter(col("prior_status").isNull).count() > 0,
+        "null-prior arm unreachable — the None != inactive quirk is untested")
+      // last-wins is materially exercised: some stored key carries >1
+      // distinct status among its scoped rows, so dict-overwrite order
+      // matters (sf0.01 — at sf0.001 there are fewer customers than key
+      // slots, every key appears once and the check would be vacuous)
+      val k = col("c_custkey")
+      val multi = Tables.customer(spark, "/root/testdata/sf0.01")
+        .filter((k % 7).isin(0, 2, 6) && k % 5 =!= 2)
+        .groupBy((k % 450).as("key"))
+        .agg(countDistinct(when(k % 4 === 1, lit("I"))
+          .when((k % 4).isin(0, 3), lit("A")).otherwise(lit("N"))).as("ns"))
+        .filter(col("ns") > 1).count()
+      assert(multi > 0, "no key sees conflicting statuses — last-wins is dead code")
+      val again = SparkEntry.queries("q154_status_sync")(spark, SfDir)
+      assert(out.orderBy("id").collect().toSeq ==
+        again.orderBy("id").collect().toSeq)
+    } finally out.unpersist()
+  }
+
+  test("q155 branch publish: one real exchange, sorted rec sets, pandas-first nulls, phone filter") {
+    val p = planOf("q155_meser_branch_publish")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"org dim must broadcast:\n${p.take(800)}")
+    // the branch groupBy + the dim arms' distincts inside the broadcast
+    // subtree (q140's allowance)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"probe side may shuffle only into the branch groupBy:\n${p.take(800)}")
+    val out = SparkEntry.queries("q155_meser_branch_publish")(spark, SfDir).cache()
+    try {
+      import spark.implicits._
+      // organization: sorted, distinct, never a falsy entry
+      out.select(col("organization")).as[String].collect().foreach { s =>
+        if (s.nonEmpty) {
+          val parts = s.split('|').toSeq
+          assert(parts == parts.sorted && parts.distinct == parts && parts.forall(_.nonEmpty),
+            s"rec set not a sorted distinct join: $s")
+        }
+      }
+      assert(out.filter(col("organization") === "").count() > 0,
+        "no fully-unmapped branch — the [] arm is untested")
+      // phone join: blank and literal-'0' entries dropped, duplicates kept
+      val phones = out.select(col("phone_numbers")).as[String].collect()
+      assert(phones.forall(p0 => !p0.split(", ", -1).exists(e => e == "" || e == "0")
+        || p0 == ""), "a blank/'0' phone survived the join filter")
+      assert(phones.exists(_ == ""), "no all-filtered phone group")
+      // pandas groupby-first skips nulls: an address is null ONLY when
+      // every row of the branch lacked one; location always copies it.
+      // 2500 ≡ 0 (mod 5), so a branch's rows all share ord%5: branches
+      // ≡ 0 mod 5 are ALL-null (first-of-all-NaN = NaN) and every other
+      // branch must have recovered an address past any leading null.
+      assert(out.filter(!(col("location") <=> col("address"))).count() == 0)
+      val bnum = expr("CAST(substr(branch_id, 9) AS BIGINT) % 5")
+      assert(out.filter(col("address").isNull && bnum =!= 0).count() == 0,
+        "a mixed-null branch lost its address — first-non-null is broken")
+      assert(out.filter(col("address").isNull && bnum === 0).count() > 0,
+        "the all-null arm is unreachable")
+    } finally out.unpersist()
+  }
+
+  test("q156 small staging: map-only plan and every arm's quirk fires") {
+    val p = planOf("q156_small_staging")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q156 must be map-only (no hash exchange):\n${p.take(800)}")
+    val out = SparkEntry.queries("q156_small_staging")(spark, SfDir).cache()
+    try {
+      def arm(a: String) = out.filter(col("arm") === a)
+      // dc_org: the length gate held, kinds split, and the bare 'מועצה'
+      // name proves the contains-match needs the FULL council phrase
+      assert(arm("dc_org").filter(length(col("id")) < 5).count() == 0)
+      assert(arm("dc_org").filter(col("extra1") === "רשות מקומית")
+        .filter(!col("name").rlike("מועצה מקומית|מועצה אזורית")).count() == 0)
+      assert(arm("dc_org").filter(col("name") === "ארגון מועצה")
+        .filter(col("extra1") =!= "חברה פרטית").count() == 0,
+        "a bare 'מועצה' word must NOT classify as council")
+      // cc_svc: ids hash the last-5-chars (whole string when shorter) —
+      // replay one short and one long case end-to-end
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(x: String) = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val short = "meonot-" + h("9")          // cid=9: 9%9==0 -> name '9', len<5
+      val long9 = "meonot-" + h("ון 10")      // cid=10 -> 'מעון 10', last 5 chars
+      assert(arm("cc_svc").filter(col("id") === short).count() > 0, s"missing $short")
+      assert(arm("cc_svc").filter(col("id") === long9).count() > 0, s"missing $long9")
+      assert(arm("cc_svc").filter(col("extra1") === "").count() > 0, "no default-sector row")
+      // rv_urls: arabic label line precedes hebrew when both present
+      assert(arm("rv_urls")
+        .filter(col("extra1").rlike("^http://ex/ar/[0-9]+#האתר של המחלקה בערבית\nhttp://ex/he/"))
+        .count() > 0, "no both-urls row in ar-then-he order")
+      assert(arm("rv_urls").filter(col("extra1") === "").count() > 0)
+      // ms_sanitize: numeric '-1' SURVIVES (magic list is else-branch
+      // only), coerce-failures land on 0, python truncation not rounding
+      assert(arm("ms_sanitize").filter(col("extra1") === "-1").count() > 0)
+      assert(arm("ms_sanitize").filter(col("extra1") === "12").count() > 0,
+        "'12.5' must truncate to 12, not round to 13")
+      assert(arm("ms_sanitize").filter(col("name").isin(
+        "NULL", "-1", "לא ידוע", "לא משויך", "רב תכליתי")).count() == 0)
+      assert(arm("ms_sanitize")
+        .filter(col("extra2").isNotNull && !col("extra2").rlike("^20[0-9]{2}-[0-9]{2}-[0-9]{2}$"))
+        .count() == 0, "a non-ISO date survived the dayfirst coerce")
+      // ms_org_flat: the EMPTY LIST is still a list -> '' (not a str pass-through)
+      assert(arm("ms_org_flat").filter(col("extra1") === "").count() > 0)
+      assert(arm("ms_org_flat").filter(col("extra1").contains(", ")).count() > 0)
+      // statics: exactly the two literal records
+      assert(arm("dc_static").count() == 2)
+    } finally out.unpersist()
+  }
 }
