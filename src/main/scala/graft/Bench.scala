@@ -127,14 +127,21 @@ object Bench {
         ",\"shufR\":" + p.shuffleReadBytes + ",\"shufW\":" + p.shuffleWriteBytes +
         ",\"taskMs\":" + p.taskTimeMs + ",\"peakMem\":" + p.peakMemBytes + "}"
     }.mkString("{", ",", "}")
-    val total = round3(results.map(_._2.sec).sum)
+    // Failed runs record -1.0 as their sentinel; summing that would let
+    // a crashing query LOWER the suite total (a regression could read as
+    // an improvement under the totals protocol). The headline sums only
+    // successful seconds; failures surface as an explicit count and as
+    // the -1 entries the ascending stdout sort pins to the tail.
+    val failed = results.count(_._2.sec < 0)
+    val total = round3(results.map(_._2.sec).filter(_ >= 0).sum)
+    val failedField = if (failed > 0) s""","failed":$failed""" else ""
     // stdout keeps the driver's compact contract (seconds only, 3 dp so
     // more of the 145-entry map survives the 2000-char tail capture); the
     // FILE carries the full per-query profile and is the real artifact.
     val stdoutJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$secOfTail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$secOfTail$failedField,"sf":"$sfDir"}"""
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$secOf,"profile":$profileOf,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$secOf,"profile":$profileOf$failedField,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

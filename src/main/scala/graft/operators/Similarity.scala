@@ -147,15 +147,15 @@ object Similarity {
       idx.assigned, queries, k, nProbe)
   }
 
-  /** The probe half, off (cell, centroid-array) pairs — the only part of
-    * the fitted model a probe ever needs, which is what makes the index
-    * a PERSISTABLE artifact ([[saveIvfIndex]]/[[loadIvfIndex]]): no
-    * KMeansModel round trip, just arrays + the inverted file. */
   /** nProbe nearest cells per query — fully distributed: centroids
     * (nLists of them, at most a few thousand in a real deployment) ride
     * as a broadcast-sized literal array; each query explodes against it
     * and the TopKPerKey node keeps the nProbe closest. No driver
-    * collect. Shared by the exact IVF probe and the IVF-PQ composition.
+    * collect. Works off (cell, centroid-array) PAIRS — the only part of
+    * the fitted model a probe ever needs, which is what makes the index
+    * a PERSISTABLE artifact ([[saveIvfIndex]]/[[loadIvfIndex]]): no
+    * KMeansModel round trip, just arrays + the inverted file. Shared by
+    * the exact IVF probe and the IVF-PQ composition.
     * Returns (query_id, cell, q_emb). */
   private def probeCells(centroids: Seq[(Int, Array[Double])],
                          queries: DataFrame, nProbe: Int): DataFrame = {
@@ -176,6 +176,8 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("q_emb"))
   }
 
+  /** Exact-cosine scoring over the probed cells' inverted-file rows —
+    * the closing half of [[ivfTopK]] and [[ivfTopKFromSaved]]. */
   private def probeIvf(centroids: Seq[(Int, Array[Double])], assigned: DataFrame,
                        queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val probes = probeCells(centroids, queries, nProbe)
@@ -352,7 +354,7 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
                 nLists: Int = 8, nProbe: Int = 3, m: Int = 16, ks: Int = 64,
                 rerank: Int = 8, seed: Long = 42L, trainMod: Int = 4): DataFrame = {
-    import graft.functions.expressions.{PqAdcScore, PqDistTable, PqEncode}
+    import graft.functions.expressions.{PqAdcScore, PqDistTable}
     val ivf = ivfIndex(corpus, nLists, seed, trainMod)
     val pq = pqIndex(corpus, dim, m, ks, seed, trainMod)
     val centroids = ivf.model.clusterCenters.toSeq.map(_.toArray).zipWithIndex.map(_.swap)
@@ -360,22 +362,42 @@ object Similarity {
       .select(col("query_id"), col("cell"))
     val qTbl = queries.select(col("vec_id").as("query_id"),
       PqDistTable(unitEmbedding, pq.codebook).as("tbl"))
-    // (query_id, cell, tbl): nProbe rows per query, still broadcast-tiny
-    val probesT = probes.join(qTbl, "query_id")
-    // Codes are re-derived MAP-SIDE on the cached inverted file (assigned
-    // already carries the embedding) rather than joining pq.codes: a
-    // codegen'd encode pass over cached rows is a narrow map, while the
-    // join would shuffle two corpus-sized frames by vec_id. In a stored
-    // deployment the inverted file simply carries the code column
-    // (saveIvfIndex's cells + 16 bytes), the same zero-join posture.
-    val cellCodes = ivf.assigned.select(col("vec_id"), col("cell"),
-      PqEncode(unitEmbedding, pq.codebook).as("code"))
-    val scored = cellCodes.join(broadcast(probesT), "cell")
+    val cellCodes = ivfPqCodes(corpus, ivf, pq, nLists, dim, m, ks, seed, trainMod)
+    // Two separate broadcasts: the (query_id, cell) probe pairs prune the
+    // scan, and each query's m*ks distance table ships ONCE in its own
+    // broadcast — attaching tbl to the probe pairs first would copy it
+    // nProbe times, and the probes-to-qTbl join (two tiny query-derived
+    // frames) would plan an unhinted shuffle join on its own.
+    val scored = cellCodes.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qTbl), "query_id")
       .withColumn("adist", round(PqAdcScore(col("code"), col("tbl"), ks), 4))
     val shortlist = TopK.topKPerKey(scored, Seq(col("query_id")),
       Seq(col("adist").asc_nulls_last, col("vec_id")), k * rerank)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     rerankExact(corpus, queries, shortlist, k)
+  }
+
+  // The combined (vec_id, cell, code) inverted file — the composed
+  // index IS one artifact (lesson 44): built once per corpus+params and
+  // cached like its siblings, so repeat probes pay zero encode work.
+  private val ivfPqMemo =
+    new BoundedMemo[(Int, Int, Int, Int, Int, Int, Long, Int), DataFrame](4, _.unpersist())
+
+  /** Codes derived MAP-SIDE on the cached inverted file (assigned
+    * already carries the embedding) rather than joining pq.codes: a
+    * codegen'd encode pass over cached rows is a narrow map, while the
+    * join would shuffle two corpus-sized frames by vec_id. In a stored
+    * deployment the inverted file simply carries the code column
+    * (saveIvfIndex's cells + 16 bytes), the same zero-join posture. */
+  private def ivfPqCodes(corpus: DataFrame, ivf: IvfIndex, pq: PqIndex,
+                         nLists: Int, dim: Int, m: Int, ks: Int,
+                         seed: Long, trainMod: Int): DataFrame = synchronized {
+    import graft.functions.expressions.PqEncode
+    val (sess, planHash) = planKey(corpus)
+    ivfPqMemo.getOrElseUpdate((sess, planHash, nLists, dim, m, ks, seed, trainMod)) {
+      ivf.assigned.select(col("vec_id"), col("cell"),
+        PqEncode(unitEmbedding, pq.codebook).as("code")).cache()
+    }
   }
 }

@@ -284,10 +284,13 @@ class ConnectorSpec extends SpecBase {
         "null-prior arm unreachable — the None != inactive quirk is untested")
       // last-wins is materially exercised: some stored key carries >1
       // distinct status among its scoped rows, so dict-overwrite order
-      // matters (sf0.01 — at sf0.001 there are fewer customers than key
-      // slots, every key appears once and the check would be vacuous)
+      // matters. Checked at sf0.01 — at SfDir (sf0.001) there are fewer
+      // customers than key slots, every key appears once and the check
+      // would be vacuous; skip (not fail) where that scale is absent.
+      val Sf001Dir = "/root/testdata/sf0.01"
+      assume(new java.io.File(Sf001Dir).isDirectory, s"$Sf001Dir not generated")
       val k = col("c_custkey")
-      val multi = Tables.customer(spark, "/root/testdata/sf0.01")
+      val multi = Tables.customer(spark, Sf001Dir)
         .filter((k % 7).isin(0, 2, 6) && k % 5 =!= 2)
         .groupBy((k % 450).as("key"))
         .agg(countDistinct(when(k % 4 === 1, lit("I"))
