@@ -1741,6 +1741,99 @@ object ConnectorQueries {
             lit(resp).as("extra1"), lit(sit).as("extra2"))
       }: _*)).as("r")).select(col("r.*"))
       rows.unionByName(statics)
+    },
+
+    // q157: HTML TABLE extraction (operators/child_care/fetch_as_df.py:19
+    // transform — the transform half of the child_care fetcher, and a
+    // training-data staple: harvesting tabular records out of crawled
+    // pages): pd.read_html takes tables[0] — the FIRST <table> only,
+    // decoys after it ignored; df.columns = df.iloc[0] then df[1:] —
+    // ROW 0 IS THE HEADER, whatever tag it uses (th in some snapshots,
+    // td in others — the [dh] class covers both); a header-only table
+    // yields zero records. Output is the UNPIVOTED (doc, row, col,
+    // header, value) stream — empty cells survive as '' (a captured
+    // empty group), they are values, not misses. The fetch half and the
+    // %%CURRENT_YEAR%% url macro (wall-clock-dependent templating,
+    // fetch_as_df.py:8) stay out of scope with the other egress.
+    // Plan: map-only — two generator stages (rows, then cells) over
+    // regexp_extract_all, zero joins, zero exchanges; the non-greedy
+    // first-table capture and the positional header zip are identical
+    // RE2/Java regex trees, so the hash gate pins the parser itself.
+    "q157_html_table" -> QueryDef.of(
+      """WITH d AS (
+        |  SELECT p_partkey AS doc_id,
+        |    '<html><p>j' || CAST(p_partkey % 7 AS VARCHAR) || '</p><table id="t"><tr>' ||
+        |    CASE WHEN p_partkey % 2 = 0 THEN '<th>name</th><th>qty</th><th>city</th>'
+        |         ELSE '<td>name</td><td>qty</td><td>city</td>' END || '</tr>' ||
+        |    CASE WHEN p_partkey % 4 >= 1 THEN
+        |      '<tr><td>n' || CAST((p_partkey + 1) % 50 AS VARCHAR) || '</td><td>' ||
+        |      CAST(p_partkey % 9 AS VARCHAR) || '</td><td>' ||
+        |      CASE WHEN (p_partkey + 1) % 3 = 0 THEN ''
+        |           ELSE 'C' || CAST((p_partkey + 1) % 20 AS VARCHAR) END ||
+        |      '</td></tr>' ELSE '' END ||
+        |    CASE WHEN p_partkey % 4 >= 2 THEN
+        |      '<tr><td>n' || CAST((p_partkey + 2) % 50 AS VARCHAR) || '</td><td>' ||
+        |      CAST((p_partkey * 2) % 9 AS VARCHAR) || '</td><td>' ||
+        |      CASE WHEN (p_partkey + 2) % 3 = 0 THEN ''
+        |           ELSE 'C' || CAST((p_partkey + 2) % 20 AS VARCHAR) END ||
+        |      '</td></tr>' ELSE '' END ||
+        |    CASE WHEN p_partkey % 4 >= 3 THEN
+        |      '<tr><td>n' || CAST((p_partkey + 3) % 50 AS VARCHAR) || '</td><td>' ||
+        |      CAST((p_partkey * 3) % 9 AS VARCHAR) || '</td><td>' ||
+        |      CASE WHEN (p_partkey + 3) % 3 = 0 THEN ''
+        |           ELSE 'C' || CAST((p_partkey + 3) % 20 AS VARCHAR) END ||
+        |      '</td></tr>' ELSE '' END ||
+        |    '</table>' ||
+        |    CASE WHEN p_partkey % 5 = 0 THEN '<table><tr><td>zz</td></tr></table>' ELSE '' END ||
+        |    '</html>' AS html
+        |  FROM part),
+        |t AS (SELECT doc_id, regexp_extract(html, '<table[^>]*>(.*?)</table>', 1) AS tbl FROM d),
+        |r AS (SELECT doc_id, regexp_extract_all(tbl, '<tr>(.*?)</tr>', 1) AS rows FROM t),
+        |x AS (SELECT doc_id,
+        |        regexp_extract_all(rows[1], '<t[dh]>(.*?)</t[dh]>', 1) AS hdr,
+        |        unnest(rows[2:]) AS rowhtml,
+        |        generate_subscripts(rows[2:], 1) AS rn
+        |      FROM r WHERE len(rows) > 1),
+        |c AS (SELECT doc_id, rn, hdr,
+        |        regexp_extract_all(rowhtml, '<t[dh]>(.*?)</t[dh]>', 1) AS cells FROM x)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS row_n, CAST(j AS BIGINT) AS col_n,
+        |  hdr[j] AS col_name, value
+        |FROM (SELECT doc_id, rn, hdr, unnest(cells) AS value,
+        |        generate_subscripts(cells, 1) AS j FROM c)
+        |""".stripMargin) { (s, dir) =>
+      val p = col("p_partkey")
+      def dataRow(off: Int, mult: Int): Column = concat(
+        lit("<tr><td>n"), ((p + off) % 50).cast("string"),
+        lit("</td><td>"), ((p * mult) % 9).cast("string"), lit("</td><td>"),
+        when((p + off) % 3 === 0, lit(""))
+          .otherwise(concat(lit("C"), ((p + off) % 20).cast("string"))),
+        lit("</td></tr>"))
+      val html = concat(
+        lit("<html><p>j"), (p % 7).cast("string"), lit("</p><table id=\"t\"><tr>"),
+        when(p % 2 === 0, lit("<th>name</th><th>qty</th><th>city</th>"))
+          .otherwise(lit("<td>name</td><td>qty</td><td>city</td>")),
+        lit("</tr>"),
+        when(p % 4 >= 1, dataRow(1, 1)).otherwise(lit("")),
+        when(p % 4 >= 2, dataRow(2, 2)).otherwise(lit("")),
+        when(p % 4 >= 3, dataRow(3, 3)).otherwise(lit("")),
+        lit("</table>"),
+        when(p % 5 === 0, lit("<table><tr><td>zz</td></tr></table>")).otherwise(lit("")),
+        lit("</html>"))
+      Tables.part(s, dir).select(p.as("doc_id"), html.as("html"))
+        .withColumn("tbl", regexp_extract(col("html"), "<table[^>]*>(.*?)</table>", 1))
+        .withColumn("rows", expr("regexp_extract_all(tbl, '<tr>(.*?)</tr>', 1)"))
+        .filter(size(col("rows")) > 1)
+        .withColumn("hdr",
+          expr("regexp_extract_all(element_at(rows, 1), '<t[dh]>(.*?)</t[dh]>', 1)"))
+        .select(col("doc_id"), col("hdr"),
+          posexplode(expr("slice(rows, 2, size(rows) - 1)")).as(Seq("rpos", "rowhtml")))
+        .withColumn("cells",
+          expr("regexp_extract_all(rowhtml, '<t[dh]>(.*?)</t[dh]>', 1)"))
+        .select(col("doc_id"), (col("rpos") + 1).cast("long").as("row_n"), col("hdr"),
+          posexplode(col("cells")).as(Seq("cpos", "value")))
+        .select(col("doc_id"), col("row_n"), (col("cpos") + 1).cast("long").as("col_n"),
+          element_at(col("hdr"), (col("cpos") + 1).cast("int")).as("col_name"),
+          col("value"))
     }
   )
 

@@ -389,4 +389,36 @@ class ConnectorSpec extends SpecBase {
       assert(arm("dc_static").count() == 2)
     } finally out.unpersist()
   }
+
+  test("q157 html table: map-only, first-table-only, th/td headers, empty cells, header-only drops") {
+    val p = planOf("q157_html_table")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q157 must be map-only (no hash exchange):\n${p.take(800)}")
+    val out = SparkEntry.queries("q157_html_table")(spark, SfDir).cache()
+    try {
+      // the decoy second table ('zz') must never leak — tables[0] only
+      assert(out.filter(col("value") === "zz").count() == 0,
+        "a decoy-table cell leaked past the first-table capture")
+      // both header tags parse to the same column names
+      assert(out.select(col("col_name")).distinct().collect()
+        .map(_.getString(0)).toSet == Set("name", "qty", "city"))
+      // doc_id%2 spans both the <th> and <td> header fixtures; rows exist
+      // for both parities, proving the [dh] class covers them
+      assert(out.filter(col("doc_id") % 2 === 0).count() > 0)
+      assert(out.filter(col("doc_id") % 2 === 1).count() > 0)
+      // empty cells survive as '' values, not dropped positions: every
+      // data row emits exactly 3 cells
+      assert(out.filter(col("value") === "").count() > 0, "no empty-cell arm")
+      val badRows = out.groupBy(col("doc_id"), col("row_n"))
+        .count().filter(col("count") =!= 3).count()
+      assert(badRows == 0, "a row lost or grew cells")
+      // header-only documents (doc_id%4==0) emit nothing — df[1:] of a
+      // one-row frame is empty
+      assert(out.filter(col("doc_id") % 4 === 0).count() == 0)
+      // and the row count arithmetic holds: rows per doc == doc_id%4
+      val wrong = out.groupBy(col("doc_id")).agg(countDistinct(col("row_n")).as("n"))
+        .filter(col("n") =!= col("doc_id") % 4).count()
+      assert(wrong == 0, "row count drifted from the fixture arithmetic")
+    } finally out.unpersist()
+  }
 }
