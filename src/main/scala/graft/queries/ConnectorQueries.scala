@@ -1420,16 +1420,13 @@ object ConnectorQueries {
         .withColumn("key", when(length(trim(candidate)) > 0, trim(candidate)))
         .filter(col("key").isNotNull && col("source") === "meser")
         .select(col("key"), col("status"), col("ord"))
-      val lastWins = graft.operators.TopK
-        .topKPerKey(keyed, Seq(col("key")), Seq(col("ord").desc), 1)
       val o = col("o_custkey") % 600
       val staged = Tables.orders(s, dir)
         .filter(col("o_orderkey") % 3 === 0 && o % 3 =!= 1 && col("o_orderkey") % 11 =!= 5)
-        .select(concat(lit("M"), o.cast("string")).as("key")).distinct()
-      lastWins.join(broadcast(staged), Seq("key"), "left_anti")
-        .filter(!(col("status") <=> lit("INACTIVE")))
-        .select(col("key").as("id"), col("status").as("prior_status"),
-          lit("INACTIVE").as("status"))
+        .select(concat(lit("M"), o.cast("string")).as("key"))
+      // the reconcile itself is the shared operator — the streaming twin
+      // (SyncStreams.statusSyncSink) runs the SAME code once per batch
+      graft.operators.StatusSync.reconcile(keyed, staged)
     },
 
     // q155: the meser BRANCH publish aggregate (operators/meser/

@@ -852,6 +852,48 @@ class StreamingSpec extends SpecBase {
         s"stream-only: ${(streamed -- batch).take(3)}, batch-only: ${(batch -- streamed).take(3)}")
     } finally query.stop()
   }
+
+  test("status-sync sink: each staged batch's delta equals the batch reconcile; replay is idempotent") {
+    import graft.operators.StatusSync
+    import graft.streaming.SyncStreams
+    implicit val sqlCtx = spark.sqlContext
+    // stored snapshot with conflicting duplicate keys (last-wins matters)
+    // and a null-status arm (None != 'INACTIVE' must deactivate)
+    val stored = Seq(
+      ("k1", "ACTIVE", 1L), ("k1", "INACTIVE", 2L),  // last-wins INACTIVE -> never emitted
+      ("k2", "INACTIVE", 3L), ("k2", "ACTIVE", 4L),  // last-wins ACTIVE
+      ("k3", null, 5L),                               // null status deactivates
+      ("k4", "ACTIVE", 6L), ("k5", "ACTIVE", 7L))
+      .toDF("key", "status", "ord")
+    val outDir = java.nio.file.Files.createTempDirectory("status_sync").toString
+    val stream = MemoryStream[String]
+    val query = stream.toDS().toDF("key").writeStream
+      .foreachBatch(SyncStreams.statusSyncSink(stored, outDir) _)
+      .start()
+    try {
+      val batches = Seq(Seq("k2", "k4"), Seq("k5"), Seq("kX"))
+      batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+      val got = spark.read.parquet(outDir)
+        .select($"batch", $"id", $"prior_status", $"status")
+        .collect().map(_.toSeq).toSet
+      val want = batches.zipWithIndex.flatMap { case (b, i) =>
+        StatusSync.reconcile(stored, b.toDF("key"))
+          .collect().map(r => Seq(i.toLong, r.getString(0), r.getString(1), r.getString(2)))
+      }.toSet
+      assert(got == want,
+        s"stream-only: ${(got -- want).take(3)}, batch-only: ${(want -- got).take(3)}")
+      // the per-batch deltas genuinely differ (the sync is per-batch, not
+      // cumulative) and every quirk arm fired somewhere
+      assert(want.exists(_(1) == "k3") && !want.exists(_(1) == "k1"),
+        "null-status must deactivate and a last-wins-INACTIVE key must not")
+      // replaying batch 1's partition (crash simulation) overwrites, not appends
+      SyncStreams.statusSyncSink(stored, outDir)(Seq("k5").toDF("key"), 1L)
+      val replayed = spark.read.parquet(outDir)
+        .select($"batch", $"id", $"prior_status", $"status")
+        .collect().map(_.toSeq).toSet
+      assert(replayed == got, "batch replay must be idempotent (dynamic partition overwrite)")
+    } finally query.stop()
+  }
 }
 
 object StreamingSpec {
