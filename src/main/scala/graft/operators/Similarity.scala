@@ -400,4 +400,69 @@ object Similarity {
         PqEncode(unitEmbedding, pq.codebook).as("code")).cache()
     }
   }
+
+  /** Persist the COMPOSED IVFADC index as ONE on-disk artifact (lesson
+    * 44's composition rule made physical): the coarse centroids and the
+    * per-subspace codebook as tiny parquets, and the inverted file
+    * carrying the m-byte code BESIDE the raw embedding, PARTITIONED BY
+    * cell. A probe then scans only the probed cells' files (dynamic
+    * partition pruning, as [[ivfTopKFromSaved]]), ADC-scores their
+    * codes, and re-ranks off the SAME rows — no sibling-index join, no
+    * second table, no re-training in any later session. */
+  def saveIvfPqIndex(corpus: DataFrame, dir: String, dim: Int,
+                     nLists: Int = 8, m: Int = 16, ks: Int = 64,
+                     seed: Long = 42L, trainMod: Int = 4): Unit = {
+    import graft.functions.expressions.PqEncode
+    val ivf = ivfIndex(corpus, nLists, seed, trainMod)
+    val pq = pqIndex(corpus, dim, m, ks, seed, trainMod)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    ivf.model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    pq.codebook.zipWithIndex.flatMap { case (sub, j) =>
+      sub.zipWithIndex.map { case (center, c) => (j, c, center) }
+    }.toSeq.toDF("sub", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    ivf.assigned.select(col("vec_id"), col("embedding"), col("cell"),
+        PqEncode(unitEmbedding, pq.codebook).as("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** IVFADC over a SAVED artifact — no quantizer training, no k-means
+    * model reconstruction: centroids and codebook load as plain arrays
+    * (driver-bounded: nLists + m·ks rows), and the cell-partitioned
+    * inverted file lets dynamic partition pruning drop every unprobed
+    * cell's files at the broadcast probe join. m/ks derive from the
+    * saved codebook's shape, so a probe cannot drift from its build. */
+  def ivfPqTopKFromSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         queries: DataFrame, k: Int, nProbe: Int = 3,
+                         rerank: Int = 8): DataFrame = {
+    import graft.functions.expressions.{PqAdcScore, PqDistTable}
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val ks = cbRows.map(_._2).max + 1
+    require(cbRows.length == m * ks,
+      s"saved codebook is not dense: ${cbRows.length} rows for m=$m ks=$ks")
+    val codebook = Array.tabulate(m, ks) { (j, c) =>
+      cbRows.find(r => r._1 == j && r._2 == c).get._3
+    }
+    val cells = spark.read.parquet(s"$dir/cells")
+    val probes = probeCells(centroids, queries, nProbe)
+      .select(col("query_id"), col("cell"))
+    val qTbl = queries.select(col("vec_id").as("query_id"),
+      PqDistTable(unitEmbedding, codebook).as("tbl"))
+    val scored = cells.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qTbl), "query_id")
+      .withColumn("adist", round(PqAdcScore(col("code"), col("tbl"), ks), 4))
+    val shortlist = TopK.topKPerKey(scored, Seq(col("query_id")),
+      Seq(col("adist").asc_nulls_last, col("vec_id")), k * rerank)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    rerankExact(cells.select(col("vec_id"), col("embedding")), queries, shortlist, k)
+  }
 }

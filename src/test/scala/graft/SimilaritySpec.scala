@@ -182,4 +182,23 @@ class SimilaritySpec extends SpecBase {
     assert(plan.contains("dynamicpruning"),
       s"cells scan must carry a DPP filter:\n${plan.take(1200)}")
   }
+
+  test("saved IVFADC artifact probes identically to the in-memory composition, with DPP") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val queries = emb.filter($"vec_id" < 10)
+    val inMem = Similarity.ivfPqTopK(emb, queries, dim = 64, k = 5,
+      nLists = 8, nProbe = 3, m = 16, ks = 64, rerank = 8, trainMod = 2)
+      .collect().map(_.toSeq).toSet
+    Similarity.saveIvfPqIndex(emb, dir, dim = 64,
+      nLists = 8, m = 16, ks = 64, trainMod = 2)
+    val loaded = Similarity.ivfPqTopKFromSaved(spark, dir, queries, k = 5,
+      nProbe = 3, rerank = 8)
+    assert(loaded.collect().map(_.toSeq).toSet == inMem,
+      "probing the saved composed artifact must reproduce the in-memory result row-for-row")
+    // one artifact, both bounds: the probed-cell scan must DPP-prune and
+    // the rerank reads embeddings from the SAME table (no second source)
+    val plan = loaded.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"cells scan must carry a DPP filter:\n${plan.take(1200)}")
+  }
 }
