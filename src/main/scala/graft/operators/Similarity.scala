@@ -196,13 +196,27 @@ object Similarity {
     * Build once per corpus version, probe from any later session: at
     * billion scale re-training (and re-assigning) per job is the cost
     * this artifact exists to amortize. */
-  def saveIvfIndex(idx: IvfIndex, dir: String): Unit = {
-    val spark = idx.assigned.sparkSession
+  // Shared centroid (de)serialization — saveIvfIndex and saveIvfPqIndex
+  // write the SAME tiny artifact, and both loaders must stay in lockstep
+  // with it (a format change in one place only would silently diverge
+  // the two index families).
+  private def writeCentroids(model: org.apache.spark.ml.clustering.KMeansModel,
+                             spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
     import spark.implicits._
-    idx.model.clusterCenters.toSeq.zipWithIndex
+    model.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+
+  def saveIvfIndex(idx: IvfIndex, dir: String): Unit = {
+    writeCentroids(idx.model, idx.assigned.sparkSession, dir)
     idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -214,10 +228,8 @@ object Similarity {
     * the dynamicpruning subquery in the scan). */
   def ivfTopKFromSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
     val assigned = spark.read.parquet(s"$dir/cells")
-    probeIvf(centroids, assigned, queries, k, nProbe)
+    probeIvf(loadCentroids(spark, dir), assigned, queries, k, nProbe)
   }
 
   /** LSH-bucketed ANN: candidates come only from the query's bucket.
@@ -417,10 +429,7 @@ object Similarity {
     val pq = pqIndex(corpus, dim, m, ks, seed, trainMod)
     val spark = corpus.sparkSession
     import spark.implicits._
-    ivf.model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeCentroids(ivf.model, spark, dir)
     pq.codebook.zipWithIndex.flatMap { case (sub, j) =>
       sub.zipWithIndex.map { case (center, c) => (j, c, center) }
     }.toSeq.toDF("sub", "code", "center")
@@ -440,16 +449,17 @@ object Similarity {
                          queries: DataFrame, k: Int, nProbe: Int = 3,
                          rerank: Int = 8): DataFrame = {
     import graft.functions.expressions.{PqAdcScore, PqDistTable}
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+    val centroids = loadCentroids(spark, dir)
     val cbRows = spark.read.parquet(s"$dir/codebook")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val m = cbRows.map(_._1).max + 1
-    val ks = cbRows.map(_._2).max + 1
-    require(cbRows.length == m * ks,
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+    val byCell = cbRows.toMap
+    val m = cbRows.map(_._1._1).max + 1
+    val ks = cbRows.map(_._1._2).max + 1
+    require(cbRows.length == m * ks && byCell.size == cbRows.length,
       s"saved codebook is not dense: ${cbRows.length} rows for m=$m ks=$ks")
     val codebook = Array.tabulate(m, ks) { (j, c) =>
-      cbRows.find(r => r._1 == j && r._2 == c).get._3
+      byCell.getOrElse((j, c),
+        sys.error(s"saved codebook missing subspace $j code $c"))
     }
     val cells = spark.read.parquet(s"$dir/cells")
     val probes = probeCells(centroids, queries, nProbe)

@@ -1763,7 +1763,9 @@ object ConnectorQueries {
         |    CASE WHEN p_partkey % 2 = 0 THEN '<th>name</th><th>qty</th><th>city</th>'
         |         ELSE '<td>name</td><td>qty</td><td>city</td>' END || '</tr>' ||
         |    CASE WHEN p_partkey % 4 >= 1 THEN
-        |      '<tr><td>n' || CAST((p_partkey + 1) % 50 AS VARCHAR) || '</td><td>' ||
+        |      CASE WHEN p_partkey % 6 = 0 THEN '<tr class="r">' ELSE '<tr>' END ||
+        |      CASE WHEN p_partkey % 7 = 0 THEN '<td align="c">' ELSE '<td>' END ||
+        |      'n' || CAST((p_partkey + 1) % 50 AS VARCHAR) || '</td><td>' ||
         |      CAST(p_partkey % 9 AS VARCHAR) || '</td><td>' ||
         |      CASE WHEN (p_partkey + 1) % 3 = 0 THEN ''
         |           ELSE 'C' || CAST((p_partkey + 1) % 20 AS VARCHAR) END ||
@@ -1785,22 +1787,29 @@ object ConnectorQueries {
         |    '</html>' AS html
         |  FROM part),
         |t AS (SELECT doc_id, regexp_extract(html, '<table[^>]*>(.*?)</table>', 1) AS tbl FROM d),
-        |r AS (SELECT doc_id, regexp_extract_all(tbl, '<tr>(.*?)</tr>', 1) AS rows FROM t),
+        |r AS (SELECT doc_id, regexp_extract_all(tbl, '<tr(?:\s[^>]*)?>(.*?)</tr>', 1) AS rows FROM t),
         |x AS (SELECT doc_id,
-        |        regexp_extract_all(rows[1], '<t[dh]>(.*?)</t[dh]>', 1) AS hdr,
+        |        regexp_extract_all(rows[1], '<t[dh](?:\s[^>]*)?>(.*?)</t[dh]>', 1) AS hdr,
         |        unnest(rows[2:]) AS rowhtml,
         |        generate_subscripts(rows[2:], 1) AS rn
         |      FROM r WHERE len(rows) > 1),
         |c AS (SELECT doc_id, rn, hdr,
-        |        regexp_extract_all(rowhtml, '<t[dh]>(.*?)</t[dh]>', 1) AS cells FROM x)
+        |        regexp_extract_all(rowhtml, '<t[dh](?:\s[^>]*)?>(.*?)</t[dh]>', 1) AS cells FROM x)
         |SELECT doc_id, CAST(rn AS BIGINT) AS row_n, CAST(j AS BIGINT) AS col_n,
         |  hdr[j] AS col_name, value
         |FROM (SELECT doc_id, rn, hdr, unnest(cells) AS value,
         |        generate_subscripts(cells, 1) AS j FROM c)
         |""".stripMargin) { (s, dir) =>
       val p = col("p_partkey")
+      // row 1 sometimes carries tag ATTRIBUTES (<tr class>, <td align>) —
+      // pd.read_html parses those identically, so the extraction regexes
+      // must tolerate them (the attribute-free fast arms stay majority)
       def dataRow(off: Int, mult: Int): Column = concat(
-        lit("<tr><td>n"), ((p + off) % 50).cast("string"),
+        if (off == 1)
+          concat(when(p % 6 === 0, lit("<tr class=\"r\">")).otherwise(lit("<tr>")),
+            when(p % 7 === 0, lit("<td align=\"c\">")).otherwise(lit("<td>")))
+        else lit("<tr><td>"),
+        lit("n"), ((p + off) % 50).cast("string"),
         lit("</td><td>"), ((p * mult) % 9).cast("string"), lit("</td><td>"),
         when((p + off) % 3 === 0, lit(""))
           .otherwise(concat(lit("C"), ((p + off) % 20).cast("string"))),
@@ -1818,14 +1827,15 @@ object ConnectorQueries {
         lit("</html>"))
       Tables.part(s, dir).select(p.as("doc_id"), html.as("html"))
         .withColumn("tbl", regexp_extract(col("html"), "<table[^>]*>(.*?)</table>", 1))
-        .withColumn("rows", expr("regexp_extract_all(tbl, '<tr>(.*?)</tr>', 1)"))
+        .withColumn("rows",
+          expr("regexp_extract_all(tbl, '<tr(?:\\\\s[^>]*)?>(.*?)</tr>', 1)"))
         .filter(size(col("rows")) > 1)
         .withColumn("hdr",
-          expr("regexp_extract_all(element_at(rows, 1), '<t[dh]>(.*?)</t[dh]>', 1)"))
+          expr("regexp_extract_all(element_at(rows, 1), '<t[dh](?:\\\\s[^>]*)?>(.*?)</t[dh]>', 1)"))
         .select(col("doc_id"), col("hdr"),
           posexplode(expr("slice(rows, 2, size(rows) - 1)")).as(Seq("rpos", "rowhtml")))
         .withColumn("cells",
-          expr("regexp_extract_all(rowhtml, '<t[dh]>(.*?)</t[dh]>', 1)"))
+          expr("regexp_extract_all(rowhtml, '<t[dh](?:\\\\s[^>]*)?>(.*?)</t[dh]>', 1)"))
         .select(col("doc_id"), (col("rpos") + 1).cast("long").as("row_n"), col("hdr"),
           posexplode(col("cells")).as(Seq("cpos", "value")))
         .select(col("doc_id"), col("row_n"), (col("cpos") + 1).cast("long").as("col_n"),

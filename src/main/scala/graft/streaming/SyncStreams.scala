@@ -16,31 +16,30 @@ import graft.operators.StatusSync
   * re-expression, the same plan the oracle gate verifies.
   *
   * Replay safety: each batch's delta lands in its own `batch=<id>`
-  * partition through DYNAMIC partition overwrite, so a crashed-and-
-  * replayed batch overwrites its own partition instead of appending
-  * duplicates — per-batch idempotent, the same posture as the cluster
-  * sink's snapshot publish.
+  * partition path (a direct static overwrite of that path), so a
+  * crashed-and-replayed batch overwrites its own partition instead of
+  * appending duplicates — per-batch idempotent, the same posture as
+  * the cluster sink's snapshot publish.
   */
 object SyncStreams {
 
   /** The per-batch closure, exposed for direct testing (the spec calls
     * it exactly as the stream runner does). `stored` is the (key,
-    * status, ord) snapshot; the batch carries the staged keys. */
+    * status, ord) snapshot; the batch carries the staged keys.
+    *
+    * The delta writes DIRECTLY to its `batch=<id>` partition path with
+    * a static overwrite — unconditionally idempotent, with none of the
+    * dynamic-partition-overwrite failure modes: a replayed batch whose
+    * delta shrank to EMPTY still truncates its stale partition (dynamic
+    * mode only touches partitions present in the written data, so an
+    * empty replay would leave the old rows on disk), and no session
+    * conf is mutated (a set/restore dance races concurrent writers on
+    * the shared session). An all-empty run still reads back fine: the
+    * empty parquet carries a footer, and `batch` comes off the
+    * directory name at read time. */
   def statusSyncSink(stored: DataFrame, outDir: String,
                      inactiveValue: String = "INACTIVE")(
-      batch: DataFrame, batchId: Long): Unit = {
-    val out = StatusSync.reconcile(stored, batch, inactiveValue)
-      .withColumn("batch", lit(batchId))
-    // The overwrite-mode conf must be read from the WRITER's session —
-    // the reconciled frame's plan roots at `stored` (the outer session),
-    // not at foreachBatch's cloned micro-batch session, so set it there.
-    val spark = out.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode("overwrite").partitionBy("batch").parquet(outDir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+      batch: DataFrame, batchId: Long): Unit =
+    StatusSync.reconcile(stored, batch, inactiveValue)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 }

@@ -873,25 +873,36 @@ class StreamingSpec extends SpecBase {
     try {
       val batches = Seq(Seq("k2", "k4"), Seq("k5"), Seq("kX"))
       batches.foreach { b => stream.addData(b); query.processAllAvailable() }
-      val got = spark.read.parquet(outDir)
+      // MULTISET comparison (sorted Seq, not Set): a sink that silently
+      // appended duplicate rows would collapse under a Set compare — the
+      // exact failure mode the replay guarantee exists to prevent
+      def readAll() = spark.read.parquet(outDir)
         .select($"batch", $"id", $"prior_status", $"status")
-        .collect().map(_.toSeq).toSet
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
+      val got = readAll()
       val want = batches.zipWithIndex.flatMap { case (b, i) =>
         StatusSync.reconcile(stored, b.toDF("key"))
-          .collect().map(r => Seq(i.toLong, r.getString(0), r.getString(1), r.getString(2)))
-      }.toSet
+          .collect().map(r => Seq(i.toString, r.getString(0),
+            String.valueOf(r.getString(1)), r.getString(2)))
+      }.sortBy(_.mkString("|"))
       assert(got == want,
-        s"stream-only: ${(got -- want).take(3)}, batch-only: ${(want -- got).take(3)}")
-      // the per-batch deltas genuinely differ (the sync is per-batch, not
-      // cumulative) and every quirk arm fired somewhere
+        s"stream deltas diverge: got ${got.take(4)} want ${want.take(4)}")
+      // the quirk arms fired: null-status deactivates, last-wins-INACTIVE never emits
       assert(want.exists(_(1) == "k3") && !want.exists(_(1) == "k1"),
         "null-status must deactivate and a last-wins-INACTIVE key must not")
-      // replaying batch 1's partition (crash simulation) overwrites, not appends
+      // replaying batch 1 (crash simulation) overwrites its partition, not appends
       SyncStreams.statusSyncSink(stored, outDir)(Seq("k5").toDF("key"), 1L)
-      val replayed = spark.read.parquet(outDir)
-        .select($"batch", $"id", $"prior_status", $"status")
-        .collect().map(_.toSeq).toSet
-      assert(replayed == got, "batch replay must be idempotent (dynamic partition overwrite)")
+      assert(readAll() == got, "batch replay must be idempotent")
+      // a replay whose delta SHRANK TO EMPTY (downstream upsert already
+      // deactivated everything) must truncate the stale partition too —
+      // dynamic partition overwrite would leave the old rows on disk
+      SyncStreams.statusSyncSink(stored.withColumn("status", lit("INACTIVE")),
+        outDir)(Seq("k5").toDF("key"), 1L)
+      val afterEmpty = readAll()
+      assert(!afterEmpty.exists(_.head == "1"),
+        s"empty replay left stale batch=1 rows: ${afterEmpty.filter(_.head == "1")}")
+      assert(afterEmpty == got.filterNot(_.head == "1"),
+        "empty replay must only remove batch 1's rows")
     } finally query.stop()
   }
 }
