@@ -1825,22 +1825,8 @@ object ConnectorQueries {
         lit("</table>"),
         when(p % 5 === 0, lit("<table><tr><td>zz</td></tr></table>")).otherwise(lit("")),
         lit("</html>"))
-      Tables.part(s, dir).select(p.as("doc_id"), html.as("html"))
-        .withColumn("tbl", regexp_extract(col("html"), "<table[^>]*>(.*?)</table>", 1))
-        .withColumn("rows",
-          expr("regexp_extract_all(tbl, '<tr(?:\\\\s[^>]*)?>(.*?)</tr>', 1)"))
-        .filter(size(col("rows")) > 1)
-        .withColumn("hdr",
-          expr("regexp_extract_all(element_at(rows, 1), '<t[dh](?:\\\\s[^>]*)?>(.*?)</t[dh]>', 1)"))
-        .select(col("doc_id"), col("hdr"),
-          posexplode(expr("slice(rows, 2, size(rows) - 1)")).as(Seq("rpos", "rowhtml")))
-        .withColumn("cells",
-          expr("regexp_extract_all(rowhtml, '<t[dh](?:\\\\s[^>]*)?>(.*?)</t[dh]>', 1)"))
-        .select(col("doc_id"), (col("rpos") + 1).cast("long").as("row_n"), col("hdr"),
-          posexplode(col("cells")).as(Seq("cpos", "value")))
-        .select(col("doc_id"), col("row_n"), (col("cpos") + 1).cast("long").as("col_n"),
-          element_at(col("hdr"), (col("cpos") + 1).cast("int")).as("col_name"),
-          col("value"))
+      graft.operators.HtmlTable.extract(
+        Tables.part(s, dir).select(p.as("doc_id"), html.as("html")))
     }
   )
 

@@ -316,4 +316,99 @@ class PropertySpec extends SpecBase {
       assert(r.getString(1) == r.getString(0).toLowerCase(java.util.Locale.ROOT))
     }
   }
+
+  test("HtmlTable.extract round-trips ANY generated table: cells out == cells in") {
+    // cell-safe text: no tag metacharacters (a crawl cleaner's job, not
+    // the table parser's), no leading/trailing whitespace ambiguity
+    val cellText: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const('.'), 1 -> Gen.const('-'),
+      1 -> Gen.const(':'))).map(_.mkString)
+    val header: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    case class Tbl(hdr: List[String], rows: List[List[String]],
+                   thHeader: Boolean, attrs: Boolean, decoy: Boolean)
+    val tbl: Gen[Tbl] = for {
+      ncols <- Gen.choose(1, 4)
+      hdr <- Gen.listOfN(ncols, header)
+      nrows <- Gen.choose(0, 3)
+      rows <- Gen.listOfN(nrows, Gen.listOfN(ncols, cellText))
+      th <- Gen.oneOf(true, false)
+      attrs <- Gen.oneOf(true, false)
+      decoy <- Gen.oneOf(true, false)
+    } yield Tbl(hdr, rows, th, attrs, decoy)
+    // one crafted instance pins the arms the seeded sample may miss:
+    // an EMPTY cell value and a single-column header-only neighbor
+    val tables = cases(tbl, 40) :+
+      Tbl(List("h1", "h2"), List(List("", "v")), thHeader = false,
+        attrs = true, decoy = true)
+    def render(t: Tbl): String = {
+      val (ho, hc) = if (t.thHeader) ("<th>", "</th>") else ("<td>", "</td>")
+      val trOpen = if (t.attrs) "<tr class=\"x\">" else "<tr>"
+      val tdOpen = if (t.attrs) "<td data-v=\"1\">" else "<td>"
+      "<html><p>junk</p><table id=\"g\">" +
+        t.hdr.map(h => ho + h + hc).mkString("<tr>", "", "</tr>") +
+        t.rows.map(r => r.map(c => tdOpen + c + "</td>").mkString(trOpen, "", "</tr>")).mkString +
+        "</table>" +
+        (if (t.decoy) "<table><tr><td>zz</td></tr></table>" else "") +
+        "</html>"
+    }
+    val docs = tables.zipWithIndex.map { case (t, i) => (i.toLong, render(t)) }
+      .toDF("doc_id", "html")
+    val got = graft.operators.HtmlTable.extract(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSet
+    val want = tables.zipWithIndex.flatMap { case (t, i) =>
+      t.rows.zipWithIndex.flatMap { case (row, rn) =>
+        row.zipWithIndex.map { case (v, cn) =>
+          (i.toLong, (rn + 1).toLong, (cn + 1).toLong, t.hdr(cn), v)
+        }
+      }
+    }.toSet
+    assert(got == want,
+      s"parser-only: ${(got -- want).take(3)}, gen-only: ${(want -- got).take(3)}")
+    // the generators actually exercised the quirk arms
+    assert(tables.exists(_.rows.isEmpty) && tables.exists(_.attrs) &&
+      tables.exists(_.thHeader) && tables.exists(!_.thHeader) &&
+      tables.exists(_.rows.exists(_.contains(""))),
+      "generator coverage collapsed — widen the case count")
+  }
+
+  test("StatusSync.reconcile matches an independent Scala replay on random tables") {
+    val statusGen: Gen[Option[String]] = Gen.frequency(
+      4 -> Gen.const(Some("ACTIVE")), 3 -> Gen.const(Some("INACTIVE")),
+      1 -> Gen.const(Some("PENDING")), 2 -> Gen.const(None))
+    case class Case(stored: List[(Int, Option[String])], staged: List[Int])
+    val caseGen: Gen[Case] = for {
+      n <- Gen.choose(0, 25)
+      stored <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 7), statusGen))
+      staged <- Gen.listOf(Gen.choose(0, 7))
+    } yield Case(stored, staged)
+    // crafted instance: a PENDING survivor, a null-status survivor, and
+    // a last-wins flip to INACTIVE — arms a seeded sample may miss
+    val instances = cases(caseGen, 12) :+
+      Case(List((0, Some("PENDING")), (1, Some("ACTIVE")),
+        (1, Some("INACTIVE")), (2, None)), List(3))
+    // one Spark pass over every instance: keys prefixed per case so the
+    // per-key semantics cannot leak across cases
+    def pk(i: Int, key: Int) = s"c${i}_k$key"
+    val stored = instances.zipWithIndex.flatMap { case (c, i) =>
+      c.stored.zipWithIndex.map { case ((key, st), ord) =>
+        (pk(i, key), st, ord.toLong)
+      }
+    }.toDF("key", "status", "ord")
+    val staged = instances.zipWithIndex
+      .flatMap { case (c, i) => c.staged.map(k => pk(i, k)) }.toDF("key")
+    val got = graft.operators.StatusSync.reconcile(stored, staged).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    val want = instances.zipWithIndex.flatMap { case (c, i) =>
+      val stagedSet = c.staged.map(pk(i, _)).toSet
+      c.stored.zipWithIndex.groupBy { case ((key, _), _) => pk(i, key) }
+        .map { case (key, rows) => key -> rows.maxBy(_._2)._1._2 } // last-wins
+        .collect { case (key, st)
+          if !stagedSet.contains(key) && st != Some("INACTIVE") => (key, st) }
+    }.toSet
+    assert(got == want,
+      s"op-only: ${(got -- want).take(3)}, replay-only: ${(want -- got).take(3)}")
+    assert(want.exists(_._2.isEmpty) && want.exists(_._2.contains("PENDING")),
+      "generator coverage collapsed — null and non-standard statuses must appear")
+  }
 }
