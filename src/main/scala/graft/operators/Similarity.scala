@@ -337,15 +337,25 @@ object Similarity {
     rerankExact(corpus, queries, shortlist, k)
   }
 
-  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist — the
-    * closing stage shared by [[pqTopK]] and [[ivfPqTopK]]: only the
-    * shortlist rows (k·rerank per query) ever fetch raw embeddings. */
+  /** Exact-cosine re-rank of a shortlist — the closing stage shared by
+    * [[pqTopK]], [[ivfPqTopK]] and [[ivfPqTopKFromSaved]]: only the
+    * shortlist rows (k·rerank per query) ever fetch raw embeddings.
+    *
+    * Join keys are every shortlist column except query_id:
+    * (neighbor_id) for the in-memory paths, (cell, neighbor_id) for the
+    * saved artifact — there `cell` is the table's PARTITION column, so
+    * the broadcast join's dynamic-partition-pruning filter drops every
+    * unprobed cell's files from the re-rank read exactly like the ADC
+    * code read. A vec_id lives in exactly one cell, so the extra key
+    * changes which FILES are opened, never which rows match. */
   private def rerankExact(corpus: DataFrame, queries: DataFrame,
                           shortlist: DataFrame, k: Int): DataFrame = {
     val qEmb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val keys = shortlist.columns.toSeq.filterNot(_ == "query_id")
+    val carried = keys.filterNot(_ == "neighbor_id").map(col)
     val rescored = corpus
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .select(carried :+ col("vec_id").as("neighbor_id") :+ col("embedding").as("c_emb"): _*)
+      .join(broadcast(shortlist), keys)
       .join(broadcast(qEmb), Seq("query_id"))
       .withColumn("cos", round(F.cosine(col("q_emb"), col("c_emb")), 4))
     TopK.topKWithRank(rescored, col("query_id"),
@@ -470,9 +480,14 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(qTbl), "query_id")
       .withColumn("adist", round(PqAdcScore(col("code"), col("tbl"), ks), 4))
+    // The shortlist CARRIES cell so the re-rank joins on (cell, vec_id):
+    // the re-rank's second scan of the cell-partitioned table then gets
+    // its own DPP filter and opens only the shortlist's cells' files —
+    // without it the exact re-rank reads every partition of the
+    // embeddings right after the ADC pass pruned to nProbe cells.
     val shortlist = TopK.topKPerKey(scored, Seq(col("query_id")),
       Seq(col("adist").asc_nulls_last, col("vec_id")), k * rerank)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    rerankExact(cells.select(col("vec_id"), col("embedding")), queries, shortlist, k)
+      .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"))
+    rerankExact(cells, queries, shortlist, k)
   }
 }

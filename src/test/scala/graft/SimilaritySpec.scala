@@ -195,10 +195,14 @@ class SimilaritySpec extends SpecBase {
       nProbe = 3, rerank = 8)
     assert(loaded.collect().map(_.toSeq).toSet == inMem,
       "probing the saved composed artifact must reproduce the in-memory result row-for-row")
-    // one artifact, both bounds: the probed-cell scan must DPP-prune and
-    // the rerank reads embeddings from the SAME table (no second source)
+    // one artifact, both bounds: the probed-cell ADC scan AND the exact
+    // re-rank's second scan of the same table must EACH carry a DPP
+    // filter — the shortlist carries `cell` precisely so the re-rank
+    // read prunes to the probed cells instead of opening every partition
     val plan = loaded.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"cells scan must carry a DPP filter:\n${plan.take(1200)}")
+    val dppScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("dynamicpruning"))
+    assert(dppScans >= 2,
+      s"both cells scans (ADC + re-rank) must carry DPP filters, found $dppScans:\n${plan.take(1600)}")
   }
 }
