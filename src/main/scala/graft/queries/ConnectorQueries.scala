@@ -1827,6 +1827,274 @@ object ConnectorQueries {
         lit("</html>"))
       graft.operators.HtmlTable.extract(
         Tables.part(s, dir).select(p.as("doc_id"), html.as("html")))
+    },
+
+    // q158: the EXTERNAL manual-data-entry spreadsheet emit map
+    // (operators/manual_data_entry/external.py:23-91 + handle_taxonomies
+    // :111-131) — the last row-transform surface of the reference the
+    // suite had not pinned. Modeled semantics, fetch half out of scope:
+    //  - sheet gate (:159 + :27): Status 'בייצור' AND a truthy
+    //    spreadsheet URL ('' is falsy in Python — both arms modeled);
+    //  - service gates (:31-32): truthy service name, then status
+    //    'מוכן לפרסום' — BOTH before enumerate(services), so the row
+    //    index i of '_row_id' = URL#i (:37) counts filtered rows;
+    //  - the org-id skip (:55-56) happens AFTER i is assigned — a
+    //    skipped service leaves a GAP in the _row_id sequence, kept;
+    //  - operator branch (:51): truthy 'שם המפעיל' takes org fields
+    //    from the service row, short name nulled; the sentinel
+    //    'יוזמה פרטית' (compared STRIPPED, :57) nulls only the id; the
+    //    else branch copies the sheet's org fields verbatim;
+    //  - branch address (:39): service value `or` sheet fallback —
+    //    Python `or` falls back on '' as well as None; the five other
+    //    Branch columns are emitted as literal nulls (the fixed schema);
+    //  - notes (:78-90): free notes `or ''`, the emergency flag appends
+    //    '\n\n' + the tag message, then .strip() — replayed with an
+    //    explicit space+newline trim charset on both engines;
+    //  - handle_taxonomies: each of the 7 slot values (category,
+    //    audience, 5 language slots) is STRIPPED and looked up in the
+    //    taxonomy dim; misses are ignored, hits set-union response_ids /
+    //    situation_ids ('or []' guards a null list). Python's set order
+    //    is nondeterministic BY CONSTRUCTION — pinned SORTED and
+    //    '|'-joined here (same pin as q146's link lists);
+    //  - the final delete_fields (:161) drops Status / URL / Source
+    //    Name from the emitted row — Data Source carries the source.
+    // Plan: orders scan + ONE broadcast sheet dim (the reference's
+    // Airtable Sheets table is config-scale) + 7 broadcast joins of the
+    // 25-row taxonomy dim (driver dict → broadcast join, the standing
+    // re-expression) + the ONE unavoidable exchange: the per-sheet
+    // row_number window (partition by url, total order on the unique
+    // order key). Everything else is map-side; no corpus-sized shuffle
+    // at any scale.
+    "q158_external_mde" -> QueryDef.of(
+      """WITH sheets AS (
+        |  SELECT c_custkey AS ck,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'טיוטה' ELSE 'בייצור' END AS sheet_status,
+        |    CASE WHEN c_custkey % 13 = 0 THEN NULL WHEN c_custkey % 13 = 1 THEN ''
+        |         ELSE 'https://sheets.example/d/' || CAST(c_custkey AS VARCHAR) END AS url,
+        |    CASE WHEN c_custkey % 5 <> 0 THEN 'ישוב ' || CAST(c_custkey % 90 AS VARCHAR) END AS sheet_addr,
+        |    'ארגון גיליון ' || CAST(c_custkey % 200 AS VARCHAR) AS sheet_org_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'קיצור ' || CAST(c_custkey % 40 AS VARCHAR) END AS sheet_org_short,
+        |    CASE WHEN c_custkey % 11 <> 0 THEN '58' || lpad(CAST(c_custkey % 500 AS VARCHAR), 7, '0') END AS sheet_org_id,
+        |    CASE WHEN c_custkey % 4 = 0 THEN '03' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 5, '0') END AS sheet_org_phone,
+        |    CASE WHEN c_custkey % 6 = 0 THEN 'org' || CAST(c_custkey % 70 AS VARCHAR) || '@mail.il' END AS sheet_org_email,
+        |    CASE WHEN c_custkey % 9 = 0 THEN 'https://org' || CAST(c_custkey % 80 AS VARCHAR) || '.org.il' END AS sheet_org_web,
+        |    'מקור ' || CAST(c_custkey % 25 AS VARCHAR) AS source_name
+        |  FROM customer),
+        |ready AS (
+        |  SELECT * FROM sheets
+        |  WHERE sheet_status = 'בייצור' AND url IS NOT NULL AND url <> ''),
+        |tax AS (
+        |  SELECT CASE n_nationkey % 3
+        |      WHEN 0 THEN 'קטגוריה ' || CAST(n_nationkey AS VARCHAR)
+        |      WHEN 1 THEN 'אוכלוסייה ' || CAST(n_nationkey AS VARCHAR)
+        |      ELSE 'שפה ' || CAST(n_nationkey AS VARCHAR) END AS tname,
+        |    CASE WHEN n_nationkey % 4 <> 0 THEN
+        |      ['resp:' || CAST(n_nationkey % 7 AS VARCHAR),
+        |       'resp:' || CAST((n_nationkey + 3) % 7 AS VARCHAR)] END AS resp,
+        |    CASE WHEN n_nationkey % 5 <> 4 THEN
+        |      ['sit:' || CAST(n_nationkey % 6 AS VARCHAR)] END AS sit
+        |  FROM nation),
+        |svc AS (
+        |  SELECT o_orderkey AS ord, o_custkey AS ck,
+        |    CASE WHEN o_orderkey % 19 = 0 THEN NULL WHEN o_orderkey % 19 = 1 THEN ''
+        |         ELSE 'שירות ' || CAST(o_orderkey % 400 AS VARCHAR) END AS svc_name,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN 'בעבודה' ELSE 'מוכן לפרסום' END AS svc_status,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN NULL WHEN o_orderkey % 4 = 1 THEN ''
+        |         ELSE 'רחוב ' || CAST(o_orderkey % 150 AS VARCHAR) END AS svc_addr,
+        |    'תיאור ' || CAST(o_orderkey % 97 AS VARCHAR) AS svc_desc,
+        |    CASE WHEN o_orderkey % 10 <> 3 THEN 'בתיאום ' || CAST(o_orderkey % 11 AS VARCHAR) END AS svc_cond,
+        |    CASE WHEN o_orderkey % 9 <> 0 THEN '02' || lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0') END AS svc_phone,
+        |    CASE WHEN o_orderkey % 8 <> 5 THEN 'https://svc' || CAST(o_orderkey % 70 AS VARCHAR) || '.org.il' END AS svc_web,
+        |    CASE WHEN o_orderkey % 7 <> 2 THEN 's' || CAST(o_orderkey % 45 AS VARCHAR) || '@mail.il' END AS svc_email,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL WHEN o_orderkey % 5 = 1 THEN ''
+        |         ELSE 'מפעיל ' || CAST(o_orderkey % 120 AS VARCHAR) END AS op_name,
+        |    CASE WHEN o_orderkey % 8 = 0 THEN NULL WHEN o_orderkey % 8 = 1 THEN ''
+        |         WHEN o_orderkey % 8 = 2 THEN 'יוזמה פרטית'
+        |         WHEN o_orderkey % 8 = 3 THEN ' יוזמה פרטית '
+        |         ELSE '51' || lpad(CAST(o_orderkey % 800 AS VARCHAR), 7, '0') END AS op_org_id,
+        |    CASE WHEN o_orderkey % 6 <> 1 THEN '07' || lpad(CAST(o_orderkey % 9999 AS VARCHAR), 5, '0') END AS op_phone,
+        |    CASE WHEN o_orderkey % 6 <> 2 THEN 'op' || CAST(o_orderkey % 55 AS VARCHAR) || '@mail.il' END AS op_email,
+        |    CASE WHEN o_orderkey % 6 <> 3 THEN 'www.op' || CAST(o_orderkey % 65 AS VARCHAR) || '.co.il' END AS op_web,
+        |    CASE WHEN o_orderkey % 10 <> 0 THEN 'קטגוריה ' || CAST(o_orderkey % 15 AS VARCHAR) END AS cat,
+        |    CASE WHEN o_orderkey % 11 <> 0 THEN 'אוכלוסייה ' || CAST(o_orderkey % 12 AS VARCHAR) END AS aud,
+        |    CASE WHEN o_orderkey % 3 = 1 THEN 'שפה ' || CAST(o_orderkey % 8 AS VARCHAR)
+        |         WHEN o_orderkey % 3 = 2 THEN ' שפה ' || CAST(o_orderkey % 8 AS VARCHAR) || ' ' END AS lang1,
+        |    CASE WHEN o_orderkey % 4 = 1 THEN 'שפה ' || CAST((o_orderkey + 1) % 8 AS VARCHAR) END AS lang2,
+        |    CASE WHEN o_orderkey % 5 = 2 THEN 'שפה ' || CAST((o_orderkey + 2) % 8 AS VARCHAR) END AS lang3,
+        |    CASE WHEN o_orderkey % 9 = 4 THEN '' END AS lang4,
+        |    CAST(NULL AS VARCHAR) AS lang5,
+        |    CASE WHEN o_orderkey % 7 <> 0 THEN 'קהל ' || CAST(o_orderkey % 33 AS VARCHAR) END AS tgt_aud,
+        |    (o_orderkey % 21 = 0) AS emergency,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL WHEN o_orderkey % 5 = 1 THEN ''
+        |         ELSE ' הערה ' || CAST(o_orderkey % 44 AS VARCHAR) || '  ' END AS free_notes
+        |  FROM orders),
+        |joined AS (
+        |  SELECT s.*, r.url, r.sheet_addr, r.sheet_org_name, r.sheet_org_short,
+        |    r.sheet_org_id, r.sheet_org_phone, r.sheet_org_email, r.sheet_org_web,
+        |    r.source_name
+        |  FROM svc s JOIN ready r ON s.ck = r.ck
+        |  WHERE s.svc_name IS NOT NULL AND s.svc_name <> ''
+        |    AND s.svc_status = 'מוכן לפרסום'),
+        |idxed AS (
+        |  SELECT *, row_number() OVER (PARTITION BY url ORDER BY ord) - 1 AS i
+        |  FROM joined),
+        |kept AS (
+        |  SELECT *, (op_name IS NOT NULL AND op_name <> '') AS op_truthy FROM idxed
+        |  WHERE NOT (op_name IS NOT NULL AND op_name <> ''
+        |             AND (op_org_id IS NULL OR op_org_id = ''))),
+        |tx AS (
+        |  SELECT k.*, t1.resp AS r1, t1.sit AS s1, t2.resp AS r2, t2.sit AS s2,
+        |    t3.resp AS r3, t3.sit AS s3, t4.resp AS r4, t4.sit AS s4,
+        |    t5.resp AS r5, t5.sit AS s5, t6.resp AS r6, t6.sit AS s6,
+        |    t7.resp AS r7, t7.sit AS s7
+        |  FROM kept k
+        |  LEFT JOIN tax t1 ON trim(k.cat) = t1.tname
+        |  LEFT JOIN tax t2 ON trim(k.aud) = t2.tname
+        |  LEFT JOIN tax t3 ON trim(k.lang1) = t3.tname
+        |  LEFT JOIN tax t4 ON trim(k.lang2) = t4.tname
+        |  LEFT JOIN tax t5 ON trim(k.lang3) = t5.tname
+        |  LEFT JOIN tax t6 ON trim(k.lang4) = t6.tname
+        |  LEFT JOIN tax t7 ON trim(k.lang5) = t7.tname)
+        |SELECT url || '#' || CAST(i AS VARCHAR) AS _row_id,
+        |  CASE WHEN svc_addr IS NULL OR svc_addr = '' THEN sheet_addr ELSE svc_addr END AS branch_address,
+        |  CAST(NULL AS VARCHAR) AS branch_details,
+        |  CAST(NULL AS VARCHAR) AS branch_geocode,
+        |  CAST(NULL AS VARCHAR) AS branch_email,
+        |  CAST(NULL AS VARCHAR) AS branch_website,
+        |  CAST(NULL AS VARCHAR) AS branch_phone,
+        |  svc_name AS service_name, svc_desc AS service_description,
+        |  svc_cond AS service_conditions, svc_phone AS service_phone,
+        |  svc_web AS service_website, svc_email AS service_email,
+        |  CASE WHEN op_truthy THEN op_name ELSE sheet_org_name END AS org_name,
+        |  CASE WHEN op_truthy THEN NULL ELSE sheet_org_short END AS org_short_name,
+        |  CASE WHEN op_truthy THEN
+        |    (CASE WHEN trim(op_org_id) = 'יוזמה פרטית' THEN NULL ELSE op_org_id END)
+        |    ELSE sheet_org_id END AS org_id,
+        |  CASE WHEN op_truthy THEN op_phone ELSE sheet_org_phone END AS org_phone,
+        |  CASE WHEN op_truthy THEN op_email ELSE sheet_org_email END AS org_email,
+        |  CASE WHEN op_truthy THEN op_web ELSE sheet_org_web END AS org_website,
+        |  source_name AS data_source,
+        |  tgt_aud AS target_audiences,
+        |  trim(CASE WHEN emergency
+        |       THEN COALESCE(free_notes, '') || chr(10) || chr(10) || 'יש לתייג כשירות חירום'
+        |       ELSE COALESCE(free_notes, '') END, ' ' || chr(10)) AS notes,
+        |  COALESCE(array_to_string(list_sort(list_distinct(flatten(
+        |    [COALESCE(r1, []), COALESCE(r2, []), COALESCE(r3, []), COALESCE(r4, []),
+        |     COALESCE(r5, []), COALESCE(r6, []), COALESCE(r7, [])]))), '|'), '') AS responses_ids,
+        |  COALESCE(array_to_string(list_sort(list_distinct(flatten(
+        |    [COALESCE(s1, []), COALESCE(s2, []), COALESCE(s3, []), COALESCE(s4, []),
+        |     COALESCE(s5, []), COALESCE(s6, []), COALESCE(s7, [])]))), '|'), '') AS situations_ids
+        |FROM tx
+        |""".stripMargin) { (s, dir) =>
+      val k = col("c_custkey")
+      val sheets = Tables.customer(s, dir).select(
+        k.as("ck"),
+        when(k % 7 === 0, lit("טיוטה")).otherwise(lit("בייצור")).as("sheet_status"),
+        when(k % 13 === 0, lit(null).cast("string")).when(k % 13 === 1, lit(""))
+          .otherwise(concat(lit("https://sheets.example/d/"), k.cast("string"))).as("url"),
+        when(k % 5 =!= 0, concat(lit("ישוב "), (k % 90).cast("string"))).as("sheet_addr"),
+        concat(lit("ארגון גיליון "), (k % 200).cast("string")).as("sheet_org_name"),
+        when(k % 3 === 0, concat(lit("קיצור "), (k % 40).cast("string"))).as("sheet_org_short"),
+        when(k % 11 =!= 0, concat(lit("58"), lpad((k % 500).cast("string"), 7, "0"))).as("sheet_org_id"),
+        when(k % 4 === 0, concat(lit("03"), lpad((k % 10000).cast("string"), 5, "0"))).as("sheet_org_phone"),
+        when(k % 6 === 0, concat(lit("org"), (k % 70).cast("string"), lit("@mail.il"))).as("sheet_org_email"),
+        when(k % 9 === 0, concat(lit("https://org"), (k % 80).cast("string"), lit(".org.il"))).as("sheet_org_web"),
+        concat(lit("מקור "), (k % 25).cast("string")).as("source_name"))
+        .filter(col("sheet_status") === "בייצור" &&
+          col("url").isNotNull && col("url") =!= "")
+      val n = col("n_nationkey")
+      val tax = Tables.nation(s, dir).select(
+        when(n % 3 === 0, concat(lit("קטגוריה "), n.cast("string")))
+          .when(n % 3 === 1, concat(lit("אוכלוסייה "), n.cast("string")))
+          .otherwise(concat(lit("שפה "), n.cast("string"))).as("tname"),
+        when(n % 4 =!= 0, array(
+          concat(lit("resp:"), (n % 7).cast("string")),
+          concat(lit("resp:"), ((n + 3) % 7).cast("string")))).as("resp"),
+        when(n % 5 =!= 4, array(concat(lit("sit:"), (n % 6).cast("string")))).as("sit"))
+      val o = col("o_orderkey")
+      val svc = Tables.orders(s, dir).select(
+        o.as("ord"), col("o_custkey").as("ck"),
+        when(o % 19 === 0, lit(null).cast("string")).when(o % 19 === 1, lit(""))
+          .otherwise(concat(lit("שירות "), (o % 400).cast("string"))).as("svc_name"),
+        when(o % 6 === 0, lit("בעבודה")).otherwise(lit("מוכן לפרסום")).as("svc_status"),
+        when(o % 4 === 0, lit(null).cast("string")).when(o % 4 === 1, lit(""))
+          .otherwise(concat(lit("רחוב "), (o % 150).cast("string"))).as("svc_addr"),
+        concat(lit("תיאור "), (o % 97).cast("string")).as("svc_desc"),
+        when(o % 10 =!= 3, concat(lit("בתיאום "), (o % 11).cast("string"))).as("svc_cond"),
+        when(o % 9 =!= 0, concat(lit("02"), lpad((o % 10000).cast("string"), 4, "0"))).as("svc_phone"),
+        when(o % 8 =!= 5, concat(lit("https://svc"), (o % 70).cast("string"), lit(".org.il"))).as("svc_web"),
+        when(o % 7 =!= 2, concat(lit("s"), (o % 45).cast("string"), lit("@mail.il"))).as("svc_email"),
+        when(o % 5 === 0, lit(null).cast("string")).when(o % 5 === 1, lit(""))
+          .otherwise(concat(lit("מפעיל "), (o % 120).cast("string"))).as("op_name"),
+        when(o % 8 === 0, lit(null).cast("string")).when(o % 8 === 1, lit(""))
+          .when(o % 8 === 2, lit("יוזמה פרטית"))
+          .when(o % 8 === 3, lit(" יוזמה פרטית "))
+          .otherwise(concat(lit("51"), lpad((o % 800).cast("string"), 7, "0"))).as("op_org_id"),
+        when(o % 6 =!= 1, concat(lit("07"), lpad((o % 9999).cast("string"), 5, "0"))).as("op_phone"),
+        when(o % 6 =!= 2, concat(lit("op"), (o % 55).cast("string"), lit("@mail.il"))).as("op_email"),
+        when(o % 6 =!= 3, concat(lit("www.op"), (o % 65).cast("string"), lit(".co.il"))).as("op_web"),
+        when(o % 10 =!= 0, concat(lit("קטגוריה "), (o % 15).cast("string"))).as("cat"),
+        when(o % 11 =!= 0, concat(lit("אוכלוסייה "), (o % 12).cast("string"))).as("aud"),
+        when(o % 3 === 1, concat(lit("שפה "), (o % 8).cast("string")))
+          .when(o % 3 === 2, concat(lit(" שפה "), (o % 8).cast("string"), lit(" "))).as("lang1"),
+        when(o % 4 === 1, concat(lit("שפה "), ((o + 1) % 8).cast("string"))).as("lang2"),
+        when(o % 5 === 2, concat(lit("שפה "), ((o + 2) % 8).cast("string"))).as("lang3"),
+        when(o % 9 === 4, lit("")).as("lang4"),
+        lit(null).cast("string").as("lang5"),
+        when(o % 7 =!= 0, concat(lit("קהל "), (o % 33).cast("string"))).as("tgt_aud"),
+        (o % 21 === 0).as("emergency"),
+        when(o % 5 === 0, lit(null).cast("string")).when(o % 5 === 1, lit(""))
+          .otherwise(concat(lit(" הערה "), (o % 44).cast("string"), lit("  "))).as("free_notes"))
+      val joined = svc.join(broadcast(sheets), "ck")
+        .filter(col("svc_name").isNotNull && col("svc_name") =!= "" &&
+          col("svc_status") === "מוכן לפרסום")
+      val idxed = joined.withColumn("i",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("url")).orderBy(col("ord"))) - 1)
+      val opTruthy = col("op_name").isNotNull && col("op_name") =!= ""
+      val kept = idxed
+        .filter(!(opTruthy && (col("op_org_id").isNull || col("op_org_id") === "")))
+        .withColumn("op_truthy", opTruthy)
+      val slots = Seq(col("cat"), col("aud"), col("lang1"), col("lang2"),
+        col("lang3"), col("lang4"), col("lang5"))
+      val tx = slots.zipWithIndex.foldLeft(kept) { case (df, (slot, j)) =>
+        df.join(broadcast(tax.select(col("tname").as(s"tn$j"),
+          col("resp").as(s"r$j"), col("sit").as(s"s$j"))),
+          trim(slot) === col(s"tn$j"), "left")
+      }
+      def unioned(prefix: String): Column = array_join(array_sort(array_distinct(
+        concat((0 until 7).map(j =>
+          coalesce(col(s"$prefix$j"), array().cast("array<string>"))): _*))), "|")
+      tx.select(
+        concat(col("url"), lit("#"), col("i").cast("string")).as("_row_id"),
+        when(col("svc_addr").isNull || col("svc_addr") === "", col("sheet_addr"))
+          .otherwise(col("svc_addr")).as("branch_address"),
+        lit(null).cast("string").as("branch_details"),
+        lit(null).cast("string").as("branch_geocode"),
+        lit(null).cast("string").as("branch_email"),
+        lit(null).cast("string").as("branch_website"),
+        lit(null).cast("string").as("branch_phone"),
+        col("svc_name").as("service_name"), col("svc_desc").as("service_description"),
+        col("svc_cond").as("service_conditions"), col("svc_phone").as("service_phone"),
+        col("svc_web").as("service_website"), col("svc_email").as("service_email"),
+        when(col("op_truthy"), col("op_name")).otherwise(col("sheet_org_name")).as("org_name"),
+        when(col("op_truthy"), lit(null).cast("string"))
+          .otherwise(col("sheet_org_short")).as("org_short_name"),
+        when(col("op_truthy"),
+          when(trim(col("op_org_id")) === "יוזמה פרטית", lit(null).cast("string"))
+            .otherwise(col("op_org_id")))
+          .otherwise(col("sheet_org_id")).as("org_id"),
+        when(col("op_truthy"), col("op_phone")).otherwise(col("sheet_org_phone")).as("org_phone"),
+        when(col("op_truthy"), col("op_email")).otherwise(col("sheet_org_email")).as("org_email"),
+        when(col("op_truthy"), col("op_web")).otherwise(col("sheet_org_web")).as("org_website"),
+        col("source_name").as("data_source"),
+        col("tgt_aud").as("target_audiences"),
+        trim(when(col("emergency"),
+          concat(coalesce(col("free_notes"), lit("")), lit("\n\n"),
+            lit("יש לתייג כשירות חירום")))
+          .otherwise(coalesce(col("free_notes"), lit(""))), " \n").as("notes"),
+        unioned("r").as("responses_ids"),
+        unioned("s").as("situations_ids"))
     }
   )
 

@@ -421,4 +421,50 @@ class ConnectorSpec extends SpecBase {
       assert(wrong == 0, "row count drifted from the fixture arithmetic")
     } finally out.unpersist()
   }
+
+  test("q158 external MDE: one exchange, row-id gaps from the skip, sentinel, fallbacks, sorted links") {
+    // one row-proportional exchange only — the per-sheet row_number
+    // window; every dim join (sheets + 7 taxonomy slots) broadcasts
+    val p = planOf("q158_external_mde")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly the window exchange, got $exchanges:\n${p.take(900)}")
+    val out = SparkEntry.queries("q158_external_mde")(spark, SfDir).cache()
+    try {
+      // the org-id skip fires AFTER enumerate assigns i, so a skipped
+      // service leaves a GAP: some sheet must have max(i)+1 > row count
+      val gapped = out
+        .withColumn("u", substring_index(col("_row_id"), "#", 1))
+        .withColumn("i", substring_index(col("_row_id"), "#", -1).cast("long"))
+        .groupBy(col("u")).agg(max(col("i")).as("mx"), count(lit(1)).as("n"))
+        .filter(col("mx") + 1 > col("n")).count()
+      assert(gapped > 0, "no _row_id gaps — the org-id skip must not renumber rows")
+      // operator branch: short name always nulled; the private-initiative
+      // sentinel (strip-compared) nulls the id but KEEPS the row
+      val opRows = out.filter(col("org_name").startsWith("מפעיל "))
+      assert(opRows.count() > 0)
+      assert(opRows.filter(col("org_short_name").isNotNull).count() == 0,
+        "operator branch must null the sheet short name")
+      assert(opRows.filter(col("org_id").isNull).count() > 0,
+        "the 'יוזמה פרטית' sentinel must null the id, not drop the row")
+      // sheet branch: org fields come from the sheet (sheet ids are 58-,
+      // operator ids 51-prefixed; a 51-id on a sheet row = wrong branch)
+      val sheetRows = out.filter(col("org_name").startsWith("ארגון גיליון "))
+      assert(sheetRows.count() > 0)
+      assert(sheetRows.filter(col("org_id").startsWith("51")).count() == 0)
+      // branch address: Python `or` falls back on '' AND null — both the
+      // service street and the sheet city must appear
+      assert(out.filter(col("branch_address").startsWith("רחוב ")).count() > 0)
+      assert(out.filter(col("branch_address").startsWith("ישוב ")).count() > 0)
+      // notes are stripped and the emergency tag appends after \n\n
+      assert(out.filter(col("notes").rlike("^\\s|\\s$")).count() == 0,
+        "a note survived unstripped")
+      assert(out.filter(col("notes").contains("\n\nיש לתייג כשירות חירום")).count() > 0,
+        "no emergency-tagged note")
+      // link lists: sorted, distinct, '|'-joined (the pinned set order)
+      val badLinks = out.select(col("responses_ids")).collect().map(_.getString(0))
+        .filter(_.nonEmpty).map(_.split('|').toSeq)
+        .count(l => l != l.sorted || l.distinct != l)
+      assert(badLinks == 0, "responses_ids must be sorted and distinct")
+    } finally out.unpersist()
+  }
 }
