@@ -34,8 +34,14 @@ object DocumentStreams {
                  ingest_ts: Timestamp)
 
   def curateStream(docs: DataFrame, minQuality: Double = 0.3,
-                   watermark: String = "10 minutes"): DataFrame = {
+                   watermark: String = "10 minutes",
+                   carryText: Boolean = false): DataFrame = {
     val toks = F.tokens(col("text"))
+    val out = Seq(col("doc_id"), col("lang"), col("source"), col("quality"),
+      col("text_hash"), col("ingest_ts")) ++
+      // downstream sinks that tokenize/shingle (corpusBuildSink) need the
+      // body; the default report shape stays slim
+      (if (carryText) Seq(col("text")) else Nil)
     docs
       .withColumn("quality", TextAnalysis.qualityScore(toks))
       .filter(col("quality") >= minQuality)
@@ -49,8 +55,7 @@ object DocumentStreams {
       // already shrinks what dedup state has to hold.
       .dropDuplicatesWithinWatermark("text_hash")
       .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang")))
-      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
-        col("text_hash"), col("ingest_ts"))
+      .select(out: _*)
   }
 
   /** Streaming twin of q81 (incremental dedup): a crawl stream dedupes
@@ -216,6 +221,147 @@ object DocumentStreams {
     val staged = java.nio.file.Paths.get(outDir,
       s"snapshot_${batchId}_${System.nanoTime()}")
     labels.write.mode("overwrite").parquet(s"$staged/labels")
+    Seq(maxAll.get).toDF("coverage_max_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$staged/meta")
+    val retired = EventStreams.currentSnapshotDir(outDir)
+    EventStreams.publishSnapshot(outDir, staged.getFileName.toString)
+    EventStreams.reclaimSnapshots(outDir,
+      grace = retired.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet)
+  }
+
+  /** foreachBatch CORPUS-BUILD sink — the streaming flagship closing the
+    * q88 chain live: wired after [[curateStream]] (gate → watermark-
+    * bounded dedup → stratified sample, `carryText = true`), each
+    * micro-batch then (a) drops holdout docs — AFTER dedup, so a
+    * duplicate whose representative is a holdout doc vanishes exactly as
+    * in batch q88, (b) decontaminates against the STATIC benchmark
+    * 8-shingle set (per-doc pure: a doc's own shingles vs a broadcast
+    * dim — no cross-batch state), (c) counts tokens and PACKS sequences
+    * continuing each language's running offset, and (d) assigns shards
+    * and appends the packed rows under `shards/batch=<id>/shard=<n>`,
+    * folding the batch's per-shard counts into a MANIFEST snapshot
+    * (q100's validation artifact, maintained incrementally — the
+    * manifest merge reads per-batch 16-row deltas, never the corpus).
+    *
+    * Packing is the one genuinely stateful stage: seq_id/seq_off need
+    * each language's cumulative token total. Under the same monotone
+    * doc-id arrival contract as [[clusterMaintenanceSink]], stored
+    * per-lang base + within-batch cumsum EQUALS batch q88's global
+    * cumulative window, and the contract again doubles as replay
+    * safety: redelivered rows filter out at the docmax guard.
+    *
+    * Crash windows: per-batch artifacts (shard rows, langstate delta,
+    * manifest delta) are deterministic overwrites of their own
+    * `batch=` partition, and the docmax guard is written LAST — a crash
+    * anywhere before it replays the whole batch into identical files; a
+    * crash after it but before the manifest publish is healed by the
+    * coverage check, which republishes from the persisted deltas. State
+    * reads exclude the current batch's partitions so a crashed attempt's
+    * partial writes can never double-count.
+    */
+  def corpusBuildSink(evalShingles: DataFrame, outDir: String,
+                      holdout: org.apache.spark.sql.Column = col("doc_id") % 10 === 7,
+                      seqLen: Int = 512, nShards: Int = 16)
+                     (batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val shardsRoot = s"$outDir/shards"
+    val langRoot = s"$outDir/langstate"
+    val deltaRoot = s"$outDir/manifestdelta"
+    val maxRoot = s"$outDir/docmax"
+    def dirNonEmpty(p: String): Boolean = {
+      val f = new java.io.File(p)
+      f.exists() && Option(f.listFiles()).exists(_.exists(c =>
+        c.isDirectory || c.getName.endsWith(".parquet")))
+    }
+    // prior-batches-only reads: a crashed attempt at THIS batch id may
+    // have left partial partitions behind — they are overwritten below,
+    // and must not leak into the bases we continue from
+    def priorOnly(root: String): Option[DataFrame] =
+      if (!dirNonEmpty(root)) None
+      else Some(spark.read.parquet(root).filter(col("batch") < batchId))
+    val maxOld: Option[Long] = priorOnly(maxRoot).flatMap { df =>
+      val r = df.agg(max(col("max_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val fresh = maxOld.map(m => batch.filter(col("doc_id") > m)).getOrElse(batch)
+      .select(col("doc_id").cast("long"), col("lang"), col("text"))
+    val freshMax: Option[Long] = {
+      val r = fresh.agg(max(col("doc_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val maxAll: Option[Long] = Seq(maxOld, freshMax).flatten.reduceOption(_ max _)
+    if (maxAll.isEmpty) return // nothing has ever arrived
+    if (freshMax.isDefined) {
+      // q88 stage order on the curated rows: holdout drop, then the
+      // per-doc decontamination probe (broadcast dim side)
+      val kept = fresh.filter(!holdout)
+      val contaminated = kept
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(F.tokens(col("text")), 8))).as("sh"))
+        .join(org.apache.spark.sql.functions.broadcast(
+          evalShingles.select(col("sh"))), "sh")
+        .select(col("doc_id")).distinct()
+      val counted = kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.bpeTokenCount(col("text")).as("tokens"))
+      // continue each language's cumulative offset: stored base (tiny,
+      // one row per lang per prior batch) + within-batch cumsum ==
+      // q88's global doc_id-ordered window under monotone arrival
+      val bases = priorOnly(langRoot)
+        .map(_.groupBy(col("lang")).agg(sum(col("delta")).as("base")))
+        .getOrElse(Seq.empty[(String, Long)].toDF("lang", "base"))
+      val packed = counted
+        .withColumn("cum_in", sum(col("tokens"))
+          .over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+        .join(org.apache.spark.sql.functions.broadcast(bases), Seq("lang"), "left")
+        .withColumn("start",
+          coalesce(col("base"), lit(0L)) + col("cum_in") - col("tokens"))
+        .select(col("doc_id"), col("lang"), col("tokens"),
+          floor(col("start") / seqLen.toDouble).cast("long").as("seq_id"),
+          (col("start") % seqLen).cast("long").as("seq_off"))
+        .withColumn("shard",
+          Sampling.docHash32(concat(col("lang"), lit(":"), col("seq_id").cast("string"))) % nShards)
+        .cache()
+      try {
+        packed.write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$shardsRoot/batch=$batchId")
+        // coalesce(1): these deltas are ≤ #langs / ≤ nShards rows, and a
+        // single task guarantees a schema-bearing file even when empty
+        packed.groupBy(col("lang")).agg(sum(col("tokens")).as("delta"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$langRoot/batch=$batchId")
+        packed.groupBy(col("shard"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("tokens")).cast("long").as("n_tokens"),
+            sum(Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":"),
+              col("lang"), lit(":"), col("tokens").cast("string"))))
+              .cast("long").as("checksum"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$deltaRoot/batch=$batchId")
+        Seq(freshMax.get).toDF("max_id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$maxRoot/batch=$batchId")
+      } finally packed.unpersist()
+    }
+    // manifest publish (and the crash-heal republish): fold ALL persisted
+    // per-batch deltas — #batches × ≤ nShards rows, corpus-free
+    val live = EventStreams.currentSnapshotDir(outDir)
+    val coverage: Option[Long] = live.map { dir =>
+      spark.read.parquet(s"$dir/meta").head().getLong(0)
+    }
+    if (coverage == maxAll) return // snapshot already covers every doc
+    val manifest =
+      if (!dirNonEmpty(deltaRoot))
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("shard", "n_docs", "n_tokens", "checksum")
+      else spark.read.parquet(deltaRoot)
+        .groupBy(col("shard"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          sum(col("checksum")).cast("long").as("checksum"))
+    val staged = java.nio.file.Paths.get(outDir,
+      s"snapshot_${batchId}_${System.nanoTime()}")
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$staged/manifest")
     Seq(maxAll.get).toDF("coverage_max_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$staged/meta")
     val retired = EventStreams.currentSnapshotDir(outDir)

@@ -473,6 +473,127 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("composed corpus pipeline: curate -> build sink over 3 batches equals batch q88") {
+    import graft.streaming.DocumentStreams
+    import graft.streaming.DocumentStreams.Doc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+
+    // ALL docs stream (holdout included — they participate in dedup so a
+    // duplicate whose representative is a holdout doc must vanish), in
+    // doc_id order so first-arrival dedup == batch keep-min-doc_id
+    val docs = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[String]("lang"), r.getAs[String]("source"),
+          new Timestamp(1700000000000L + i * 1000L))
+      }
+    // the STATIC benchmark shingle dim, exactly q88's eval side
+    val evalShingles = Tables.documents(spark, SfDir)
+      .filter($"doc_id" % 10 === 7)
+      .select(explode(array_distinct(
+        Dedup.shingles(graft.functions.F.tokens($"text"), 8))).as("sh"))
+      .distinct().cache()
+    val outDir = java.nio.file.Files.createTempDirectory("corpus_build").toString
+
+    val stream = MemoryStream[Doc]
+    val query = DocumentStreams.curateStream(stream.toDF(), carryText = true)
+      .writeStream
+      .foreachBatch(DocumentStreams.corpusBuildSink(evalShingles, outDir) _)
+      .start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      def packedRows() = spark.read.parquet(s"$outDir/shards")
+        .select($"doc_id", $"lang", $"tokens", $"seq_id", $"seq_off", $"shard")
+        .collect().map(_.toSeq).toSet
+      val streamed = packedRows()
+      val batch = SparkEntry.queries("q88_corpus_build")(spark, SfDir)
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only ${(streamed -- batch).take(3)}, batch-only ${(batch -- streamed).take(3)}")
+
+      // the live manifest equals a recompute over the written shard rows
+      def manifest() = spark.read
+        .parquet(s"${graft.streaming.EventStreams.currentSnapshotDir(outDir).get}/manifest")
+        .collect().map(_.toSeq).toSet
+      val fromRows = spark.read.parquet(s"$outDir/shards")
+        .groupBy($"shard".cast("long").as("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"tokens").cast("long").as("n_tokens"),
+          sum(graft.operators.Sampling.docHash32(concat($"doc_id".cast("string"),
+            lit(":"), $"lang", lit(":"), $"tokens".cast("string"))))
+            .cast("long").as("checksum"))
+        .collect().map(_.toSeq).toSet
+      assert(manifest() == fromRows, "manifest must equal a shard-row recompute")
+
+      // redelivery of the last chunk is idempotent: rows AND manifest
+      stream.addData(docs.takeRight(docs.length / 3).toSeq)
+      query.processAllAvailable()
+      assert(packedRows() == batch, "replayed rows must not change the corpus")
+      assert(manifest() == fromRows, "replayed rows must not change the manifest")
+    } finally { query.stop(); evalShingles.unpersist() }
+  }
+
+  test("corpus build sink heals a crash between the batch artifacts and the publish") {
+    import graft.streaming.DocumentStreams
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val evalShingles = Tables.documents(spark, SfDir)
+      .filter($"doc_id" % 10 === 7)
+      .select(explode(array_distinct(
+        Dedup.shingles(graft.functions.F.tokens($"text"), 8))).as("sh"))
+      .distinct()
+    // curated batch rows (the sink's input shape), split 2/1
+    val curated = {
+      import graft.operators.{Relational, Sampling, TextAnalysis}
+      val gated = Tables.documents(spark, SfDir)
+        .withColumn("quality", TextAnalysis.qualityScore(graft.functions.F.tokens($"text")))
+        .filter($"quality" >= 0.3)
+        .withColumn("text_hash", md5(trim(regexp_replace($"text", "\\s+", " "))))
+      Relational.dedupKeepFirstAgg(gated, keys = Seq($"text_hash"), order = Seq($"doc_id"))
+        .filter(Sampling.stratifiedKeep($"doc_id", $"lang"))
+        .select($"doc_id", $"lang", $"text").orderBy($"doc_id").collect()
+    }
+    val (first, rest) = curated.splitAt(curated.length * 2 / 3)
+    def toDf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toDF("doc_id", "lang", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("corpus_crash").toString
+    val sink = DocumentStreams.corpusBuildSink(evalShingles, outDir) _
+    sink(toDf(first), 0L)
+    val manifestAfter0 = spark.read
+      .parquet(s"${graft.streaming.EventStreams.currentSnapshotDir(outDir).get}/manifest")
+      .collect().map(_.toSeq).toSet
+    // CRASH SIMULATION: batch 1 lands its per-batch artifacts (the sink
+    // writes docmax LAST, so simulate the worst survivable point — all
+    // four written, publish missed) by running the sink and rolling the
+    // manifest pointer back to batch 0's snapshot
+    val snap0 = graft.streaming.EventStreams.currentSnapshotDir(outDir).get
+    sink(toDf(rest), 1L)
+    // capture the full-coverage manifest BEFORE the rollback — the next
+    // publish reclaims this snapshot's directory
+    val expected = spark.read
+      .parquet(s"${graft.streaming.EventStreams.currentSnapshotDir(outDir).get}/manifest")
+      .collect().map(_.toSeq).toSet
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "_current"),
+      java.nio.file.Paths.get(snap0).getFileName.toString.getBytes("UTF-8"))
+    assert(spark.read.parquet(s"${graft.streaming.EventStreams.currentSnapshotDir(outDir).get}/manifest")
+      .collect().map(_.toSeq).toSet == manifestAfter0, "rollback precondition")
+    // the REPLAYED batch filters to zero fresh rows — the coverage check
+    // must still notice the stale manifest and republish from the deltas
+    sink(toDf(rest), 1L)
+    val relived = spark.read
+      .parquet(s"${graft.streaming.EventStreams.currentSnapshotDir(outDir).get}/manifest")
+      .collect().map(_.toSeq).toSet
+    assert(relived == expected, "republish must restore the full-coverage manifest")
+  }
+
   test("cluster sink recovers a crash between the docs append and the publish") {
     import graft.streaming.DocumentStreams
     import graft.operators.Dedup
