@@ -12,12 +12,24 @@ import org.apache.spark.sql.functions._
   * `''` values. A header-only table yields zero records (`df[1:]` of a
   * one-row frame).
   *
-  * Plan: map-only — a non-greedy first-table capture, then two
-  * generator stages (rows, then cells) over `regexp_extract_all`; zero
-  * joins, zero exchanges at any scale. Identical RE2/Java regex trees
+  * Plan: map-only, zero joins, zero exchanges at any scale. The parse
+  * itself is the fused [[graft.functions.expressions.HtmlTableParse]]
+  * — one compiled pass emitting the final structs, no intermediate
+  * row/cell arrays (the composed regexp_extract_all → posexplode × 2
+  * chain is kept below as the measured reference; ProfHtml records the
+  * gap, PropertySpec pins equality). Identical java.util.regex trees
   * on the DuckDB oracle side, so q157's hash gate pins the parser.
   */
 object HtmlTable {
+
+  /** `docs`: (doc_id, html) → (doc_id, row_n, col_n, col_name, value),
+    * 1-based row/col numbers over the first table's data rows. */
+  def extract(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.expressions.HtmlTableParse(col("html"))).as("c"))
+      .select(col("doc_id"), col("c.row_n").as("row_n"), col("c.col_n").as("col_n"),
+        col("c.col_name").as("col_name"), col("c.value").as("value"))
 
   // attribute-tolerant open tags: `(?:\s[^>]*)?` admits `<td align=..>`
   // without letting `<thead>` masquerade as a cell (attributes must
@@ -25,9 +37,12 @@ object HtmlTable {
   private val RowPat = "<tr(?:\\\\s[^>]*)?>(.*?)</tr>"
   private val CellPat = "<t[dh](?:\\\\s[^>]*)?>(.*?)</t[dh]>"
 
-  /** `docs`: (doc_id, html) → (doc_id, row_n, col_n, col_name, value),
-    * 1-based row/col numbers over the first table's data rows. */
-  def extract(docs: DataFrame): DataFrame =
+  /** The composed-expression form of [[extract]] — three regex
+    * evaluations + two Generate stages with materialized intermediate
+    * arrays. Semantics identical (PropertySpec asserts row-for-row
+    * equality on arbitrary generated tables); kept as the ProfHtml
+    * measurement reference for the fused expression's gain. */
+  private[graft] def extractComposed(docs: DataFrame): DataFrame =
     docs
       .withColumn("tbl", regexp_extract(col("html"), "<table[^>]*>(.*?)</table>", 1))
       .withColumn("rows", expr(s"regexp_extract_all(tbl, '$RowPat', 1)"))

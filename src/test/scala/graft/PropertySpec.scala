@@ -365,6 +365,14 @@ class PropertySpec extends SpecBase {
     }.toSet
     assert(got == want,
       s"parser-only: ${(got -- want).take(3)}, gen-only: ${(want -- got).take(3)}")
+    // the fused one-pass expression ≡ the composed regex chain on the
+    // same arbitrary tables (extract routes through HtmlTableParse; the
+    // composed form is the retained measurement reference)
+    val composed = graft.operators.HtmlTable.extractComposed(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSet
+    assert(composed == got,
+      s"fused-only: ${(got -- composed).take(3)}, composed-only: ${(composed -- got).take(3)}")
     // the generators actually exercised the quirk arms
     assert(tables.exists(_.rows.isEmpty) && tables.exists(_.attrs) &&
       tables.exists(_.thHeader) && tables.exists(!_.thHeader) &&
