@@ -2095,6 +2095,145 @@ object ConnectorQueries {
           .otherwise(coalesce(col("free_notes"), lit(""))), " \n").as("notes"),
         unioned("r").as("responses_ids"),
         unioned("s").as("situations_ids"))
+    },
+
+    // q159: the LOCAL-AUTHORITIES city mapping (operators/meser/
+    // local_authorities.py — dead code in the reference, its one caller
+    // commented out at meser/__init__.py:211; modeled anyway to close
+    // literal 100% of the row-transform surface):
+    //  - :9 clean_city_name, three pandas stages replayed in order on
+    //    BOTH sides of the merge: strip [-"'`] chars, collapse \s+ to
+    //    one space, trim — so 'עיר- 5', '"עיר" 5' and ' עיר   5  ' all
+    //    canonicalize to 'עיר 5';
+    //  - :40 merge left on the cleaned name, organization_id :=
+    //    counsil_id, then :51 dropna(organization_id) — the NET effect
+    //    is an inner match EXCEPT that csv.DictReader yields STRINGS, so
+    //    an EMPTY counsil_id is '' (not NaN) and its rows SURVIVE the
+    //    dropna with organization_id = '' — the quirk arm, pinned;
+    //    unmapped and null cities drop;
+    //  - :15 set_up_organizations stages the same CSV through
+    //    prepare_airtable_dataframe (drop counsil_short_name, project
+    //    the six fields; the keep-last dedup is a NO-OP on the distinct
+    //    static CSV — its real pin lives in q146).
+    // Both arms in q156's (arm, id, name, extra1, extra2) shape.
+    // Plan: orders scan + ONE broadcast ≤150-row map dim (the static
+    // CSV), union with the dim's own projection — no row-proportional
+    // exchange at any scale (the dim distinct is input-bounded).
+    "q159_local_authorities" -> QueryDef.of(
+      """WITH m0 AS (SELECT DISTINCT c_custkey % 150 AS m FROM customer),
+        |map0 AS (
+        |  SELECT m,
+        |    CASE m % 3 WHEN 0 THEN 'עיר ' || CAST(m AS VARCHAR)
+        |         WHEN 1 THEN 'עיר - ' || CAST(m AS VARCHAR)
+        |         ELSE ' "עיר" ' || CAST(m AS VARCHAR) || ' ' END AS city_raw,
+        |    CASE WHEN m % 10 = 2 THEN '' ELSE '500' || lpad(CAST(m AS VARCHAR), 5, '0') END AS counsil_id,
+        |    'רשות ' || CAST(m AS VARCHAR) AS org_name,
+        |    CASE WHEN m % 5 = 0 THEN 'לא פעיל' ELSE 'פעיל' END AS status,
+        |    CASE WHEN m % 2 = 0 THEN 'רשות מקומית' ELSE 'מועצה אזורית' END AS kind,
+        |    CASE WHEN m % 6 <> 0 THEN 'https://la' || CAST(m AS VARCHAR) || '.gov.il#אתר הרשות' END AS urls,
+        |    CASE WHEN m % 7 <> 0 THEN '08' || lpad(CAST(m AS VARCHAR), 5, '0') END AS phone_numbers
+        |  FROM m0 WHERE m % 4 <> 3),
+        |map AS (
+        |  SELECT *, trim(regexp_replace(regexp_replace(city_raw, '[-"''`]', '', 'g'), '\s+', ' ', 'g')) AS cname
+        |  FROM map0),
+        |meser AS (
+        |  SELECT 'meser-' || CAST(o_orderkey AS VARCHAR) AS mid,
+        |    CASE o_orderkey % 7
+        |      WHEN 0 THEN NULL
+        |      WHEN 1 THEN 'עיר ' || CAST(o_orderkey % 150 AS VARCHAR)
+        |      WHEN 2 THEN '"עיר" ' || CAST(o_orderkey % 150 AS VARCHAR)
+        |      WHEN 3 THEN ' עיר   ' || CAST(o_orderkey % 150 AS VARCHAR) || '  '
+        |      WHEN 4 THEN 'עיר- ' || CAST(o_orderkey % 150 AS VARCHAR)
+        |      WHEN 5 THEN 'עיר'' ' || CAST(o_orderkey % 150 AS VARCHAR)
+        |      ELSE 'זר ' || CAST(o_orderkey % 150 AS VARCHAR) END AS city_raw
+        |  FROM orders),
+        |cleaned AS (
+        |  SELECT mid, city_raw,
+        |    trim(regexp_replace(regexp_replace(city_raw, '[-"''`]', '', 'g'), '\s+', ' ', 'g')) AS cname
+        |  FROM meser),
+        |city_arm AS (
+        |  SELECT 'city' AS arm, c.mid AS id, c.cname AS name,
+        |    p.counsil_id AS extra1, c.city_raw AS extra2
+        |  FROM cleaned c LEFT JOIN map p ON c.cname = p.cname
+        |  WHERE p.counsil_id IS NOT NULL),
+        |org_arm AS (
+        |  SELECT 'orgs' AS arm, counsil_id AS id, org_name AS name,
+        |    kind || '|' || status AS extra1,
+        |    COALESCE(urls, '') || '|' || COALESCE(phone_numbers, '') AS extra2
+        |  FROM map)
+        |SELECT * FROM city_arm UNION ALL SELECT * FROM org_arm
+        |""".stripMargin) { (s, dir) =>
+      def clean(c: Column): Column =
+        trim(regexp_replace(regexp_replace(c, "[-\"'`]", ""), "\\s+", " "))
+      val m = col("m")
+      val map0 = Tables.customer(s, dir)
+        .select((col("c_custkey") % 150).as("m")).distinct()
+        .filter(m % 4 =!= 3)
+        .select(m,
+          when(m % 3 === 0, concat(lit("עיר "), m.cast("string")))
+            .when(m % 3 === 1, concat(lit("עיר - "), m.cast("string")))
+            .otherwise(concat(lit(" \"עיר\" "), m.cast("string"), lit(" "))).as("city_raw"),
+          when(m % 10 === 2, lit(""))
+            .otherwise(concat(lit("500"), lpad(m.cast("string"), 5, "0"))).as("counsil_id"),
+          concat(lit("רשות "), m.cast("string")).as("org_name"),
+          when(m % 5 === 0, lit("לא פעיל")).otherwise(lit("פעיל")).as("status"),
+          when(m % 2 === 0, lit("רשות מקומית")).otherwise(lit("מועצה אזורית")).as("kind"),
+          when(m % 6 =!= 0, concat(lit("https://la"), m.cast("string"),
+            lit(".gov.il#אתר הרשות"))).as("urls"),
+          when(m % 7 =!= 0, concat(lit("08"), lpad(m.cast("string"), 5, "0"))).as("phone_numbers"))
+      val map = map0.withColumn("cname", clean(col("city_raw")))
+      val o = col("o_orderkey")
+      val n = (o % 150).cast("string")
+      val meser = Tables.orders(s, dir).select(
+        concat(lit("meser-"), o.cast("string")).as("mid"),
+        when(o % 7 === 0, lit(null).cast("string"))
+          .when(o % 7 === 1, concat(lit("עיר "), n))
+          .when(o % 7 === 2, concat(lit("\"עיר\" "), n))
+          .when(o % 7 === 3, concat(lit(" עיר   "), n, lit("  ")))
+          .when(o % 7 === 4, concat(lit("עיר- "), n))
+          .when(o % 7 === 5, concat(lit("עיר' "), n))
+          .otherwise(concat(lit("זר "), n)).as("city_raw"))
+      val cityArm = meser.withColumn("cname", clean(col("city_raw")))
+        .join(broadcast(map.select(col("cname"), col("counsil_id"))), Seq("cname"), "left")
+        .filter(col("counsil_id").isNotNull)
+        .select(lit("city").as("arm"), col("mid").as("id"), col("cname").as("name"),
+          col("counsil_id").as("extra1"), col("city_raw").as("extra2"))
+      val orgArm = map.select(lit("orgs").as("arm"), col("counsil_id").as("id"),
+        col("org_name").as("name"),
+        concat(col("kind"), lit("|"), col("status")).as("extra1"),
+        concat(coalesce(col("urls"), lit("")), lit("|"),
+          coalesce(col("phone_numbers"), lit(""))).as("extra2"))
+      cityArm.unionByName(orgArm)
+    },
+
+    // q160: the otzma-noshmim spreadsheet one-off (operators/revaha/
+    // otzma-noshmim/process.py — a standalone __main__ staging script,
+    // the last reference .py with row logic not yet under a query):
+    // select the three columns, set_type boolean via `v == 'יש'` —
+    // Python equality, so None and '' and 'אין' ALL map to FALSE (a
+    // null never survives as null — the quirk, pinned on both the
+    // None and empty-string arms), rename to noshmim/otzma, and drop
+    // rows with a null department symbol AFTER the typing. Plan:
+    // map-only, one scan, zero exchanges at any scale.
+    "q160_otzma_noshmim" -> QueryDef.of(
+      """SELECT '6' || lpad(CAST(p_partkey % 3000 AS VARCHAR), 4, '0') AS semel_machlaka,
+        |  COALESCE(CASE p_partkey % 3 WHEN 0 THEN 'יש' WHEN 1 THEN 'אין' END = 'יש',
+        |    FALSE) AS noshmim,
+        |  COALESCE(CASE p_partkey % 4 WHEN 0 THEN 'יש' WHEN 1 THEN 'אין'
+        |    WHEN 2 THEN '' END = 'יש', FALSE) AS otzma
+        |FROM part WHERE p_partkey % 11 <> 0
+        |""".stripMargin) { (s, dir) =>
+      val p = col("p_partkey")
+      Tables.part(s, dir).select(
+        when(p % 11 =!= 0, concat(lit("6"), lpad((p % 3000).cast("string"), 4, "0")))
+          .as("semel_machlaka"),
+        when(p % 3 === 0, lit("יש")).when(p % 3 === 1, lit("אין")).as("noshmim_raw"),
+        when(p % 4 === 0, lit("יש")).when(p % 4 === 1, lit("אין"))
+          .when(p % 4 === 2, lit("")).as("otzma_raw"))
+        .select(col("semel_machlaka"),
+          coalesce(col("noshmim_raw") === "יש", lit(false)).as("noshmim"),
+          coalesce(col("otzma_raw") === "יש", lit(false)).as("otzma"))
+        .filter(col("semel_machlaka").isNotNull)
     }
   )
 
