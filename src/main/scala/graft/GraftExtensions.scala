@@ -58,6 +58,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "nfkc_fold(str) takes 1 argument")
       }))
 
+    ext.injectFunction((
+      new FunctionIdentifier("html_table_parse"),
+      new ExpressionInfo(classOf[graft.functions.expressions.HtmlTableParse].getName,
+        "html_table_parse"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => graft.functions.expressions.HtmlTableParse(Cast(c, StringType))
+        case _ => throw new IllegalArgumentException(
+          "html_table_parse(html) takes 1 argument")
+      }))
+
     // Sketch aggregates + the sorted-map intersect, for spark.sql users.
     // Aggregate builders return the AggregateFunction; the analyzer wraps
     // it into an AggregateExpression during function resolution.

@@ -63,6 +63,17 @@ class ExtensionsSpec extends AnyFunSuite {
       // reachable via the SQL registry on containsNull arrays)
       assert(spark.sql("SELECT quantize_int8_csv(array(1.0F, NULL, -0.5F)) AS q")
         .head().getString(0) == "127,0,-64")
+      // r8 native: the fused html-table parse resolves through SQL and
+      // emits the unpivoted structs (header-only table -> empty array)
+      val ht = spark.sql(
+        """SELECT html_table_parse(
+          |  '<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td></td></tr></table>') AS c,
+          |  html_table_parse('<table><tr><th>a</th></tr></table>') AS empty
+          |""".stripMargin).head()
+      val cells = ht.getSeq[org.apache.spark.sql.Row](0)
+      assert(cells.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))) ==
+        Seq((1L, 1L, "a", "1"), (1L, 2L, "b", "")))
+      assert(ht.getSeq[org.apache.spark.sql.Row](1).isEmpty)
       // a literal arg above Int.MaxValue reports cleanly instead of
       // wrapping to a nonsense (negative) k via .toInt
       val overflow = intercept[Exception] {
