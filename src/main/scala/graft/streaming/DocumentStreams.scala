@@ -175,7 +175,7 @@ object DocumentStreams {
     val docsRoot = s"$outDir/docs"
     val maxRoot = s"$outDir/docmax"
     def maxDocSoFar: Option[Long] =
-      if (!new java.io.File(maxRoot).exists()) None
+      if (!EventStreams.hasParquetFile(maxRoot)) None
       else {
         val r = spark.read.parquet(maxRoot).agg(max(col("max_id"))).head()
         if (r.isNullAt(0)) None else Some(r.getLong(0))
@@ -218,15 +218,11 @@ object DocumentStreams {
           Dedup.minhashDedupLinks(all, "doc_id", "text", threshold = threshold)
             .select(col("id_a"), col("id_b")))
     }
-    val staged = java.nio.file.Paths.get(outDir,
-      s"snapshot_${batchId}_${System.nanoTime()}")
-    labels.write.mode("overwrite").parquet(s"$staged/labels")
-    Seq(maxAll.get).toDF("coverage_max_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$staged/meta")
-    val retired = EventStreams.currentSnapshotDir(outDir)
-    EventStreams.publishSnapshot(outDir, staged.getFileName.toString)
-    EventStreams.reclaimSnapshots(outDir,
-      grace = retired.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet)
+    EventStreams.stageAndPublish(outDir, batchId) { staged =>
+      labels.write.mode("overwrite").parquet(s"$staged/labels")
+      Seq(maxAll.get).toDF("coverage_max_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staged/meta")
+    }
   }
 
   /** foreachBatch CORPUS-BUILD sink — the streaming flagship closing the
@@ -271,23 +267,24 @@ object DocumentStreams {
     val langRoot = s"$outDir/langstate"
     val deltaRoot = s"$outDir/manifestdelta"
     val maxRoot = s"$outDir/docmax"
-    def dirNonEmpty(p: String): Boolean = {
-      val f = new java.io.File(p)
-      f.exists() && Option(f.listFiles()).exists(_.exists(c =>
-        c.isDirectory || c.getName.endsWith(".parquet")))
-    }
     // prior-batches-only reads: a crashed attempt at THIS batch id may
     // have left partial partitions behind — they are overwritten below,
-    // and must not leak into the bases we continue from
+    // and must not leak into the bases we continue from. The
+    // parquet-footer guard (not a bare exists()) keeps a crash-orphaned
+    // _temporary-only dir from wedging every replay on schema inference.
     def priorOnly(root: String): Option[DataFrame] =
-      if (!dirNonEmpty(root)) None
+      if (!EventStreams.hasParquetFile(root)) None
       else Some(spark.read.parquet(root).filter(col("batch") < batchId))
     val maxOld: Option[Long] = priorOnly(maxRoot).flatMap { df =>
       val r = df.agg(max(col("max_id"))).head()
       if (r.isNullAt(0)) None else Some(r.getLong(0))
     }
+    // cached: the max aggregate, the contamination branch and the
+    // left-anti counted branch would otherwise each re-run the batch's
+    // upstream (gate + tokenize) lineage
     val fresh = maxOld.map(m => batch.filter(col("doc_id") > m)).getOrElse(batch)
-      .select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .select(col("doc_id").cast("long"), col("lang"), col("text")).cache()
+    try {
     val freshMax: Option[Long] = {
       val r = fresh.agg(max(col("doc_id"))).head()
       if (r.isNullAt(0)) None else Some(r.getLong(0))
@@ -351,7 +348,7 @@ object DocumentStreams {
     }
     if (coverage == maxAll) return // snapshot already covers every doc
     val manifest =
-      if (!dirNonEmpty(deltaRoot))
+      if (!EventStreams.hasParquetFile(deltaRoot))
         Seq.empty[(Long, Long, Long, Long)]
           .toDF("shard", "n_docs", "n_tokens", "checksum")
       else spark.read.parquet(deltaRoot)
@@ -359,14 +356,11 @@ object DocumentStreams {
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"),
           sum(col("checksum")).cast("long").as("checksum"))
-    val staged = java.nio.file.Paths.get(outDir,
-      s"snapshot_${batchId}_${System.nanoTime()}")
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$staged/manifest")
-    Seq(maxAll.get).toDF("coverage_max_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$staged/meta")
-    val retired = EventStreams.currentSnapshotDir(outDir)
-    EventStreams.publishSnapshot(outDir, staged.getFileName.toString)
-    EventStreams.reclaimSnapshots(outDir,
-      grace = retired.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet)
+    EventStreams.stageAndPublish(outDir, batchId) { staged =>
+      manifest.coalesce(1).write.mode("overwrite").parquet(s"$staged/manifest")
+      Seq(maxAll.get).toDF("coverage_max_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staged/meta")
+    }
+    } finally fresh.unpersist()
   }
 }

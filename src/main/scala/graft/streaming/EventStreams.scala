@@ -70,15 +70,6 @@ object EventStreams {
   def parquetUpsertSink(keyCol: String, outDir: String)(batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     val spark = batch.sparkSession
-    // staged name is unique PER ATTEMPT, not per batch id: if the process
-    // dies after the pointer swap but before the streaming checkpoint
-    // commits, the batch REPLAYS with the same batchId — a batchId-only
-    // name would then read and overwrite the live snapshot in one plan
-    // (Spark refuses: permanent crash loop) and retire the dir it just
-    // published. The pointer file names the winner; stale attempt dirs
-    // are retired on the next successful publish.
-    val staged = java.nio.file.Paths.get(outDir,
-      s"snapshot_${batchId}_${System.nanoTime()}")
     val incoming = batch.withColumn("__src", lit(1))
     val merged = currentSnapshotDir(outDir) match {
       case Some(live) =>
@@ -89,14 +80,9 @@ object EventStreams {
           order = Seq(col("__src").desc))
       case None => incoming
     }
-    merged.drop("__src").write.mode("overwrite").parquet(staged.toString)
-    val retired = currentSnapshotDir(outDir)
-    publishSnapshot(outDir, staged.getFileName.toString)
-    // deferred reclamation: the retiree survives one generation for
-    // in-flight readers; everything older (and crashed staging orphans)
-    // goes now
-    reclaimSnapshots(outDir,
-      grace = retired.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet)
+    stageAndPublish(outDir, batchId) { staged =>
+      merged.drop("__src").write.mode("overwrite").parquet(staged)
+    }
   }
 
   /** foreachBatch SCD TYPE-2 sink: maintains a VERSIONED dimension table
@@ -122,9 +108,6 @@ object EventStreams {
     import org.apache.spark.sql.functions._
     require(valueCols.nonEmpty, "scd2 sink: need at least one value column")
     val spark = batch.sparkSession
-    // unique per attempt — see parquetUpsertSink's staging note
-    val staged = java.nio.file.Paths.get(outDir,
-      s"snapshot_${batchId}_${System.nanoTime()}")
     val incoming = graft.operators.Relational.dedupKeepFirst(
         batch.select((keyCol +: valueCols).map(col): _*),
         keys = Seq(col(keyCol)),
@@ -171,11 +154,9 @@ object EventStreams {
             lit(true).as("is_current")): _*)
         closedHist.unionByName(nowClosed).unionByName(stillOpen).unionByName(opened)
     }
-    merged.write.mode("overwrite").parquet(staged.toString)
-    val retired = currentSnapshotDir(outDir)
-    publishSnapshot(outDir, staged.getFileName.toString)
-    reclaimSnapshots(outDir,
-      grace = retired.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet)
+    stageAndPublish(outDir, batchId) { staged =>
+      merged.write.mode("overwrite").parquet(staged)
+    }
   }
 
   /** Streaming exact-dedup twin (of the q22 batch semantics): keep the
@@ -301,6 +282,43 @@ object EventStreams {
       .filter(f => f.isDirectory && f.getName.startsWith("snapshot_"))
       .filterNot(f => cur.contains(f.getName) || grace.contains(f.getName))
       .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+  }
+
+  /** The shared stage→publish→reclaim trailer of every snapshot sink:
+    * allocate a PER-ATTEMPT staging dir (unique per attempt, not per
+    * batch id — if the process dies after the pointer swap but before
+    * the streaming checkpoint commits, the batch REPLAYS with the same
+    * batchId; a batchId-only name would read and overwrite the live
+    * snapshot in one plan and retire the dir it just published), let
+    * `write` fill it, atomically swap the pointer, and reclaim all but
+    * one retired generation (in-flight readers; crashed staging orphans
+    * go now). */
+  private[streaming] def stageAndPublish(outDir: String, batchId: Long)
+                                        (write: String => Unit): Unit = {
+    val staged = java.nio.file.Paths.get(outDir,
+      s"snapshot_${batchId}_${System.nanoTime()}")
+    write(staged.toString)
+    val retired = currentSnapshotDir(outDir)
+    publishSnapshot(outDir, staged.getFileName.toString)
+    reclaimSnapshots(outDir,
+      grace = retired.map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet)
+  }
+
+  /** True iff `path` holds at least one real parquet data file,
+    * recursing past partition dirs and skipping `_temporary`/dot
+    * entries — the guard every per-batch state read needs: a crash
+    * mid-write leaves a partition dir with only write-orphans inside,
+    * and a bare exists()/isDirectory check would then send
+    * spark.read.parquet into an unrecoverable 'unable to infer schema'
+    * on every replay. */
+  private[streaming] def hasParquetFile(path: String): Boolean = {
+    def scan(f: java.io.File): Boolean =
+      if (!f.exists()) false
+      else if (f.isFile) f.getName.endsWith(".parquet")
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+        .exists(scan)
+    scan(new java.io.File(path))
   }
 
   private[streaming] def publishSnapshot(outDir: String, snapshotName: String): Unit = {

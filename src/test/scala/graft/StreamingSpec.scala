@@ -585,13 +585,25 @@ class StreamingSpec extends SpecBase {
       java.nio.file.Paths.get(snap0).getFileName.toString.getBytes("UTF-8"))
     assert(spark.read.parquet(s"${graft.streaming.EventStreams.currentSnapshotDir(outDir).get}/manifest")
       .collect().map(_.toSeq).toSet == manifestAfter0, "rollback precondition")
-    // the REPLAYED batch filters to zero fresh rows — the coverage check
-    // must still notice the stale manifest and republish from the deltas
+    // same-batch replay: priorOnly excludes batch 1's own docmax, so the
+    // rows re-enter as fresh and the heal is a full deterministic
+    // rewrite of batch 1's partitions + a republish
     sink(toDf(rest), 1L)
     val relived = spark.read
       .parquet(s"${graft.streaming.EventStreams.currentSnapshotDir(outDir).get}/manifest")
       .collect().map(_.toSeq).toSet
-    assert(relived == expected, "republish must restore the full-coverage manifest")
+    assert(relived == expected, "replay must restore the full-coverage manifest")
+    // the OTHER heal path — a LATER batch with zero fresh rows after a
+    // missed publish: coverage alone must notice the stale manifest and
+    // republish from the persisted deltas (no per-batch writes at all)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "_current"),
+      java.nio.file.Paths.get(snap0).getFileName.toString.getBytes("UTF-8"))
+    sink(toDf(rest), 2L) // every row <= batch 1's docmax -> fresh empty
+    val deltaHealed = spark.read
+      .parquet(s"${graft.streaming.EventStreams.currentSnapshotDir(outDir).get}/manifest")
+      .collect().map(_.toSeq).toSet
+    assert(deltaHealed == expected,
+      "a zero-fresh later batch must republish the manifest from the deltas")
   }
 
   test("cluster sink recovers a crash between the docs append and the publish") {

@@ -71,11 +71,23 @@ def main():
                 flagged.append((q, b, n, f"{'+' if n > b else '-'}{pct:.0f}%"))
 
     mode = f"ratio>{args.ratio}x" if args.ratio is not None else f"delta>{args.pct}%"
-    print(f"shared={len(shared)} base-only={only_base or 0} new-only={only_new or 0}")
+    print(f"shared={len(shared)} base-only={len(only_base)} new-only={len(only_new)}")
+    if only_new:
+        print(f"new queries (not in baseline, unadjudicated): {only_new}")
+    ok = True
+    if only_base:
+        # a partial bench run (SPARK_GRAFT_ONLY subset, or a crashed
+        # Bench writing a truncated profile) must NOT pass the gate —
+        # every baseline query that went unmeasured is an unreviewed
+        # potential regression
+        print(f"MISSING from the new profile ({len(only_base)}): {only_base}")
+        ok = False
     if flagged:
         print(f"MOVERS ({mode}, floor {args.floor}B): {len(flagged)}")
         for q, b, n, tag in sorted(flagged, key=lambda x: -abs(x[2] - x[1])):
             print(f"  {q:32s} {b:>14,d} -> {n:>14,d}  {tag}")
+        ok = False
+    if not ok:
         sys.exit(1)
     print(f"OK zero byte movers ({mode}, floor {args.floor}B)")
 
