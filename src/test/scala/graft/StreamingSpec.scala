@@ -540,6 +540,78 @@ class StreamingSpec extends SpecBase {
     } finally { query.stop(); evalShingles.unpersist() }
   }
 
+  test("full continuous pipeline: ONE curate stream drives corpus build AND cluster maintenance") {
+    import graft.streaming.DocumentStreams
+    import graft.streaming.DocumentStreams.Doc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[String]("lang"), r.getAs[String]("source"),
+          new Timestamp(1700000000000L + i * 1000L))
+      }
+    val evalShingles = Tables.documents(spark, SfDir)
+      .filter($"doc_id" % 10 === 7)
+      .select(explode(array_distinct(
+        Dedup.shingles(graft.functions.F.tokens($"text"), 8))).as("sh"))
+      .distinct().cache()
+    val buildDir = java.nio.file.Files.createTempDirectory("pipe_build").toString
+    val clusterDir = java.nio.file.Files.createTempDirectory("pipe_clusters").toString
+
+    val stream = MemoryStream[Doc]
+    // one continuous pipeline: each curated micro-batch feeds BOTH the
+    // corpus-build sink (decontaminate -> pack -> shard + manifest) and
+    // the live cluster-maintenance sink — the two downstream artifacts a
+    // training pipeline keeps beside each other
+    val query = DocumentStreams.curateStream(stream.toDF(), carryText = true)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        DocumentStreams.corpusBuildSink(evalShingles, buildDir)(b.toDF(), id)
+        DocumentStreams.clusterMaintenanceSink(clusterDir)(b.toDF(), id)
+      }
+      .start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      // artifact 1: the packed corpus equals batch q88
+      val packed = spark.read.parquet(s"$buildDir/shards")
+        .select($"doc_id", $"lang", $"tokens", $"seq_id", $"seq_off", $"shard")
+        .collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("q88_corpus_build")(spark, SfDir)
+        .collect().map(_.toSeq).toSet
+      assert(packed == batch,
+        s"stream-only ${(packed -- batch).take(3)}, batch-only ${(batch -- packed).take(3)}")
+      // artifact 2: the live labels equal the full star recompute over
+      // the SAME curated corpus (gate -> dedup -> sample batch replay)
+      import graft.operators.{Relational, Sampling, TextAnalysis}
+      val gated = Tables.documents(spark, SfDir)
+        .withColumn("quality", TextAnalysis.qualityScore(graft.functions.F.tokens($"text")))
+        .filter($"quality" >= 0.3)
+        .withColumn("text_hash", md5(trim(regexp_replace($"text", "\\s+", " "))))
+      val curated = Relational.dedupKeepFirstAgg(gated,
+          keys = Seq($"text_hash"), order = Seq($"doc_id"))
+        .filter(Sampling.stratifiedKeep($"doc_id", $"lang"))
+        .select($"doc_id", $"text").cache()
+      val live = spark.read
+        .parquet(s"${graft.streaming.EventStreams.currentSnapshotDir(clusterDir).get}/labels")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Dedup.connectedComponents(
+        curated.select($"doc_id".as("id")),
+        Dedup.minhashDedupLinks(curated, "doc_id", "text", threshold = 0.9)
+          .select($"id_a", $"id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      curated.unpersist()
+      assert(live == full,
+        s"live-only ${(live -- full).take(3)}, full-only ${(full -- live).take(3)}")
+    } finally { query.stop(); evalShingles.unpersist() }
+  }
+
   test("corpus build sink heals a crash between the batch artifacts and the publish") {
     import graft.streaming.DocumentStreams
     import graft.operators.Dedup
