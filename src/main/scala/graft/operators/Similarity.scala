@@ -232,6 +232,27 @@ object Similarity {
     probeIvf(loadCentroids(spark, dir), assigned, queries, k, nProbe)
   }
 
+  /** APPEND new vectors to a saved IVF artifact without re-training —
+    * the index lifecycle's missing middle: build-once amortizes the
+    * quantizer, and this gives the ingest path between rebuilds. The
+    * coarse quantizer is FROZEN at build time (standard IVF practice):
+    * each new vector assigns map-side to its nearest saved centroid
+    * (broadcast-sized literal array, no driver loop, no k-means), and
+    * the rows append into the cell partitions — probes see them
+    * immediately through the same DPP-pruned path. Recall degrades only
+    * as the data distribution drifts from the frozen quantizer; the
+    * rebuild cadence is an operational choice, not a correctness one.
+    * Caller contract: vec_ids are new (duplicate ids would shadow, as
+    * in any add-with-ids index).
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       vecs: DataFrame): Unit = {
+    val centroids = loadCentroids(spark, dir)
+    probeCells(centroids, vecs, nProbe = 1)
+      .select(col("query_id").as("vec_id"), col("q_emb").as("embedding"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** LSH-bucketed ANN: candidates come only from the query's bucket.
     * Output shape matches cosineTopK (rows-only checked: approximate). */
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
@@ -455,11 +476,11 @@ object Similarity {
     * inverted file lets dynamic partition pruning drop every unprobed
     * cell's files at the broadcast probe join. m/ks derive from the
     * saved codebook's shape, so a probe cannot drift from its build. */
-  def ivfPqTopKFromSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
-                         queries: DataFrame, k: Int, nProbe: Int = 3,
-                         rerank: Int = 8): DataFrame = {
-    import graft.functions.expressions.{PqAdcScore, PqDistTable}
-    val centroids = loadCentroids(spark, dir)
+  /** The saved per-subspace codebook as plain arrays (driver-bounded:
+    * m·ks rows); density-checked so a probe or append cannot silently
+    * drift from its build. */
+  private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Array[Array[Array[Float]]] = {
     val cbRows = spark.read.parquet(s"$dir/codebook")
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
     val byCell = cbRows.toMap
@@ -467,10 +488,37 @@ object Similarity {
     val ks = cbRows.map(_._1._2).max + 1
     require(cbRows.length == m * ks && byCell.size == cbRows.length,
       s"saved codebook is not dense: ${cbRows.length} rows for m=$m ks=$ks")
-    val codebook = Array.tabulate(m, ks) { (j, c) =>
+    Array.tabulate(m, ks) { (j, c) =>
       byCell.getOrElse((j, c),
         sys.error(s"saved codebook missing subspace $j code $c"))
     }
+  }
+
+  /** [[appendToIvfIndex]]'s composed-artifact sibling: assign map-side
+    * against the frozen coarse centroids AND encode with the frozen
+    * per-subspace codebook, so appended rows carry the m-byte code
+    * beside the raw embedding exactly like the build wrote them — the
+    * ADC scan and the exact re-rank both see the new vectors with no
+    * re-training and no second table. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         vecs: DataFrame): Unit = {
+    import graft.functions.expressions.PqEncode
+    val centroids = loadCentroids(spark, dir)
+    val codebook = loadCodebook(spark, dir)
+    probeCells(centroids, vecs, nProbe = 1)
+      .select(col("query_id").as("vec_id"), col("q_emb").as("embedding"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        PqEncode(unitEmbedding, codebook).as("code"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  def ivfPqTopKFromSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         queries: DataFrame, k: Int, nProbe: Int = 3,
+                         rerank: Int = 8): DataFrame = {
+    import graft.functions.expressions.{PqAdcScore, PqDistTable}
+    val centroids = loadCentroids(spark, dir)
+    val codebook = loadCodebook(spark, dir)
+    val ks = codebook(0).length
     val cells = spark.read.parquet(s"$dir/cells")
     val probes = probeCells(centroids, queries, nProbe)
       .select(col("query_id"), col("cell"))

@@ -183,6 +183,66 @@ class SimilaritySpec extends SpecBase {
       s"cells scan must carry a DPP filter:\n${plan.take(1200)}")
   }
 
+  test("append to saved IVF/IVFADC: frozen-quantizer assignment, retrievability, DPP intact") {
+    import org.apache.spark.sql.DataFrame
+    // build on the corpus MINUS a held-back tail, then append the tail
+    val base = emb.filter($"vec_id" < 450)
+    val extra = emb.filter($"vec_id" >= 450)
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    val idx = Similarity.ivfIndex(base, nLists = 8, seed = 42L, trainMod = 2)
+    Similarity.saveIvfIndex(idx, ivfDir)
+    Similarity.saveIvfPqIndex(base, pqDir, dim = 64,
+      nLists = 8, m = 16, ks = 64, trainMod = 2)
+    Similarity.appendToIvfIndex(spark, ivfDir, extra)
+    Similarity.appendToIvfPqIndex(spark, pqDir, extra)
+    // assignment equality vs a frozen-quantizer replay: each appended
+    // vector's cell is its nearest SAVED centroid (local argmin)
+    val centroids = idx.model.clusterCenters.map(_.toArray)
+    def unit(v: Seq[Float]): Array[Double] = {
+      val d = v.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      d.map(_ / n)
+    }
+    val expectedCell = extra.collect().map { r =>
+      val u = unit(r.getSeq[Float](1))
+      val cell = centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(u).map { case (a, b) => val d = a - b; d * d }.sum, i)
+      }.min._2
+      (r.getLong(0), cell)
+    }.toMap
+    for (dir <- Seq(ivfDir, pqDir)) {
+      val cells = spark.read.parquet(s"$dir/cells")
+      assert(cells.count() == emb.count(), s"$dir: appended rows missing")
+      val appended = cells.filter($"vec_id" >= 450)
+        .select($"vec_id", $"cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(appended == expectedCell,
+        s"$dir: appended cells diverge from the frozen quantizer's argmin")
+    }
+    // appended codes follow the frozen codebook shape (m bytes each)
+    val codes = spark.read.parquet(s"$pqDir/cells").filter($"vec_id" >= 450)
+      .select($"code").collect().map(_.getAs[Array[Byte]](0))
+    assert(codes.forall(c => c != null && c.length == 16))
+    // retrievability through the normal probe path, DPP intact: querying
+    // WITH an appended vector must return its true near neighbors from
+    // the full (base + appended) corpus
+    val queries = emb.filter($"vec_id" >= 495)
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfGot = Similarity.ivfTopKFromSaved(spark, ivfDir, queries, k = 5)
+    val brute = pairs(Similarity.cosineTopK(emb, queries, k = 5))
+    val ivfRecall = brute.count(pairs(ivfGot).contains).toDouble / brute.size
+    assert(ivfRecall >= 0.5, s"appended-index IVF recall $ivfRecall")
+    assert(pairs(ivfGot).exists(p => p._2 >= 450),
+      "no appended vector was ever retrieved — the append is invisible to probes")
+    assert(ivfGot.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "append must not break the DPP probe path")
+    val pqGot = Similarity.ivfPqTopKFromSaved(spark, pqDir, queries, k = 5)
+    val pqRecall = brute.count(pairs(pqGot).contains).toDouble / brute.size
+    assert(pqRecall >= 0.5, s"appended-index IVFADC recall $pqRecall")
+  }
+
   test("saved IVFADC artifact probes identically to the in-memory composition, with DPP") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
     val queries = emb.filter($"vec_id" < 10)
