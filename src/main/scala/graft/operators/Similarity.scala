@@ -253,6 +253,29 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** COMPACT an appended artifact into `dstDir`: every append adds a
+    * file per touched cell, and after enough ingest a probe opens
+    * many small files per probed cell — compaction rewrites the
+    * inverted file with each cell's rows co-located in one file
+    * (repartition on the partition column), restoring the one-open-
+    * per-probed-cell scan the layout was designed for. Writes a NEW
+    * artifact (centroids/codebook copied verbatim) rather than
+    * rewriting in place: the artifact dir is the reader's unit of
+    * atomicity, so the switch is the caller's pointer swap — exactly
+    * the snapshot-publish posture of the streaming sinks. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      srcDir: String, dstDir: String): Unit = {
+    spark.read.parquet(s"$srcDir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")
+    val cb = new java.io.File(s"$srcDir/codebook")
+    if (cb.exists())
+      spark.read.parquet(s"$srcDir/codebook")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/codebook")
+    spark.read.parquet(s"$srcDir/cells")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dstDir/cells")
+  }
+
   /** LSH-bucketed ANN: candidates come only from the query's bucket.
     * Output shape matches cosineTopK (rows-only checked: approximate). */
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,

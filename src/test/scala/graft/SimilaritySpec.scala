@@ -241,6 +241,23 @@ class SimilaritySpec extends SpecBase {
     val pqGot = Similarity.ivfPqTopKFromSaved(spark, pqDir, queries, k = 5)
     val pqRecall = brute.count(pairs(pqGot).contains).toDouble / brute.size
     assert(pqRecall >= 0.5, s"appended-index IVFADC recall $pqRecall")
+    // compaction: appends fragment cells into multiple files; the
+    // compacted artifact holds ONE file per cell and probes identically
+    def filesPerCell(dir: String): Map[String, Int] =
+      new java.io.File(s"$dir/cells").listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    assert(filesPerCell(pqDir).values.exists(_ > 1),
+      "fixture failed to fragment — the compaction test would be vacuous")
+    val compactDir = java.nio.file.Files.createTempDirectory("ivfpq_compact").toString
+    Similarity.compactIvfIndex(spark, pqDir, compactDir)
+    assert(filesPerCell(compactDir).values.forall(_ == 1),
+      s"compaction must leave one file per cell: ${filesPerCell(compactDir)}")
+    val before = Similarity.ivfPqTopKFromSaved(spark, pqDir, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    val after = Similarity.ivfPqTopKFromSaved(spark, compactDir, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compacted artifact must probe identically")
   }
 
   test("saved IVFADC artifact probes identically to the in-memory composition, with DPP") {
