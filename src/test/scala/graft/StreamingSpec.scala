@@ -612,6 +612,52 @@ class StreamingSpec extends SpecBase {
     } finally { query.stop(); evalShingles.unpersist() }
   }
 
+  test("corpus build sink is split-invariant: random micro-batch cuts reproduce batch q88") {
+    import graft.streaming.DocumentStreams
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val evalShingles = Tables.documents(spark, SfDir)
+      .filter($"doc_id" % 10 === 7)
+      .select(explode(array_distinct(
+        Dedup.shingles(graft.functions.F.tokens($"text"), 8))).as("sh"))
+      .distinct().cache()
+    // curated rows in arrival order (the sink's input shape)
+    val curated = {
+      import graft.operators.{Relational, Sampling, TextAnalysis}
+      val gated = Tables.documents(spark, SfDir)
+        .withColumn("quality", TextAnalysis.qualityScore(graft.functions.F.tokens($"text")))
+        .filter($"quality" >= 0.3)
+        .withColumn("text_hash", md5(trim(regexp_replace($"text", "\\s+", " "))))
+      Relational.dedupKeepFirstAgg(gated, keys = Seq($"text_hash"), order = Seq($"doc_id"))
+        .filter(Sampling.stratifiedKeep($"doc_id", $"lang"))
+        .select($"doc_id", $"lang", $"text").orderBy($"doc_id").collect()
+    }
+    val batch = SparkEntry.queries("q88_corpus_build")(spark, SfDir)
+      .collect().map(_.toSeq).toSet
+    val rng = new scala.util.Random(4242L) // seeded — reproducible splits
+    try {
+      for (trial <- 0 until 3) {
+        // 1..6 random cut points, duplicates allowed (EMPTY batches
+        // must be harmless: nothing written, manifest coverage holds)
+        val cuts = Array.fill(rng.nextInt(6) + 1)(rng.nextInt(curated.length + 1)).sorted
+        val chunks = (0 +: cuts.toSeq :+ curated.length).sliding(2)
+          .map { case Seq(a, b) => curated.slice(a, b) }.toSeq
+        val outDir = java.nio.file.Files.createTempDirectory(s"corpus_split$trial").toString
+        val sink = DocumentStreams.corpusBuildSink(evalShingles, outDir) _
+        chunks.zipWithIndex.foreach { case (rows, id) =>
+          sink(rows.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+            .toDF("doc_id", "lang", "text"), id.toLong)
+        }
+        val streamed = spark.read.parquet(s"$outDir/shards")
+          .select($"doc_id", $"lang", $"tokens", $"seq_id", $"seq_off", $"shard")
+          .collect().map(_.toSeq).toSet
+        assert(streamed == batch,
+          s"trial $trial (cuts ${cuts.mkString(",")}): " +
+            s"stream-only ${(streamed -- batch).take(3)}, batch-only ${(batch -- streamed).take(3)}")
+      }
+    } finally evalShingles.unpersist()
+  }
+
   test("corpus build sink heals a crash between the batch artifacts and the publish") {
     import graft.streaming.DocumentStreams
     import graft.operators.Dedup
