@@ -28,6 +28,26 @@ object ScaleUp {
     val n = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
+
+    // The replica must track its source: the driver has regenerated the
+    // test data mid-round before, and a silently-stale sf1 would anchor
+    // the scaling baseline to data the sf0.1 runs no longer read. The
+    // fingerprint is the sorted (name, size, mtime) listing of the
+    // source parquet files — cheap, and any regeneration changes it.
+    def fingerprint(dir: String): String = {
+      val files = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+    }
+    val fpFile = java.nio.file.Paths.get(dst, "_source_fingerprint")
+    val srcFp = fingerprint(src)
+    if (java.nio.file.Files.exists(fpFile) &&
+        new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == srcFp) {
+      System.err.println(s"[scaleup] $dst is current for $src — nothing to do")
+      return
+    }
+
     val spark: SparkSession = GraftSession.builder(Some(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -93,6 +113,9 @@ object ScaleUp {
           slice(col("embedding"), 1, i)))),
       "embeddings")
 
+    // written LAST: a crash mid-derivation leaves no fingerprint, so the
+    // next run rebuilds instead of trusting a half-written replica
+    java.nio.file.Files.write(fpFile, srcFp.getBytes("UTF-8"))
     System.err.println(s"[scaleup] wrote ${n}x of $src to $dst")
     spark.stop()
   }

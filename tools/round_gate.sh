@@ -33,7 +33,9 @@ fi
 
 if [ "$mode" = "sf1" ]; then
   echo "== sf1 quick probe + ratio audit (adjudicate ANN entries WARMED — see BASELINE.md)"
-  [ -d target/sf1 ] || sbt -batch "runMain graft.tools.ScaleUp" >/dev/null 2>&1
+  # ScaleUp is fingerprint-gated: a no-op when target/sf1 matches the
+  # current sf0.1 source, a rebuild when the driver regenerated testdata
+  sbt -batch "runMain graft.tools.ScaleUp" >/dev/null 2>&1
   SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_QUICK=1 \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
   python3 tools/bytes_diff.py --ratio 12 /tmp/round_gate_sf01.json target/bench.json || \
