@@ -245,8 +245,24 @@ object Similarity {
     * Caller contract: vec_ids are new (duplicate ids would shadow, as
     * in any add-with-ids index).
     */
+  /** FS-agnostic codebook presence — the marker distinguishing a
+    * composed IVFADC artifact from a plain IVF one. Goes through the
+    * Hadoop FileSystem of the path, so HDFS/object-store artifact dirs
+    * answer correctly (a java.io.File check would always say absent
+    * there). */
+  private def hasCodebook(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codebook")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        vecs: DataFrame): Unit = {
+    // fail loud on the composed artifact: appending code-less rows there
+    // would make the new vectors invisible to ADC probes (null codes
+    // sink below every scored candidate) or break schema inference
+    require(!hasCodebook(spark, dir),
+      s"$dir is a composed IVFADC artifact (has a codebook) — use appendToIvfPqIndex")
     val centroids = loadCentroids(spark, dir)
     probeCells(centroids, vecs, nProbe = 1)
       .select(col("query_id").as("vec_id"), col("q_emb").as("embedding"), col("cell"))
@@ -267,8 +283,7 @@ object Similarity {
                       srcDir: String, dstDir: String): Unit = {
     spark.read.parquet(s"$srcDir/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")
-    val cb = new java.io.File(s"$srcDir/codebook")
-    if (cb.exists())
+    if (hasCodebook(spark, srcDir))
       spark.read.parquet(s"$srcDir/codebook")
         .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/codebook")
     spark.read.parquet(s"$srcDir/cells")
@@ -526,6 +541,8 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                          vecs: DataFrame): Unit = {
     import graft.functions.expressions.PqEncode
+    require(hasCodebook(spark, dir),
+      s"$dir has no codebook — a plain IVF artifact appends via appendToIvfIndex")
     val centroids = loadCentroids(spark, dir)
     val codebook = loadCodebook(spark, dir)
     probeCells(centroids, vecs, nProbe = 1)

@@ -34,11 +34,16 @@ object ScaleUp {
     // the scaling baseline to data the sf0.1 runs no longer read. The
     // fingerprint is the sorted (name, size, mtime) listing of the
     // source parquet files — cheap, and any regeneration changes it.
+    // the fingerprint covers the source FILES and the derivation
+    // PARAMETERS — a rerun with a different copy count (or from a
+    // different source path) must rebuild, not no-op onto wrong-scale
+    // data
     def fingerprint(dir: String): String = {
       val files = Option(new java.io.File(dir).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+      (s"src=$dir copies=$n" +:
+        files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").toSeq).mkString("\n")
     }
     val fpFile = java.nio.file.Paths.get(dst, "_source_fingerprint")
     val srcFp = fingerprint(src)

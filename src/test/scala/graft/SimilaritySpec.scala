@@ -196,6 +196,14 @@ class SimilaritySpec extends SpecBase {
       nLists = 8, m = 16, ks = 64, trainMod = 2)
     Similarity.appendToIvfIndex(spark, ivfDir, extra)
     Similarity.appendToIvfPqIndex(spark, pqDir, extra)
+    // cross-artifact guards fail LOUD: code-less rows in a composed
+    // artifact would be silently invisible to ADC probes
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, pqDir, extra)
+    }.getMessage.contains("appendToIvfPqIndex"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(spark, ivfDir, extra)
+    }.getMessage.contains("appendToIvfIndex"))
     // assignment equality vs a frozen-quantizer replay: each appended
     // vector's cell is its nearest SAVED centroid (local argmin)
     val centroids = idx.model.clusterCenters.map(_.toArray)

@@ -17,10 +17,23 @@ for sf in 0.001 0.01 0.1; do
   out="/tmp/round_gate_verify_$sf"
   rm -rf "$out"
   sbt -batch "runMain graft.Verify /root/testdata/sf$sf $out" >/dev/null 2>&1
-  bad=$(python3 tools/verify_local.py "/root/testdata/sf$sf" "$out" | grep -cv '^OK' || true)
-  ok=$(python3 tools/verify_local.py "/root/testdata/sf$sf" "$out" | grep -c '^OK')
-  echo "sf$sf: $ok OK, $bad failing"
-  [ "$bad" -eq 0 ] || { python3 tools/verify_local.py "/root/testdata/sf$sf" "$out" | grep -v '^OK'; exit 1; }
+  # run the expensive DuckDB replay ONCE; derive everything from the
+  # capture. The comparator exits nonzero on any failure, so neither
+  # set -e nor pipefail may touch this line directly — capture the
+  # status explicitly and keep the diagnostics.
+  vout="/tmp/round_gate_vout_$sf"
+  status=0
+  python3 tools/verify_local.py "/root/testdata/sf$sf" "$out" >"$vout" 2>&1 || status=$?
+  ok=$(grep -c '^OK' "$vout" || true)
+  bad=$(grep -cv '^OK' "$vout" || true)
+  # a truncated/crashed comparator must not read as green: every query
+  # the Verify main dumped needs a verdict line
+  dumped=$(find "$out" -mindepth 1 -maxdepth 1 -type d | wc -l)
+  echo "sf$sf: $ok OK, $bad failing (of $dumped dumped, comparator exit $status)"
+  if [ "$status" -ne 0 ] || [ "$bad" -ne 0 ] || [ "$ok" -ne "$dumped" ]; then
+    grep -v '^OK' "$vout" | head -40
+    exit 1
+  fi
 done
 
 if [ "$mode" = "bench" ] || [ "$mode" = "sf1" ]; then
