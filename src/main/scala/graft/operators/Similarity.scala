@@ -144,7 +144,7 @@ object Similarity {
               trainMod: Int = 4): DataFrame = {
     val idx = ivfIndex(corpus, nLists, seed, trainMod)
     probeIvf(idx.model.clusterCenters.toSeq.map(_.toArray).zipWithIndex.map(_.swap),
-      idx.assigned, queries, k, nProbe)
+      Seq(idx.assigned), queries, k, nProbe)
   }
 
   /** nProbe nearest cells per query — fully distributed: centroids
@@ -177,12 +177,21 @@ object Similarity {
   }
 
   /** Exact-cosine scoring over the probed cells' inverted-file rows —
-    * the closing half of [[ivfTopK]] and [[ivfTopKFromSaved]]. */
-  private def probeIvf(centroids: Seq[(Int, Array[Double])], assigned: DataFrame,
-                       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    * the closing half of [[ivfTopK]] and [[ivfTopKFromSaved]]. Takes the
+    * inverted file as SEGMENTS (base [+ streaming delta]) and the
+    * optional tombstone set: each segment joins the broadcast probes
+    * itself (per-scan pruning survives the union) and deleted ids are
+    * anti-joined out BEFORE the top-k, so a tombstoned vector can never
+    * occupy a rank. */
+  private def probeIvf(centroids: Seq[(Int, Array[Double])], segments: Seq[DataFrame],
+                       queries: DataFrame, k: Int, nProbe: Int,
+                       tombstones: Option[DataFrame] = None): DataFrame = {
     val probes = probeCells(centroids, queries, nProbe)
-    val scored = assigned.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
+    val scored = segments.map { seg =>
+      val j = seg.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+      tombstones.fold(j)(t => j.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    }.reduce(_.unionByName(_))
       .withColumn("cos", round(F.cosine(col("q_emb"), col("embedding")), 4))
     TopK.topKWithRank(scored, col("query_id"),
       Seq(col("cos").desc, col("vec_id")), k, "rk")
@@ -227,10 +236,9 @@ object Similarity {
     * (SimilaritySpec pins result equality with the in-memory index and
     * the dynamicpruning subquery in the scan). */
   def ivfTopKFromSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
-    val assigned = spark.read.parquet(s"$dir/cells")
-    probeIvf(loadCentroids(spark, dir), assigned, queries, k, nProbe)
-  }
+                       queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame =
+    probeIvf(loadCentroids(spark, dir), segmentsOf(spark, dir), queries, k, nProbe,
+      tombstonesOf(spark, dir))
 
   /** APPEND new vectors to a saved IVF artifact without re-training —
     * the index lifecycle's missing middle: build-once amortizes the
@@ -256,6 +264,95 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True iff `path` holds at least one REAL parquet data file,
+    * recursing past partition dirs and skipping `_temporary`/dot
+    * entries — the artifact-side twin of the streaming sinks' state-read
+    * guard: a crashed delta write leaves a partition dir with only
+    * write-orphans inside, and a bare exists() would then send
+    * spark.read.parquet into 'unable to infer schema' on every probe.
+    * Goes through the Hadoop FileSystem so HDFS/object-store artifact
+    * dirs answer correctly. */
+  private def hasParquetData(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def scan(p: org.apache.hadoop.fs.Path): Boolean = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) p.getName.endsWith(".parquet")
+      else fs.listStatus(p)
+        .filterNot(c => c.getPath.getName.startsWith("_") ||
+          c.getPath.getName.startsWith("."))
+        .exists(c => scan(c.getPath))
+    }
+    fs.exists(root) && scan(root)
+  }
+
+  /** The saved inverted file as SEGMENTS: the base `cells` table plus,
+    * when a streaming ingest has landed rows, the `delta` zone — the
+    * LSM posture (base + delta, folded by compaction). Probe pipelines
+    * join EACH segment with the broadcast probes and union the joined
+    * results, so every segment scan keeps its own partition-pruning
+    * filter (a pre-join union would sit between the scan and the probe
+    * join and block DPP on both legs). With no delta this collapses to
+    * exactly the single-scan plan the earlier rounds pinned. */
+  private def segmentsOf(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Seq[DataFrame] = {
+    val base = spark.read.parquet(s"$dir/cells")
+    if (hasParquetData(spark, s"$dir/delta"))
+      Seq(base, spark.read.parquet(s"$dir/delta").drop("ingest_batch"))
+    else Seq(base)
+  }
+
+  /** The artifact's deleted-id set, if any deletes have landed. Kept
+    * tiny by construction (ids only, coalesced single file per delete
+    * call) and broadcast at every use. */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Option[DataFrame] =
+    if (hasParquetData(spark, s"$dir/tombstones"))
+      Some(spark.read.parquet(s"$dir/tombstones").select(col("vec_id")))
+    else None
+
+  /** DELETE ids from a saved IVF or IVFADC artifact — the lifecycle's
+    * remove path. At 100 TB a physical rewrite per delete is the cost
+    * this method exists to avoid: the ids land in a tiny append-only
+    * `tombstones` parquet, every probe masks them with one broadcast
+    * anti-join BEFORE ranking (a deleted vector can never displace a
+    * live one, in the shortlist or the final top-k), and
+    * [[compactIvfIndex]] purges the rows physically and clears the set.
+    * A tombstoned id stays deleted until that compaction: re-appending
+    * it fails loud (see [[appendToIvfIndex]]) because the stale
+    * physical rows would come back to life beside the new one. Works on
+    * both artifact families — deletion is code-agnostic. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      ids: DataFrame): Unit =
+    ids.select(col("vec_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+
+  /** Assign `vecs` against a saved artifact's FROZEN quantizer(s):
+    * nearest saved centroid map-side, plus the frozen-codebook PQ code
+    * when the artifact is composed — the one ingest shape shared by the
+    * batch appends and the streaming delta sink. Fails loud when an
+    * incoming id is tombstoned: its stale rows are still physical until
+    * compaction, so "re-add" would resurrect them beside the new row
+    * (callers upsert as delete -> compact -> append). */
+  private[graft] def assignForIngest(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, vecs: DataFrame): DataFrame = {
+    import graft.functions.expressions.PqEncode
+    tombstonesOf(spark, dir).foreach { ts =>
+      val clash = ts.join(vecs.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      require(clash.isEmpty,
+        s"appending tombstoned vec_ids to $dir (e.g. " +
+          s"${clash.head(3).map(_.getLong(0)).mkString(", ")}) — their stale " +
+          "rows are still on disk; compact the artifact first, then re-add")
+    }
+    val assigned = probeCells(loadCentroids(spark, dir), vecs, nProbe = 1)
+      .select(col("query_id").as("vec_id"), col("q_emb").as("embedding"), col("cell"))
+    if (hasCodebook(spark, dir))
+      assigned.select(col("vec_id"), col("embedding"), col("cell"),
+        PqEncode(unitEmbedding, loadCodebook(spark, dir)).as("code"))
+    else assigned
+  }
+
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        vecs: DataFrame): Unit = {
     // fail loud on the composed artifact: appending code-less rows there
@@ -263,9 +360,7 @@ object Similarity {
     // sink below every scored candidate) or break schema inference
     require(!hasCodebook(spark, dir),
       s"$dir is a composed IVFADC artifact (has a codebook) — use appendToIvfPqIndex")
-    val centroids = loadCentroids(spark, dir)
-    probeCells(centroids, vecs, nProbe = 1)
-      .select(col("query_id").as("vec_id"), col("q_emb").as("embedding"), col("cell"))
+    assignForIngest(spark, dir, vecs)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -286,8 +381,15 @@ object Similarity {
     if (hasCodebook(spark, srcDir))
       spark.read.parquet(s"$srcDir/codebook")
         .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/codebook")
-    spark.read.parquet(s"$srcDir/cells")
-      .repartition(col("cell"))
+    // Fold the whole LSM view into the base of the NEW artifact: the
+    // streaming delta zone merges into the cells, tombstoned rows are
+    // physically dropped, and the destination carries NO delta and NO
+    // tombstones — after the caller's pointer swap, deleted ids are
+    // free for re-append and probes are back to one pruned scan.
+    val folded = segmentsOf(spark, srcDir).reduce(_.unionByName(_))
+    val visible = tombstonesOf(spark, srcDir)
+      .fold(folded)(t => folded.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    visible.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dstDir/cells")
   }
 
@@ -393,7 +495,7 @@ object Similarity {
              seed: Long = 42L, trainMod: Int = 4): DataFrame = {
     val shortlist = pqAdcTopK(corpus, queries, dim, k * rerank, m, ks, seed, trainMod)
       .select(col("query_id"), col("neighbor_id"))
-    rerankExact(corpus, queries, shortlist, k)
+    rerankExact(Seq(corpus), queries, shortlist, k)
   }
 
   /** Exact-cosine re-rank of a shortlist — the closing stage shared by
@@ -407,14 +509,18 @@ object Similarity {
     * unprobed cell's files from the re-rank read exactly like the ADC
     * code read. A vec_id lives in exactly one cell, so the extra key
     * changes which FILES are opened, never which rows match. */
-  private def rerankExact(corpus: DataFrame, queries: DataFrame,
+  private def rerankExact(corpusSegs: Seq[DataFrame], queries: DataFrame,
                           shortlist: DataFrame, k: Int): DataFrame = {
     val qEmb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val keys = shortlist.columns.toSeq.filterNot(_ == "query_id")
     val carried = keys.filterNot(_ == "neighbor_id").map(col)
-    val rescored = corpus
-      .select(carried :+ col("vec_id").as("neighbor_id") :+ col("embedding").as("c_emb"): _*)
-      .join(broadcast(shortlist), keys)
+    // join each segment with the shortlist BEFORE the union (as in the
+    // probe pass) so the base scan's DPP filter survives a delta zone
+    val rescored = corpusSegs.map { corpus =>
+      corpus
+        .select(carried :+ col("vec_id").as("neighbor_id") :+ col("embedding").as("c_emb"): _*)
+        .join(broadcast(shortlist), keys)
+    }.reduce(_.unionByName(_))
       .join(broadcast(qEmb), Seq("query_id"))
       .withColumn("cos", round(F.cosine(col("q_emb"), col("c_emb")), 4))
     TopK.topKWithRank(rescored, col("query_id"),
@@ -456,7 +562,7 @@ object Similarity {
     val shortlist = TopK.topKPerKey(scored, Seq(col("query_id")),
       Seq(col("adist").asc_nulls_last, col("vec_id")), k * rerank)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    rerankExact(corpus, queries, shortlist, k)
+    rerankExact(Seq(corpus), queries, shortlist, k)
   }
 
   // The combined (vec_id, cell, code) inverted file — the composed
@@ -540,15 +646,9 @@ object Similarity {
     * re-training and no second table. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                          vecs: DataFrame): Unit = {
-    import graft.functions.expressions.PqEncode
     require(hasCodebook(spark, dir),
       s"$dir has no codebook — a plain IVF artifact appends via appendToIvfIndex")
-    val centroids = loadCentroids(spark, dir)
-    val codebook = loadCodebook(spark, dir)
-    probeCells(centroids, vecs, nProbe = 1)
-      .select(col("query_id").as("vec_id"), col("q_emb").as("embedding"), col("cell"))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        PqEncode(unitEmbedding, codebook).as("code"))
+    assignForIngest(spark, dir, vecs)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -559,13 +659,20 @@ object Similarity {
     val centroids = loadCentroids(spark, dir)
     val codebook = loadCodebook(spark, dir)
     val ks = codebook(0).length
-    val cells = spark.read.parquet(s"$dir/cells")
+    val segs = segmentsOf(spark, dir)
+    val tombstones = tombstonesOf(spark, dir)
     val probes = probeCells(centroids, queries, nProbe)
       .select(col("query_id"), col("cell"))
     val qTbl = queries.select(col("vec_id").as("query_id"),
       PqDistTable(unitEmbedding, codebook).as("tbl"))
-    val scored = cells.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
+    // Per-segment probe join before the union (per-scan pruning, as in
+    // probeIvf); tombstoned ids leave the race before the shortlist, so
+    // the re-rank never needs the mask.
+    val scored = segs.map { seg =>
+      val j = seg.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+      tombstones.fold(j)(t => j.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    }.reduce(_.unionByName(_))
       .join(broadcast(qTbl), "query_id")
       .withColumn("adist", round(PqAdcScore(col("code"), col("tbl"), ks), 4))
     // The shortlist CARRIES cell so the re-rank joins on (cell, vec_id):
@@ -576,6 +683,6 @@ object Similarity {
     val shortlist = TopK.topKPerKey(scored, Seq(col("query_id")),
       Seq(col("adist").asc_nulls_last, col("vec_id")), k * rerank)
       .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"))
-    rerankExact(cells, queries, shortlist, k)
+    rerankExact(segs, queries, shortlist, k)
   }
 }

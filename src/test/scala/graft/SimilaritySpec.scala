@@ -290,4 +290,66 @@ class SimilaritySpec extends SpecBase {
     assert(dppScans >= 2,
       s"both cells scans (ADC + re-rank) must carry DPP filters, found $dppScans:\n${plan.take(1600)}")
   }
+
+  test("delete masks probes immediately, compaction purges, re-append works after compact") {
+    import org.apache.spark.sql.DataFrame
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_del").toString
+    Similarity.saveIvfIndex(Similarity.ivfIndex(emb), ivfDir)
+    Similarity.saveIvfPqIndex(emb, dir = pqDir, dim = 64)
+    val queries = emb.filter($"vec_id" < 6)
+    def pairs(df: DataFrame): Set[(Long, Long)] = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfBefore = pairs(Similarity.ivfTopKFromSaved(spark, ivfDir, queries, k = 5))
+    val pqBefore = pairs(Similarity.ivfPqTopKFromSaved(spark, pqDir, queries, k = 5))
+    // victims: returned by BOTH families (so every absence assert below
+    // is non-vacuous) and outside the query set (so deleting them can't
+    // change the probe side)
+    val victims = (ivfBefore & pqBefore).map(_._2).filter(_ >= 6).take(2).toSeq
+    assert(victims.nonEmpty, "fixture: no shared non-query neighbor to delete")
+    for (dir <- Seq(ivfDir, pqDir))
+      Similarity.deleteFromIndex(spark, dir, victims.toDF("vec_id"))
+    val ivfAfter = Similarity.ivfTopKFromSaved(spark, ivfDir, queries, k = 5)
+    val pqAfter = Similarity.ivfPqTopKFromSaved(spark, pqDir, queries, k = 5)
+    for ((got, name) <- Seq((ivfAfter, "IVF"), (pqAfter, "IVFADC"))) {
+      val p = pairs(got)
+      assert(victims.forall(v => !p.exists(_._2 == v)),
+        s"$name: a tombstoned id still surfaces as a neighbor")
+      // deleted rows free slots, they don't shrink the result: every
+      // query still gets its full k from the live corpus
+      assert(got.count() == 6 * 5, s"$name: deletion must not shrink top-k")
+    }
+    // the tombstone anti-join must not cost the probe its partition
+    // pruning — the mask sits above the probe join, not below it
+    assert(ivfAfter.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "delete must not break the DPP probe path")
+    // re-appending a tombstoned id before compaction fails LOUD: its
+    // stale physical rows would come back to life beside the new row
+    val revived = emb.filter($"vec_id" === victims.head)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, ivfDir, revived)
+    }.getMessage.contains("compact"))
+    // compaction physically purges and clears the tombstone set
+    val cIvf = java.nio.file.Files.createTempDirectory("ivf_del_c").toString
+    val cPq = java.nio.file.Files.createTempDirectory("ivfpq_del_c").toString
+    Similarity.compactIvfIndex(spark, ivfDir, cIvf)
+    Similarity.compactIvfIndex(spark, pqDir, cPq)
+    for (dir <- Seq(cIvf, cPq)) {
+      assert(!new java.io.File(s"$dir/tombstones").exists(),
+        "compaction must not carry tombstones into the new artifact")
+      assert(spark.read.parquet(s"$dir/cells")
+        .filter($"vec_id".isin(victims: _*)).count() == 0,
+        "compaction must drop tombstoned rows physically")
+    }
+    assert(pairs(Similarity.ivfTopKFromSaved(spark, cIvf, queries, k = 5)) ==
+      pairs(ivfAfter), "compacted artifact must probe identically to the masked view")
+    assert(pairs(Similarity.ivfPqTopKFromSaved(spark, cPq, queries, k = 5)) ==
+      pairs(pqAfter), "compacted IVFADC artifact must probe identically")
+    // after compaction the id is free again: append succeeds and the
+    // vector is retrievable (it reclaims the top-k slot it held before)
+    Similarity.appendToIvfIndex(spark, cIvf, revived)
+    val back = pairs(Similarity.ivfTopKFromSaved(spark, cIvf, queries, k = 5))
+    assert(ivfBefore.filter(_._2 == victims.head).subsetOf(back),
+      "a re-appended vector must reclaim its pre-delete neighbor slots")
+  }
 }

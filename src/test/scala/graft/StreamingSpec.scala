@@ -1156,6 +1156,86 @@ class StreamingSpec extends SpecBase {
         "empty replay must only remove batch 1's rows")
     } finally query.stop()
   }
+
+  test("ANN ingest sink: delta visibility, batch-append parity, replay + crash heal, compaction fold") {
+    import graft.operators.Similarity
+    import graft.streaming.AnnStreams
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, SfDir)
+    val base = emb.filter($"vec_id" < 450)
+    val extra = emb.filter($"vec_id" >= 450)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val twinDir = java.nio.file.Files.createTempDirectory("ivf_stream_twin").toString
+    val idx = Similarity.ivfIndex(base, trainMod = 2)
+    Similarity.saveIvfIndex(idx, dir)
+    Similarity.saveIvfIndex(idx, twinDir)
+    val rows = extra.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val query = stream.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(AnnStreams.annIngestSink(dir) _)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      rows.grouped(20).foreach { chunk =>
+        stream.addData(chunk.toSeq); query.processAllAvailable()
+      }
+      // every streamed vector landed in the delta zone; base untouched
+      val delta = spark.read.parquet(s"$dir/delta")
+      assert(delta.count() == rows.length, "delta zone is missing streamed rows")
+      assert(delta.columns.contains("ingest_batch") && delta.columns.contains("cell"),
+        s"delta must be partitioned (ingest_batch, cell): ${delta.columns.toSeq}")
+      assert(spark.read.parquet(s"$dir/cells").count() == base.count(),
+        "streaming ingest must never write into the base cells")
+      // the streamed artifact probes EXACTLY like its batch-append twin
+      val queries5 = emb.filter($"vec_id" >= 495)
+      Similarity.appendToIvfIndex(spark, twinDir, extra)
+      val streamed = Similarity.ivfTopKFromSaved(spark, dir, queries5, k = 5)
+      val appended = Similarity.ivfTopKFromSaved(spark, twinDir, queries5, k = 5)
+      assert(streamed.collect().map(_.toSeq).toSet ==
+        appended.collect().map(_.toSeq).toSet,
+        "delta-zone probe must equal the batch-append twin row-for-row")
+      // the base scan keeps its DPP filter with a delta zone present:
+      // each segment joins the broadcast probes BEFORE the union
+      assert(streamed.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "the delta zone must not cost the base scan its partition pruning")
+      // crashed-batch replay overwrites its own partition — no duplicates
+      val replay = rows.take(20).toSeq.toDF("vec_id", "embedding")
+      AnnStreams.annIngestSink(dir)(replay, 0L)
+      assert(spark.read.parquet(s"$dir/delta").count() == rows.length,
+        "replaying a batch must overwrite its partition, not append")
+      // a crash that left only write-orphans in a FRESH delta zone must
+      // not wedge probes ('unable to infer schema'), and the replay heals
+      val dir2 = java.nio.file.Files.createTempDirectory("ivf_stream_orphan").toString
+      Similarity.saveIvfIndex(idx, dir2)
+      val orphan = new java.io.File(s"$dir2/delta/ingest_batch=0/cell=0/_temporary")
+      assert(orphan.mkdirs())
+      java.nio.file.Files.write(orphan.toPath.resolve("part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      val healedBefore = Similarity.ivfTopKFromSaved(spark, dir2, queries5, k = 5)
+      assert(healedBefore.count() == queries5.count() * 5,
+        "an orphaned delta dir must read as absent, not wedge the probe")
+      AnnStreams.annIngestSink(dir2)(replay, 0L)
+      assert(spark.read.parquet(s"$dir2/delta").count() == 20,
+        "the replayed batch must land over the orphaned partition")
+      // a tombstoned id arriving on the stream fails the batch LOUD
+      Similarity.deleteFromIndex(spark, dir2, Seq(rows.head._1).toDF("vec_id"))
+      assert(intercept[IllegalArgumentException] {
+        AnnStreams.annIngestSink(dir2)(replay, 1L)
+      }.getMessage.contains("compact"))
+      // compaction folds the delta into the base: one zone, same answers
+      val cDir = java.nio.file.Files.createTempDirectory("ivf_stream_c").toString
+      Similarity.compactIvfIndex(spark, dir, cDir)
+      assert(!new java.io.File(s"$cDir/delta").exists(),
+        "compaction must fold the delta zone away")
+      assert(spark.read.parquet(s"$cDir/cells").count() == emb.count(),
+        "compaction must carry base + delta rows into the new base")
+      assert(Similarity.ivfTopKFromSaved(spark, cDir, queries5, k = 5)
+        .collect().map(_.toSeq).toSet ==
+        streamed.collect().map(_.toSeq).toSet,
+        "the folded artifact must probe identically")
+    } finally query.stop()
+  }
 }
 
 object StreamingSpec {
