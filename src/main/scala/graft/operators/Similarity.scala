@@ -347,10 +347,19 @@ object Similarity {
     }
     val assigned = probeCells(loadCentroids(spark, dir), vecs, nProbe = 1)
       .select(col("query_id").as("vec_id"), col("q_emb").as("embedding"), col("cell"))
-    if (hasCodebook(spark, dir))
-      assigned.select(col("vec_id"), col("embedding"), col("cell"),
-        PqEncode(unitEmbedding, loadCodebook(spark, dir)).as("code"))
-    else assigned
+    val coded =
+      if (hasCodebook(spark, dir))
+        assigned.select(col("vec_id"), col("embedding"), col("cell"),
+          PqEncode(unitEmbedding, loadCodebook(spark, dir)).as("code"))
+      else assigned
+    // Co-locate the batch by cell BEFORE the partitioned write: without
+    // this every ingest fans out to (shuffle partitions x touched cells)
+    // files — ProfAnnLifecycle measured 40 micro-batches leaving 20k
+    // delta files and an 8x probe slowdown; with it each ingest writes
+    // at most one file per touched cell. The shuffle is batch-sized
+    // (the corpus never moves), the artifact's file count is what lives
+    // forever.
+    coded.repartition(col("cell"))
   }
 
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,

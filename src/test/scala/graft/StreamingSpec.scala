@@ -1236,6 +1236,52 @@ class StreamingSpec extends SpecBase {
         "the folded artifact must probe identically")
     } finally query.stop()
   }
+
+  test("ANN ingest is cut- and delete-invariant: random batches + deletes probe like a batch twin") {
+    import graft.operators.Similarity
+    import graft.streaming.AnnStreams
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, SfDir)
+    val base = emb.filter($"vec_id" < 450)
+    val idx = Similarity.ivfIndex(base, trainMod = 2)
+    val extra = emb.filter($"vec_id" >= 450).select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val probes = emb.filter($"vec_id" < 6 || $"vec_id" >= 497)
+    val rng = new scala.util.Random(4242L) // seeded — reproducible trials
+    for (trial <- 0 until 3) {
+      // 1..4 random cut points, duplicates allowed: EMPTY micro-batches
+      // must be harmless; ~1/4 of the streamed ids get deleted after
+      val cuts = Array.fill(rng.nextInt(4) + 1)(rng.nextInt(extra.length + 1)).sorted
+      val chunks = (0 +: cuts.toSeq :+ extra.length).sliding(2)
+        .map { case Seq(a, b) => extra.slice(a, b) }.toSeq
+      val deleted = extra.map(_._1).filter(_ => rng.nextInt(4) == 0).toSet
+      val dir = java.nio.file.Files.createTempDirectory(s"ann_cut$trial").toString
+      val twin = java.nio.file.Files.createTempDirectory(s"ann_cut_twin$trial").toString
+      Similarity.saveIvfIndex(idx, dir)
+      Similarity.saveIvfIndex(idx, twin)
+      chunks.zipWithIndex.foreach { case (rows, id) =>
+        AnnStreams.annIngestSink(dir)(rows.toSeq.toDF("vec_id", "embedding"), id.toLong)
+      }
+      if (deleted.nonEmpty)
+        Similarity.deleteFromIndex(spark, dir, deleted.toSeq.toDF("vec_id"))
+      // the twin never saw the deleted ids at all: LSM view (delta zone
+      // masked by tombstones) must equal plain base+append of the kept
+      Similarity.appendToIvfIndex(spark, twin,
+        extra.filter(r => !deleted(r._1)).toSeq.toDF("vec_id", "embedding"))
+      val lsm = Similarity.ivfTopKFromSaved(spark, dir, probes, k = 5)
+        .collect().map(_.toSeq).toSet
+      val flat = Similarity.ivfTopKFromSaved(spark, twin, probes, k = 5)
+        .collect().map(_.toSeq).toSet
+      assert(lsm == flat,
+        s"trial $trial (cuts ${cuts.mkString(",")}, ${deleted.size} deleted): " +
+          s"lsm-only ${(lsm -- flat).take(3)}, twin-only ${(flat -- lsm).take(3)}")
+      val cDir = java.nio.file.Files.createTempDirectory(s"ann_cut_c$trial").toString
+      Similarity.compactIvfIndex(spark, dir, cDir)
+      assert(Similarity.ivfTopKFromSaved(spark, cDir, probes, k = 5)
+        .collect().map(_.toSeq).toSet == lsm,
+        s"trial $trial: compaction changed the probe view")
+    }
+  }
 }
 
 object StreamingSpec {
