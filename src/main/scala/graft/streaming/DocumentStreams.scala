@@ -323,7 +323,11 @@ object DocumentStreams {
           Sampling.docHash32(concat(col("lang"), lit(":"), col("seq_id").cast("string"))) % nShards)
         .cache()
       try {
-        packed.write.mode("overwrite").partitionBy("shard")
+        // co-locate by shard before the partitioned write (SURVEY
+        // lesson 45): without it every batch fans out to
+        // (#lang-partitions x nShards) files, compounding per batch —
+        // with it each batch leaves at most one file per touched shard
+        packed.repartition(col("shard")).write.mode("overwrite").partitionBy("shard")
           .parquet(s"$shardsRoot/batch=$batchId")
         // coalesce(1): these deltas are ≤ #langs / ≤ nShards rows, and a
         // single task guarantees a schema-bearing file even when empty

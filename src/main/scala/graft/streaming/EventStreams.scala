@@ -374,8 +374,10 @@ object EventStreams {
         order = Seq(col("__src").desc))
     } else incoming
     // per-WRITE option, not the session conf: flipping the global would
-    // race any concurrently running query in the same session
-    merged.drop("__src").write.mode("overwrite")
+    // race any concurrently running query in the same session;
+    // repartition on the bucket first (SURVEY lesson 45) so each
+    // rewritten bucket is one file, not one per upstream partition
+    merged.drop("__src").repartition(col("__bucket")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(dir)
   }

@@ -40,6 +40,9 @@ object SyncStreams {
   def statusSyncSink(stored: DataFrame, outDir: String,
                      inactiveValue: String = "INACTIVE")(
       batch: DataFrame, batchId: Long): Unit =
+    // coalesce(1): a deactivation delta is metadata-sized, and one
+    // writer task per batch stops the per-batch dirs accumulating one
+    // near-empty file per shuffle partition (SURVEY lesson 45)
     StatusSync.reconcile(stored, batch, inactiveValue)
-      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 }

@@ -225,6 +225,11 @@ class StreamingSpec extends SpecBase {
       }
       val before = bucketFiles()
       assert(before.size > 1, "keys must spread across buckets")
+      // lesson 45: the batch co-locates on the bucket before the write,
+      // so a rewritten bucket is ONE file, never one per upstream
+      // shuffle partition
+      assert(before.values.forall(_.size == 1),
+        s"each bucket must hold one file per rewrite: ${before.view.mapValues(_.size).toMap}")
 
       // second batch: update ONE key -> only that key's bucket rewrites
       stream.addData(Event(3L, Timestamp.valueOf("2024-01-01 00:01:00"), 3L, "purchase", 99.0))
@@ -517,6 +522,17 @@ class StreamingSpec extends SpecBase {
       assert(streamed.nonEmpty)
       assert(streamed == batch,
         s"stream-only ${(streamed -- batch).take(3)}, batch-only ${(batch -- streamed).take(3)}")
+
+      // lesson 45: each batch co-locates on shard before the write, so
+      // every batch=*/shard=* dir holds exactly one data file
+      val shardDirs = for {
+        b <- new java.io.File(s"$outDir/shards").listFiles().toSeq
+        if b.isDirectory && b.getName.startsWith("batch=")
+        s <- b.listFiles().toSeq if s.isDirectory && s.getName.startsWith("shard=")
+      } yield s"${b.getName}/${s.getName}" ->
+        s.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(shardDirs.nonEmpty && shardDirs.forall(_._2 == 1),
+        s"one file per (batch, shard): ${shardDirs.filter(_._2 != 1).take(5)}")
 
       // the live manifest equals a recompute over the written shard rows
       def manifest() = spark.read
