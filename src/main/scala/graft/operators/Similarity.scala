@@ -264,28 +264,11 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** True iff `path` holds at least one REAL parquet data file,
-    * recursing past partition dirs and skipping `_temporary`/dot
-    * entries — the artifact-side twin of the streaming sinks' state-read
-    * guard: a crashed delta write leaves a partition dir with only
-    * write-orphans inside, and a bare exists() would then send
-    * spark.read.parquet into 'unable to infer schema' on every probe.
-    * Goes through the Hadoop FileSystem so HDFS/object-store artifact
-    * dirs answer correctly. */
+  /** The shared crash-orphan-safe parquet-presence guard, against this
+    * artifact's filesystem (see [[graft.sources.Sources.hasParquetData]]). */
   private def hasParquetData(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def scan(p: org.apache.hadoop.fs.Path): Boolean = {
-      val st = fs.getFileStatus(p)
-      if (st.isFile) p.getName.endsWith(".parquet")
-      else fs.listStatus(p)
-        .filterNot(c => c.getPath.getName.startsWith("_") ||
-          c.getPath.getName.startsWith("."))
-        .exists(c => scan(c.getPath))
-    }
-    fs.exists(root) && scan(root)
-  }
+                             path: String): Boolean =
+    graft.sources.Sources.hasParquetData(path, spark.sparkContext.hadoopConfiguration)
 
   /** The saved inverted file as SEGMENTS: the base `cells` table plus,
     * when a streaming ingest has landed rows, the `delta` zone — the
@@ -324,34 +307,69 @@ object Similarity {
     * physical rows would come back to life beside the new one. Works on
     * both artifact families — deletion is code-agnostic. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      ids: DataFrame): Unit =
+                      ids: DataFrame): Unit = {
+    // fail loud on a non-artifact dir: a typo'd (or already-swapped)
+    // path would otherwise grow a tombstone file nothing reads while
+    // the real index keeps serving the "deleted" vectors
+    val cPath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    require(cPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cPath),
+      s"$dir is not a saved ANN artifact (no centroids) — nothing to delete from")
     ids.select(col("vec_id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  /** The frozen halves of a saved artifact, loaded ONCE and reusable
+    * across micro-batches: the coarse centroids plus (for a composed
+    * artifact) the PQ codebook. Both are frozen by the artifact's own
+    * contract, so a long-lived ingest sink must not re-read + re-collect
+    * them per batch (object-store listing/GET latency would dominate
+    * small batches). */
+  private[graft] final case class FrozenQuantizer(
+      centroids: Seq[(Int, Array[Double])],
+      codebook: Option[Array[Array[Array[Float]]]])
+
+  private[graft] def loadFrozenQuantizer(spark: org.apache.spark.sql.SparkSession,
+                                         dir: String): FrozenQuantizer =
+    FrozenQuantizer(loadCentroids(spark, dir),
+      if (hasCodebook(spark, dir)) Some(loadCodebook(spark, dir)) else None)
 
   /** Assign `vecs` against a saved artifact's FROZEN quantizer(s):
     * nearest saved centroid map-side, plus the frozen-codebook PQ code
     * when the artifact is composed — the one ingest shape shared by the
-    * batch appends and the streaming delta sink. Fails loud when an
-    * incoming id is tombstoned: its stale rows are still physical until
-    * compaction, so "re-add" would resurrect them beside the new row
-    * (callers upsert as delete -> compact -> append). */
+    * batch appends and the streaming delta sink.
+    *
+    * Tombstoned incoming ids: with `dropTombstoned`=false (the batch
+    * appends) the call fails loud — the stale rows are still physical
+    * until compaction, so a silent "re-add" would resurrect them beside
+    * the new row (callers upsert as delete -> compact -> append). With
+    * `dropTombstoned`=true (the streaming sink) the ids are FILTERED
+    * OUT instead: delete wins over in-flight ingest, and — decisively —
+    * a crashed-then-replayed micro-batch whose ids were tombstoned
+    * after the crash can still replay (the loud form would wedge the
+    * stream on an id the replay's own overwrite is about to drop). */
   private[graft] def assignForIngest(spark: org.apache.spark.sql.SparkSession,
-                                     dir: String, vecs: DataFrame): DataFrame = {
+                                     dir: String, vecs: DataFrame,
+                                     frozen: FrozenQuantizer,
+                                     dropTombstoned: Boolean): DataFrame = {
     import graft.functions.expressions.PqEncode
-    tombstonesOf(spark, dir).foreach { ts =>
-      val clash = ts.join(vecs.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      require(clash.isEmpty,
-        s"appending tombstoned vec_ids to $dir (e.g. " +
-          s"${clash.head(3).map(_.getLong(0)).mkString(", ")}) — their stale " +
-          "rows are still on disk; compact the artifact first, then re-add")
+    val masked = tombstonesOf(spark, dir) match {
+      case None => vecs
+      case Some(ts) if dropTombstoned =>
+        vecs.join(broadcast(ts), Seq("vec_id"), "left_anti")
+      case Some(ts) =>
+        // one job: head(3) is empty exactly when there is no clash
+        val clash = ts.join(vecs.select(col("vec_id")), Seq("vec_id"), "left_semi").head(3)
+        require(clash.isEmpty,
+          s"appending tombstoned vec_ids to $dir (e.g. " +
+            s"${clash.map(_.get(0)).mkString(", ")}) — they stay deleted until " +
+            "a compaction rewrites the artifact; compact first, then re-add")
+        vecs
     }
-    val assigned = probeCells(loadCentroids(spark, dir), vecs, nProbe = 1)
+    val assigned = probeCells(frozen.centroids, masked, nProbe = 1)
       .select(col("query_id").as("vec_id"), col("q_emb").as("embedding"), col("cell"))
-    val coded =
-      if (hasCodebook(spark, dir))
-        assigned.select(col("vec_id"), col("embedding"), col("cell"),
-          PqEncode(unitEmbedding, loadCodebook(spark, dir)).as("code"))
-      else assigned
+    val coded = frozen.codebook.fold(assigned)(cb =>
+      assigned.select(col("vec_id"), col("embedding"), col("cell"),
+        PqEncode(unitEmbedding, cb).as("code")))
     // Co-locate the batch by cell BEFORE the partitioned write: without
     // this every ingest fans out to (shuffle partitions x touched cells)
     // files — ProfAnnLifecycle measured 40 micro-batches leaving 20k
@@ -361,6 +379,13 @@ object Similarity {
     // forever.
     coded.repartition(col("cell"))
   }
+
+  /** One-shot form for the batch appends: load the frozen state, fail
+    * loud on tombstoned ids. */
+  private[graft] def assignForIngest(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, vecs: DataFrame): DataFrame =
+    assignForIngest(spark, dir, vecs, loadFrozenQuantizer(spark, dir),
+      dropTombstoned = false)
 
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        vecs: DataFrame): Unit = {
@@ -400,6 +425,16 @@ object Similarity {
       .fold(folded)(t => folded.join(broadcast(t), Seq("vec_id"), "left_anti"))
     visible.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dstDir/cells")
+    // An all-tombstoned (or otherwise empty) view writes ZERO parquet
+    // files under a partitioned write — and the next probe's unguarded
+    // base read would die on schema inference. Guarantee one
+    // schema-bearing empty file, INSIDE a partition dir (a root-level
+    // file beside later cell= dirs would corrupt partition discovery
+    // for any post-compaction append): an empty cell=-1 partition is
+    // never probed and holds zero rows.
+    if (!hasParquetData(spark, s"$dstDir/cells"))
+      visible.limit(0).drop("cell").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dstDir/cells/cell=-1")
   }
 
   /** LSH-bucketed ANN: candidates come only from the query's bucket.

@@ -16,6 +16,28 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** True iff `path` holds at least one REAL parquet data file,
+    * recursing past partition dirs and skipping `_temporary`/dot
+    * entries — the ONE shared guard behind every optional-state read:
+    * a crash mid-write leaves a dir with only write-orphans inside,
+    * and a bare exists() check would then send spark.read.parquet
+    * into an unrecoverable 'unable to infer schema'. Goes through the
+    * Hadoop FileSystem of the path (HDFS/object-store dirs answer
+    * correctly) and recurses on the listing's own FileStatus entries —
+    * no per-child re-stat round trips. */
+  def hasParquetData(path: String,
+                     conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def scan(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      if (st.isFile) st.getPath.getName.endsWith(".parquet")
+      else fs.listStatus(st.getPath)
+        .filterNot(c => c.getPath.getName.startsWith("_") ||
+          c.getPath.getName.startsWith("."))
+        .exists(scan)
+    fs.exists(root) && scan(fs.getFileStatus(root))
+  }
+
   /** CSV with header + explicit schema inference off the first file only.
     * (At 100 TB you pass an explicit schema; inference is a dev nicety.) */
   def readCsv(spark: SparkSession, path: String, inferSchema: Boolean = true): DataFrame =

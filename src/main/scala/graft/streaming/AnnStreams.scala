@@ -29,18 +29,41 @@ import graft.operators.Similarity
   * correctness: a probe between any two batches is complete and
   * duplicate-free.
   *
-  * Tombstoned ids fail the batch loud (same contract as the batch
-  * append): their stale rows are still physical until compaction, so a
-  * silent "re-add" would resurrect them beside the new row. Upsert
-  * streams filter against the tombstone set or compact first.
+  * Tombstoned incoming ids are DROPPED, not failed: delete wins over
+  * in-flight ingest (their stale rows stay physical until compaction,
+  * so a silent re-add would resurrect them), and the loud form the
+  * batch appends use would WEDGE the stream — a micro-batch that
+  * landed but crashed before its checkpoint commit replays after a
+  * delete of one of its ids, and the replay must be able to overwrite
+  * its own partition. Upsert streams therefore run delete -> compact
+  * -> re-ingest, exactly like the batch path.
   */
 object AnnStreams {
 
-  /** The per-batch closure for `writeStream.foreachBatch` — exposed
-    * exactly as the stream runner calls it so specs (and batch
-    * backfills) can drive single batches directly. */
-  def annIngestSink(dir: String)(batch: DataFrame, batchId: Long): Unit =
-    Similarity.assignForIngest(batch.sparkSession, dir, batch)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/delta/ingest_batch=$batchId")
+  /** The per-batch closure for `writeStream.foreachBatch`. The frozen
+    * quantizer state (centroids + codebook) loads ONCE per sink
+    * instance and serves every micro-batch — it is frozen by the
+    * artifact's contract, and re-collecting it per batch would make
+    * object-store metadata latency the floor of small-batch ingest.
+    * Specs and batch backfills can still call the returned closure
+    * directly; the tombstone set IS re-read per batch (it legitimately
+    * changes between batches). */
+  def annIngestSink(dir: String): (DataFrame, Long) => Unit = {
+    // loaded lazily on the first batch (the sink is built before any
+    // data exists to supply a session), then reused; foreachBatch
+    // invocations are sequential per query so the simple guard is safe
+    var frozen: Similarity.FrozenQuantizer = null
+    (batch: DataFrame, batchId: Long) => {
+      if (frozen == null) frozen = Similarity.loadFrozenQuantizer(batch.sparkSession, dir)
+      Similarity.assignForIngest(batch.sparkSession, dir, batch, frozen,
+        dropTombstoned = true)
+        .write.mode("overwrite")
+        // pin STATIC overwrite per write: under a session-level dynamic
+        // conf an EMPTY replay would truncate nothing and a crashed
+        // attempt's partial cell files would survive
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell")
+        .parquet(s"$dir/delta/ingest_batch=$batchId")
+    }
+  }
 }

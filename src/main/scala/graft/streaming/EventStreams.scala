@@ -311,15 +311,13 @@ object EventStreams {
     * and a bare exists()/isDirectory check would then send
     * spark.read.parquet into an unrecoverable 'unable to infer schema'
     * on every replay. */
-  private[streaming] def hasParquetFile(path: String): Boolean = {
-    def scan(f: java.io.File): Boolean =
-      if (!f.exists()) false
-      else if (f.isFile) f.getName.endsWith(".parquet")
-      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
-        .exists(scan)
-    scan(new java.io.File(path))
-  }
+  private[streaming] def hasParquetFile(path: String): Boolean =
+    // one shared implementation of the orphan-skipping rules (a
+    // divergence between the streaming and artifact guards would be
+    // silent); the default Hadoop conf resolves plain paths to the
+    // local FS exactly as the old java.io form did
+    graft.sources.Sources.hasParquetData(path,
+      new org.apache.hadoop.conf.Configuration())
 
   private[streaming] def publishSnapshot(outDir: String, snapshotName: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}

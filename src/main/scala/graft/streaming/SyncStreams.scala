@@ -40,9 +40,13 @@ object SyncStreams {
   def statusSyncSink(stored: DataFrame, outDir: String,
                      inactiveValue: String = "INACTIVE")(
       batch: DataFrame, batchId: Long): Unit =
-    // coalesce(1): a deactivation delta is metadata-sized, and one
-    // writer task per batch stops the per-batch dirs accumulating one
-    // near-empty file per shuffle partition (SURVEY lesson 45)
+    // repartition(1), NOT coalesce(1): a deactivation delta is
+    // metadata-sized, and one writer task per batch stops the per-batch
+    // dirs accumulating a near-empty file per shuffle partition (SURVEY
+    // lesson 45) — but coalesce is narrow and would collapse the whole
+    // reconcile reduce (keep-last merge + anti-join over the stored
+    // keys) into that single task; the extra exchange moves only the
+    // tiny output
     StatusSync.reconcile(stored, batch, inactiveValue)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      .repartition(1).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 }

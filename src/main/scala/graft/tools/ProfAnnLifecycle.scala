@@ -53,9 +53,11 @@ object ProfAnnLifecycle {
         s"delta ${countFiles(s"$dir/delta")} files)")
     }
     run("base as saved     ")
-    // 40 streamed micro-batches fragment the delta zone
+    // 40 streamed micro-batches fragment the delta zone; ONE sink
+    // instance, as a real stream would hold it (frozen state loads once)
+    val sink = AnnStreams.annIngestSink(dir)
     (0 until 40).foreach { b =>
-      AnnStreams.annIngestSink(dir)(vecs(spark, 400000L + b * 2000L, 2000L), b.toLong)
+      sink(vecs(spark, 400000L + b * 2000L, 2000L), b.toLong)
     }
     run("delta 40 batches  ")
     Similarity.deleteFromIndex(spark, dir,

@@ -351,5 +351,26 @@ class SimilaritySpec extends SpecBase {
     val back = pairs(Similarity.ivfTopKFromSaved(spark, cIvf, queries, k = 5))
     assert(ivfBefore.filter(_._2 == victims.head).subsetOf(back),
       "a re-appended vector must reclaim its pre-delete neighbor slots")
+    // deleting a whole artifact then compacting must leave a READABLE
+    // empty artifact (schema-bearing file inside a partition dir), and
+    // an append into it must restore normal service — not corrupt
+    // partition discovery with a root-level file
+    Similarity.deleteFromIndex(spark, cIvf, emb.select($"vec_id"))
+    val cEmpty = java.nio.file.Files.createTempDirectory("ivf_del_empty").toString
+    Similarity.compactIvfIndex(spark, cIvf, cEmpty)
+    assert(Similarity.ivfTopKFromSaved(spark, cEmpty, queries, k = 5).count() == 0,
+      "an all-tombstoned compacted artifact must probe empty, not crash")
+    Similarity.appendToIvfIndex(spark, cEmpty, emb.filter($"vec_id" >= 100 && $"vec_id" < 200))
+    val refilled = Similarity.ivfTopKFromSaved(spark, cEmpty, queries, k = 5)
+    assert(refilled.count() == 6 * 5 &&
+      refilled.collect().forall { r =>
+        val n = r.getAs[Long]("neighbor_id"); n >= 100 && n < 200 },
+      "append into an emptied artifact must restore normal probes")
+    // the delete path itself fails loud on a non-artifact dir
+    assert(intercept[IllegalArgumentException] {
+      Similarity.deleteFromIndex(spark,
+        java.nio.file.Files.createTempDirectory("not_an_index").toString,
+        emb.select($"vec_id"))
+    }.getMessage.contains("not a saved ANN artifact"))
   }
 }

@@ -1189,7 +1189,7 @@ class StreamingSpec extends SpecBase {
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
     val stream = MemoryStream[(Long, Seq[Float])]
     val query = stream.toDS().toDF("vec_id", "embedding").writeStream
-      .foreachBatch(AnnStreams.annIngestSink(dir) _)
+      .foreachBatch(AnnStreams.annIngestSink(dir))
       .option("checkpointLocation", s"$dir/ckpt")
       .outputMode("append").start()
     try {
@@ -1234,11 +1234,16 @@ class StreamingSpec extends SpecBase {
       AnnStreams.annIngestSink(dir2)(replay, 0L)
       assert(spark.read.parquet(s"$dir2/delta").count() == 20,
         "the replayed batch must land over the orphaned partition")
-      // a tombstoned id arriving on the stream fails the batch LOUD
+      // a tombstoned id arriving on the stream is DROPPED, not failed —
+      // the loud batch-append form would wedge a crashed-batch replay
+      // whose ids were tombstoned after the crash; delete wins
       Similarity.deleteFromIndex(spark, dir2, Seq(rows.head._1).toDF("vec_id"))
-      assert(intercept[IllegalArgumentException] {
-        AnnStreams.annIngestSink(dir2)(replay, 1L)
-      }.getMessage.contains("compact"))
+      AnnStreams.annIngestSink(dir2)(replay, 1L)
+      val d2 = spark.read.parquet(s"$dir2/delta")
+      assert(d2.filter($"ingest_batch" === 1).count() == 19,
+        "the tombstoned id must be dropped, its batchmates kept")
+      assert(d2.filter($"ingest_batch" === 1 && $"vec_id" === rows.head._1).count() == 0,
+        "a tombstoned id must never land in the delta zone")
       // compaction folds the delta into the base: one zone, same answers
       val cDir = java.nio.file.Files.createTempDirectory("ivf_stream_c").toString
       Similarity.compactIvfIndex(spark, dir, cDir)
