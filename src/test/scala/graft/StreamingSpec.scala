@@ -1215,6 +1215,27 @@ class StreamingSpec extends SpecBase {
       // each segment joins the broadcast probes BEFORE the union
       assert(streamed.queryExecution.executedPlan.toString.contains("dynamicpruning"),
         "the delta zone must not cost the base scan its partition pruning")
+      // the COMPOSED artifact takes the same sink: the closure detects
+      // the codebook, delta rows carry the frozen-codebook code beside
+      // the embedding, and the ADC + re-rank segments union cleanly
+      val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_stream").toString
+      val pqTwin = java.nio.file.Files.createTempDirectory("ivfpq_stream_twin").toString
+      Similarity.saveIvfPqIndex(base, pqDir, dim = 64, trainMod = 2)
+      Similarity.saveIvfPqIndex(base, pqTwin, dim = 64, trainMod = 2)
+      val pqSink = AnnStreams.annIngestSink(pqDir)
+      rows.grouped(20).zipWithIndex.foreach { case (chunk, id) =>
+        pqSink(chunk.toSeq.toDF("vec_id", "embedding"), id.toLong)
+      }
+      Similarity.appendToIvfPqIndex(spark, pqTwin, extra)
+      val pqStreamed = Similarity.ivfPqTopKFromSaved(spark, pqDir, queries5, k = 5)
+      assert(pqStreamed.collect().map(_.toSeq).toSet ==
+        Similarity.ivfPqTopKFromSaved(spark, pqTwin, queries5, k = 5)
+          .collect().map(_.toSeq).toSet,
+        "composed delta-zone probe must equal the composed batch-append twin")
+      assert(spark.read.parquet(s"$pqDir/delta")
+        .select($"code").collect().forall(r => r.getAs[Array[Byte]](0).length == 16),
+        "delta rows of a composed artifact must carry frozen-codebook codes")
+
       // crashed-batch replay overwrites its own partition — no duplicates
       val replay = rows.take(20).toSeq.toDF("vec_id", "embedding")
       AnnStreams.annIngestSink(dir)(replay, 0L)
