@@ -729,4 +729,65 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"))
     rerankExact(segs, queries, shortlist, k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    * embedded corpus. Pairs are discovered ONLY within a semantic cluster
+    * (the paper's k-means cells — the argument that makes the quadratic
+    * tractable: cluster count scales with the corpus, so per-cluster
+    * membership stays bounded and the pair join is key-partitioned on
+    * `cluster`, never an all-pairs product). Within a cluster, members at
+    * cosine >= `tau` chain into duplicate GROUPS (connected components —
+    * the pair relation is not transitive, same posture as q66), and each
+    * group keeps the member with the LOWEST cosine to its cluster
+    * centroid — the paper's keep-the-outlier rule, which preserves
+    * diversity where keep-any would collapse toward cluster cores.
+    *
+    * Input: (id, cluster, embedding). Output one row per input id:
+    * (id, cluster, grp, n_dup, keep). Assignment-agnostic: the oracle
+    * gate runs it over the given `label` column, the scale path over
+    * [[ivfIndex]] cells — SemDedupSpec pins both.
+    *
+    * Determinism: centroid coordinates round to 4dp (the q77-pinned
+    * round(avg) agreement), pair and centroid cosines round to 4dp, and
+    * the keep rule orders by (cos_to_centroid, id) — a total order.
+    * Scale: centroids are one bounded row per cluster (broadcast back);
+    * the CC runs over pair ids only; the keep pass is one slim window
+    * exchange on `grp`.
+    */
+  def semDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = assigned.select(col("id"), col("cluster"), col("embedding"),
+      F.dot(col("embedding"), col("embedding")).as("n2"))
+    val cent = base
+      .select(col("cluster"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((round(avg(col("v")) * 10000, 0) / 10000).as("c"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+      .withColumn("c2", F.dot(col("centroid"), col("centroid")))
+    val scored = base.join(broadcast(cent), "cluster")
+      .withColumn("cos_c", round(F.dot(col("embedding"), col("centroid")) /
+        (sqrt(col("n2")) * sqrt(col("c2"))), 4))
+      .select(col("id"), col("cluster"), col("embedding"), col("n2"), col("cos_c"))
+    val a = scored.select(col("cluster"), col("id").as("id_a"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+    val b = scored.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    val pairs = a.join(b,
+        col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", round(F.dot(col("emb_a"), col("emb_b")) /
+        (sqrt(col("n2_a")) * sqrt(col("n2_b"))), 4))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(scored.select(col("id")), pairs)
+      .withColumnRenamed("label", "grp")
+    val w = Window.partitionBy(col("grp"))
+    scored.join(cc, "id")
+      .withColumn("n_dup", count(lit(1)).over(w).cast("long"))
+      .withColumn("keep", row_number().over(
+        w.orderBy(col("cos_c"), col("id"))) === 1)
+      .select(col("id"), col("cluster"), col("grp"), col("n_dup"), col("keep"))
+  }
 }

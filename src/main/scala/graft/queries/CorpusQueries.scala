@@ -69,6 +69,71 @@ object CorpusQueries {
           round(sum(col("cnt") * col("lp")) * 10000, 0).cast("long").as("logprob_1e4_sum"))
     },
 
+    // q162: Moore-Lewis cross-entropy difference selection (Moore &
+    // Lewis 2010, "Intelligent Selection of Language Model Training
+    // Data") — THE classic domain-targeted data-selection filter: score
+    // every general-pool document by its per-token logprob under an
+    // IN-DOMAIN unigram LM minus the same under the GENERAL-pool LM;
+    // positive means "reads like the target domain". In-domain here is
+    // the source-keyed slice src0-src2 (a source-labeled seed corpus, the
+    // paper's setup); both LMs are add-1 smoothed over the SHARED corpus
+    // vocabulary so out-of-domain-only tokens stay finite. Same float
+    // portability as q80: round each ln at 4dp, carry the weighted sum
+    // as a 1e4-scaled integer; `selected` is the sum's sign (threshold
+    // 0 — the paper's cutoff is a tuned constant, the shape is the
+    // same). Scale: both freq tables come out of ONE pass over the
+    // tokenized pool (conditional sums, partial-combined map-side), the
+    // totals are a broadcast 1-row frame, and the per-doc score joins
+    // the doc-token counts against the vocab on `tok` — linear,
+    // shuffle-partitioned, the q106 never-broadcast-the-vocab posture.
+    "q162_ce_select" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT doc_id, source, $toksSql AS toks FROM documents
+        |), dt AS (
+        |  SELECT doc_id, source, tok, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, source, unnest(toks) AS tok FROM t)
+        |  GROUP BY doc_id, source, tok
+        |), vocab AS (
+        |  SELECT tok,
+        |    SUM(CASE WHEN source IN ('src0', 'src1', 'src2') THEN cnt ELSE 0 END) AS f_in,
+        |    SUM(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0 ELSE cnt END) AS f_gen
+        |  FROM dt GROUP BY tok
+        |), tot AS (
+        |  SELECT SUM(f_in) AS tot_in, SUM(f_gen) AS tot_gen, COUNT(*) AS v FROM vocab
+        |), sc AS (
+        |  SELECT doc_id, cnt,
+        |    round(ln(CAST(f_in + 1 AS DOUBLE) / CAST(tot_in + v AS DOUBLE)), 4)
+        |      - round(ln(CAST(f_gen + 1 AS DOUBLE) / CAST(tot_gen + v AS DOUBLE)), 4) AS lpd
+        |  FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+        |  WHERE source NOT IN ('src0', 'src1', 'src2')
+        |)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(round(SUM(cnt * lpd) * 10000, 0) AS BIGINT) AS ce_diff_1e4_sum,
+        |  CAST(round(SUM(cnt * lpd) * 10000, 0) AS BIGINT) > 0 AS selected
+        |FROM sc GROUP BY doc_id
+        |""".stripMargin) { (s, dir) =>
+      val inDom = col("source").isin("src0", "src1", "src2")
+      val docTok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), explode(F.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val vocab = docTok.groupBy(col("tok")).agg(
+        sum(when(inDom, col("cnt")).otherwise(0L)).as("f_in"),
+        sum(when(inDom, 0L).otherwise(col("cnt"))).as("f_gen"))
+      val tot = vocab.agg(sum(col("f_in")).as("tot_in"),
+        sum(col("f_gen")).as("tot_gen"), count(lit(1)).as("v"))
+      docTok.filter(!inDom)
+        .join(vocab, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("cnt"),
+          (round(log((col("f_in") + 1).cast("double") / (col("tot_in") + col("v")).cast("double")), 4)
+            - round(log((col("f_gen") + 1).cast("double") / (col("tot_gen") + col("v")).cast("double")), 4)).as("lpd"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+          round(sum(col("cnt") * col("lpd")) * 10000, 0).cast("long").as("ce_diff_1e4_sum"))
+        .withColumn("selected", col("ce_diff_1e4_sum") > 0)
+    },
+
     // q106: bigram-LM scoring with stupid backoff — the level-2
     // model-based quality filter (q80 is the unigram floor; real
     // perplexity filters are n-gram). The model TRAINS on a 90%

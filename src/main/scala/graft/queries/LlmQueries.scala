@@ -112,6 +112,63 @@ object LlmQueries {
        |SELECT id_a, id_b, cos FROM sem
        |""".stripMargin
 
+  /** q161's oracle: the SemDeDup chain over the given `label` clusters.
+    * Same fold replay as q59 (prepend-0.0 list_reduce ≡ ArrayDot's
+    * index-order left fold), same rounded-avg centroid agreement as q77,
+    * same recursive-CTE closure as q66/q90; keep = row 1 under the
+    * (cos_to_centroid, id) total order. */
+  private lazy val semDedupOracle: String = {
+    def fold(products: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $products), (x, y) -> x + y)"
+    val selfDot = fold(
+      "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val pairDot = fold(
+      "list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))")
+    val centDot = fold(
+      "list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * c.centroid[i])")
+    val c2 = fold("list_transform(centroid, x -> x * x)")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id AS id, CAST(label AS BIGINT) AS cluster, embedding,
+       |    $selfDot AS n2
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT cluster, pos, round(avg(v) * 10000, 0) / 10000 AS c
+       |  FROM (
+       |    SELECT cluster, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |           generate_subscripts(embedding, 1) AS pos
+       |    FROM base
+       |  ) GROUP BY cluster, pos
+       |), cvec AS (
+       |  SELECT cluster, centroid, $c2 AS c2 FROM (
+       |    SELECT cluster, list(c ORDER BY pos) AS centroid FROM cent GROUP BY cluster
+       |  )
+       |), scored AS (
+       |  SELECT b.id, b.cluster,
+       |    round($centDot / (sqrt(b.n2) * sqrt(c.c2)), 4) AS cos_c
+       |  FROM base b JOIN cvec c USING (cluster)
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.id AS id_a, b.id AS id_b,
+       |      round($pairDot / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cos
+       |    FROM base a JOIN base b ON a.cluster = b.cluster AND a.id < b.id
+       |  ) WHERE cos >= 0.3
+       |), edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), reach(id, label) AS (
+       |  SELECT id, id FROM base
+       |  UNION
+       |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+       |), lab AS (
+       |  SELECT id, min(label) AS grp FROM reach GROUP BY id
+       |)
+       |SELECT s.id, s.cluster, l.grp,
+       |  CAST(COUNT(*) OVER (PARTITION BY l.grp) AS BIGINT) AS n_dup,
+       |  (row_number() OVER (PARTITION BY l.grp ORDER BY s.cos_c, s.id)) = 1 AS keep
+       |FROM scored s JOIN lab l ON s.id = l.id
+       |""".stripMargin
+  }
+
   /** Spark side of the same pair discovery, parametrized on threshold. */
   private[queries] def cosineNearDupPairs(
       s: org.apache.spark.sql.SparkSession, dir: String, threshold: Double) = {
@@ -490,6 +547,27 @@ object LlmQueries {
         .withColumn("cluster", col("label")).drop("label")
         .withColumn("n_members",
           count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+    },
+
+    // q161: SemDeDup (Abbas et al. 2023) — semantic dedup: within-cluster
+    // cosine pairs chain into dup groups, each group keeps the member
+    // FARTHEST from its cluster centroid (the paper's diversity-preserving
+    // rule; q78/q95 keep by quality, q59 only emits pairs). The oracle
+    // gate runs the operator over the GIVEN label assignment so the whole
+    // chain is SQL-expressible (centroids via the q77-pinned rounded avg,
+    // cosines via the q59 fold replay, groups via the recursive-CTE
+    // closure); SemDedupSpec runs the SAME operator over learned IVF
+    // cells — the paper's actual k-means — and pins the keep rule plus
+    // the no-cross-cluster-pair bound. Scale: the pair join is
+    // key-partitioned on `cluster` (membership bounded by construction —
+    // cluster count scales with the corpus), centroids broadcast back as
+    // one row per cluster, and the keep pass is one slim window exchange.
+    "q161_semdedup" -> QueryDef.of(semDedupOracle) { (s, dir) =>
+      Similarity.semDedup(
+        Tables.embeddings(s, dir).select(
+          col("vec_id").as("id"), col("label").cast("long").as("cluster"),
+          col("embedding")),
+        tau = 0.3)
     },
 
     // q28: language-ID heuristic (stopword-hit scoring).
