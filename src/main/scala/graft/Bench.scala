@@ -110,17 +110,28 @@ object Bench {
         afterFirst._3 - before._3, afterFirst._4)
     }
 
-    // stdout map ordered ASCENDING by seconds: the round driver keeps only
-    // the last ~2000 chars of the line, so with 150+ entries the leading
-    // keys are lost — ascending order makes the surviving tail exactly the
-    // heavy queries (the family bands adjudication compares). Failed runs
-    // (-1) sort last so they can never be silently truncated away. The
-    // FILE artifact keeps registry order and is complete regardless.
+    // The round driver keeps only the last ~2000 chars of stdout and
+    // json-parses what it finds there — a full 160-entry map overflows
+    // that window, truncates mid-line and parses as NOTHING (rounds 1-8
+    // all recorded parsed:null). So stdout carries ONE complete compact
+    // line instead: the slowest entries first (failed -1s ahead of them,
+    // so a crash can never be truncated away), capped to fit the capture
+    // window beside sbt's [success] trailer. The FILE artifact keeps the
+    // complete registry-ordered map + per-query profiles regardless.
     def secMap(rs: Seq[(String, QueryProfile)]): String =
       rs.map { case (k, p) => "\"" + k + "\":" + round3(p.sec) }
         .mkString("{", ",", "}")
-    val secOfTail = secMap(results
-      .sortBy { case (_, p) => if (p.sec < 0) Double.MaxValue else p.sec })
+    val byCost = results.sortBy { case (_, p) =>
+      if (p.sec < 0) Double.MinValue else -p.sec }
+    val entryBudget = 1400
+    val shown = {
+      var used = 0
+      byCost.takeWhile { case (k, p) =>
+        used += k.length + round3(p.sec).toString.length + 4
+        used <= entryBudget
+      }
+    }
+    val secOfCompact = secMap(shown)
     val secOf = secMap(results)
     val profileOf = results.map { case (k, p) =>
       "\"" + k + "\":{\"sec\":" + round3(p.sec) +
@@ -135,11 +146,12 @@ object Bench {
     val failed = results.count(_._2.sec < 0)
     val total = round3(results.map(_._2.sec).filter(_ >= 0).sum)
     val failedField = if (failed > 0) s""","failed":$failed""" else ""
-    // stdout keeps the driver's compact contract (seconds only, 3 dp so
-    // more of the 145-entry map survives the 2000-char tail capture); the
-    // FILE carries the full per-query profile and is the real artifact.
+    // stdout: complete-and-parsable beats complete-but-truncated; the
+    // `queries` map here is the slowest-N slice (every heavy family the
+    // band adjudication reads), with the slice size declared so a reader
+    // can't mistake it for the whole registry.
     val stdoutJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$secOfTail$failedField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$secOfCompact,"queries_shown":${shown.size},"queries_total":${results.size}$failedField,"sf":"$sfDir","full":"target/bench.json"}"""
     val fileJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$secOf,"profile":$profileOf$failedField,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(

@@ -259,10 +259,12 @@ object Similarity {
     * answer correctly (a java.io.File check would always say absent
     * there). */
   private def hasCodebook(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/codebook")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+                          dir: String): Boolean =
+    // crash-orphan-aware like the sibling optional-state reads (delta,
+    // tombstones): a save that died mid-codebook leaves a _temporary-only
+    // dir, and a bare exists() would misclassify the artifact family and
+    // die later on schema inference instead of the intended loud guard
+    hasParquetData(spark, s"$dir/codebook")
 
   /** The shared crash-orphan-safe parquet-presence guard, against this
     * artifact's filesystem (see [[graft.sources.Sources.hasParquetData]]). */
@@ -407,9 +409,22 @@ object Similarity {
     * artifact (centroids/codebook copied verbatim) rather than
     * rewriting in place: the artifact dir is the reader's unit of
     * atomicity, so the switch is the caller's pointer swap — exactly
-    * the snapshot-publish posture of the streaming sinks. */
+    * the snapshot-publish posture of the streaming sinks. The
+    * destination must be FRESH: compaction writes no delta/ and no
+    * tombstones/, so a reused artifact dir (the pointer-swap ping-pong
+    * an A/B layout invites) would keep its leftover LSM state and the
+    * compacted view would resurrect already-folded delta rows and mask
+    * live ids with stale tombstones — fail loud instead. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       srcDir: String, dstDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq("cells", "delta", "tombstones").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dstDir/$sub")
+      require(!p.getFileSystem(hconf).exists(p),
+        s"$dstDir already carries $sub/ — compactIvfIndex writes a FRESH " +
+          "artifact (it never clears stale delta/tombstone state); compact " +
+          "into a new dir and pointer-swap")
+    }
     spark.read.parquet(s"$srcDir/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")
     if (hasCodebook(spark, srcDir))

@@ -29,13 +29,43 @@ object Sources {
                      conf: org.apache.hadoop.conf.Configuration): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    // A child deleted between listStatus and the recursive descent (a
+    // concurrent replay swapping its batch dir) means "absent", not an
+    // exception — the guard answers a presence question, and a vanished
+    // subtree is by definition not presence. Caught per child so a
+    // vanished sibling can't hide data elsewhere in the tree.
     def scan(st: org.apache.hadoop.fs.FileStatus): Boolean =
       if (st.isFile) st.getPath.getName.endsWith(".parquet")
-      else fs.listStatus(st.getPath)
+      else (try fs.listStatus(st.getPath)
+            catch { case _: java.io.FileNotFoundException =>
+              Array.empty[org.apache.hadoop.fs.FileStatus] })
         .filterNot(c => c.getPath.getName.startsWith("_") ||
           c.getPath.getName.startsWith("."))
         .exists(scan)
-    fs.exists(root) && scan(fs.getFileStatus(root))
+    try fs.exists(root) && scan(fs.getFileStatus(root))
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  /** Replace a directory via STAGE-AND-RENAME: `write` fills a
+    * dot-prefixed sibling staging dir (invisible to parquet partition
+    * discovery and to [[hasParquetData]] while in flight), then any live
+    * target is deleted and the staged dir promoted with an FS rename
+    * (atomic on HDFS). For a writer that must replace a directory
+    * concurrent readers may be scanning — a crashed-batch replay
+    * overwriting its own per-batch partition — this narrows the visible
+    * race from the whole write duration to the delete+rename instant.
+    * A crashed attempt leaves only the invisible staging dir, which the
+    * next attempt's mode("overwrite") write reclaims. */
+  def stageAndSwapDir(path: String, conf: org.apache.hadoop.conf.Configuration)
+                     (write: String => Unit): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".staging_${target.getName}")
+    write(staging.toString)
+    val fs = target.getFileSystem(conf)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(staging, target),
+      s"failed to promote staged dir $staging -> $target")
   }
 
   /** CSV with header + explicit schema inference off the first file only.

@@ -27,7 +27,15 @@ import graft.operators.Similarity
   * [[Similarity.compactIvfIndex]] folds the delta back into one base
   * file per cell; the ingest-vs-compaction cadence is operational, not
   * correctness: a probe between any two batches is complete and
-  * duplicate-free.
+  * duplicate-free. A probe CONCURRENT with a crashed-batch REPLAY is
+  * the one scoped exception: the replay replaces its own batch dir via
+  * stage-and-rename (the replacement rows are written to a dot-prefixed
+  * staging dir — invisible to partition discovery — then swapped in),
+  * so the race window is the delete+rename instant rather than the
+  * whole write, but a probe that plans its delta scan inside that
+  * instant can still miss the in-flight batch or hit vanished files.
+  * Replays happen only on crash recovery; pause probes across a
+  * recovery if that window matters.
   *
   * Tombstoned incoming ids are DROPPED, not failed: delete wins over
   * in-flight ingest (their stale rows stay physical until compaction,
@@ -55,15 +63,23 @@ object AnnStreams {
     var frozen: Similarity.FrozenQuantizer = null
     (batch: DataFrame, batchId: Long) => {
       if (frozen == null) frozen = Similarity.loadFrozenQuantizer(batch.sparkSession, dir)
-      Similarity.assignForIngest(batch.sparkSession, dir, batch, frozen,
-        dropTombstoned = true)
-        .write.mode("overwrite")
-        // pin STATIC overwrite per write: under a session-level dynamic
-        // conf an EMPTY replay would truncate nothing and a crashed
-        // attempt's partial cell files would survive
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("cell")
-        .parquet(s"$dir/delta/ingest_batch=$batchId")
+      // STAGE-AND-RENAME, not write-in-place: a replay that statically
+      // overwrote its live batch dir would expose deleted files to any
+      // probe that planned its delta scan just before the overwrite
+      // (Sources.stageAndSwapDir narrows the race to delete+rename).
+      graft.sources.Sources.stageAndSwapDir(
+        s"$dir/delta/ingest_batch=$batchId",
+        batch.sparkSession.sparkContext.hadoopConfiguration) { staging =>
+        Similarity.assignForIngest(batch.sparkSession, dir, batch, frozen,
+          dropTombstoned = true)
+          .write.mode("overwrite")
+          // pin STATIC overwrite per write: under a session-level dynamic
+          // conf an EMPTY replay would truncate nothing and a crashed
+          // attempt's partial cell files would survive
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("cell")
+          .parquet(staging)
+      }
     }
   }
 }

@@ -27,8 +27,8 @@ object SyncStreams {
     * it exactly as the stream runner does). `stored` is the (key,
     * status, ord) snapshot; the batch carries the staged keys.
     *
-    * The delta writes DIRECTLY to its `batch=<id>` partition path with
-    * a static overwrite — unconditionally idempotent, with none of the
+    * The delta replaces its own `batch=<id>` partition path (staged,
+    * then swapped in) — unconditionally idempotent, with none of the
     * dynamic-partition-overwrite failure modes: a replayed batch whose
     * delta shrank to EMPTY still truncates its stale partition (dynamic
     * mode only touches partitions present in the written data, so an
@@ -47,6 +47,14 @@ object SyncStreams {
     // reconcile reduce (keep-last merge + anti-join over the stored
     // keys) into that single task; the extra exchange moves only the
     // tiny output
-    StatusSync.reconcile(stored, batch, inactiveValue)
-      .repartition(1).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    // stage-and-rename rather than overwriting the live batch dir: the
+    // delta history under outDir is an externally readable surface, and
+    // a crashed-batch replay replacing its own partition in place would
+    // expose deleted files to a reader mid-scan (the AnnStreams delta
+    // posture; race narrowed to the delete+rename instant)
+    graft.sources.Sources.stageAndSwapDir(s"$outDir/batch=$batchId",
+      batch.sparkSession.sparkContext.hadoopConfiguration) { staging =>
+      StatusSync.reconcile(stored, batch, inactiveValue)
+        .repartition(1).write.mode("overwrite").parquet(staging)
+    }
 }

@@ -248,11 +248,14 @@ class PlanSpec extends SpecBase {
     // sides tiny; the corpus-sized expansion joins are equi-joins).
     // q152: the ADC scan is corpus × broadcast-queries — q26's exact
     // pattern with 16-byte codes instead of raw vectors; the re-rank
-    // joins are equi-joins on query_id/neighbor_id.
+    // joins are equi-joins on query_id/neighbor_id. q162: the two LM
+    // totals are ONE broadcast 1-row frame cross-joined onto the scores
+    // (q80's smoothing-constants pattern); the vocab join is a hash
+    // equi-join on tok.
     val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob",
       "q93_range_join", "q106_bigram_logprob", "q118_cooccurrence",
       "q127_corpus_overlap", "q133_session_incidents",
-      "q151_fuzzy_distinct", "q152_pq_ann")
+      "q151_fuzzy_distinct", "q152_pq_ann", "q162_ce_select")
     val offenders = SparkEntry.queries.keys.filter { name =>
       try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
       catch { case _: Throwable => false }

@@ -204,6 +204,17 @@ class SimilaritySpec extends SpecBase {
     assert(intercept[IllegalArgumentException] {
       Similarity.appendToIvfPqIndex(spark, ivfDir, extra)
     }.getMessage.contains("appendToIvfIndex"))
+    // family detection is crash-orphan-aware: a _temporary-only codebook
+    // dir (a save that died mid-write) must read as "no codebook", so the
+    // plain-IVF append path stays open instead of dying on schema
+    // inference or a misdirected cross-artifact guard
+    val orphanDir = java.nio.file.Files.createTempDirectory("ivf_app_orphan").toString
+    Similarity.saveIvfIndex(idx, orphanDir)
+    val orphanCb = new java.io.File(s"$orphanDir/codebook/_temporary")
+    assert(orphanCb.mkdirs())
+    java.nio.file.Files.write(orphanCb.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    Similarity.appendToIvfIndex(spark, orphanDir, extra) // must not throw
     // assignment equality vs a frozen-quantizer replay: each appended
     // vector's cell is its nearest SAVED centroid (local argmin)
     val centroids = idx.model.clusterCenters.map(_.toArray)

@@ -30,6 +30,25 @@ class SourcesSpec extends SpecBase {
       "segment filter should prune partitions, not scan+filter")
   }
 
+  test("hasParquetData: presence answers, crash orphans and vanished paths read as absent") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = Files.createTempDirectory("graft_presence").toString
+    // nonexistent path → absent (and never an exception)
+    assert(!Sources.hasParquetData(s"$root/nope", conf))
+    // a dir holding only write orphans (_temporary / dot-dirs) → absent
+    val orphan = new java.io.File(s"$root/orphan/_temporary")
+    assert(orphan.mkdirs())
+    Files.write(orphan.toPath.resolve("part-0.parquet"), Array[Byte](1))
+    val staging = new java.io.File(s"$root/orphan/.staging_x")
+    assert(staging.mkdirs())
+    Files.write(staging.toPath.resolve("part-1.parquet"), Array[Byte](1))
+    assert(!Sources.hasParquetData(s"$root/orphan", conf))
+    // real data nested under partition dirs → present
+    val df = Tables.nation(spark, SfDir)
+    Sources.writeParquet(df, s"$root/real", partitionCols = Seq("n_regionkey"))
+    assert(Sources.hasParquetData(s"$root/real", conf))
+  }
+
   test("csv round-trip and json-lines round-trip") {
     val df = Tables.nation(spark, SfDir)
     val csvPath = tmp("csv")

@@ -1241,6 +1241,12 @@ class StreamingSpec extends SpecBase {
       AnnStreams.annIngestSink(dir)(replay, 0L)
       assert(spark.read.parquet(s"$dir/delta").count() == rows.length,
         "replaying a batch must overwrite its partition, not append")
+      // the replay goes through stage-and-rename: the staged dir is
+      // promoted (no dot-prefixed leftovers), so a concurrent probe's
+      // exposure is the delete+rename instant, not the write duration
+      assert(new java.io.File(s"$dir/delta").listFiles()
+        .forall(!_.getName.startsWith(".staging")),
+        "a completed replay must leave no staging dir behind")
       // a crash that left only write-orphans in a FRESH delta zone must
       // not wedge probes ('unable to infer schema'), and the replay heals
       val dir2 = java.nio.file.Files.createTempDirectory("ivf_stream_orphan").toString
@@ -1276,6 +1282,23 @@ class StreamingSpec extends SpecBase {
         .collect().map(_.toSeq).toSet ==
         streamed.collect().map(_.toSeq).toSet,
         "the folded artifact must probe identically")
+      // a REUSED compaction destination fails loud: cDir now carries
+      // cells/, and the source's live delta would otherwise survive a
+      // second compaction into it as resurrected duplicates
+      assert(intercept[IllegalArgumentException] {
+        Similarity.compactIvfIndex(spark, dir, cDir)
+      }.getMessage.contains("FRESH"),
+        "compacting into a dir that already carries an artifact must fail loud")
+      // ... and leftover LSM state alone (delta/ or tombstones/ without
+      // cells/) is just as disqualifying — that is the exact corruption
+      // a ping-ponged pointer swap would serve
+      val stale = java.nio.file.Files.createTempDirectory("ivf_stream_stale").toString
+      spark.read.parquet(s"$dir/delta").limit(1)
+        .write.parquet(s"$stale/delta/ingest_batch=9")
+      assert(intercept[IllegalArgumentException] {
+        Similarity.compactIvfIndex(spark, dir, stale)
+      }.getMessage.contains("delta"),
+        "a destination with stale delta state must fail loud")
     } finally query.stop()
   }
 
