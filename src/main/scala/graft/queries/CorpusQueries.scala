@@ -134,6 +134,102 @@ object CorpusQueries {
         .withColumn("selected", col("ce_diff_1e4_sum") > 0)
     },
 
+    // q163: DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023), the modern form of the q162 selection family: features are
+    // HASHED n-grams (unigrams + bigrams into 8192 buckets — a fixed-width
+    // model no matter how the vocabulary grows), the importance weight is
+    // the in-domain-vs-general log-likelihood ratio of those bucket
+    // counts (add-1 smoothed over the bucket space), and the selection is
+    // a GUMBEL-TOP-K resample — log w + Gumbel noise, the without-
+    // replacement sample ∝ w (q111's Efraimidis-Spirakis posture with an
+    // importance weight instead of a length weight). The Gumbel draw is
+    // a salted-hash uniform, so the sample is deterministic and rerun-
+    // stable; the ranking key is carried as a 1e4-scaled INTEGER (logw +
+    // gumbel, each rounded once at 4dp) so no float ordering ever crosses
+    // the engine boundary. Scale: bucket counts come out of one pass
+    // (map-side partial combine; the bucket space is 8192 keys — the
+    // vocab join is a broadcast-sized table even at 100 TB, unlike
+    // q162's open vocabulary), totals are a broadcast 1-row frame, and
+    // the top-k routes through the bounded-heap TopKPerKey trim (≤ k
+    // rows per input partition ever shuffle).
+    "q163_dsir" -> QueryDef.of(
+      s"""WITH t AS (
+        |  SELECT doc_id, source, $toksSql AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, source, unnest(list_concat(toks,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gram
+        |  FROM t
+        |), db AS (
+        |  SELECT doc_id, source, ${hashSql("gram")} % 8192 AS b, COUNT(*) AS cnt
+        |  FROM g GROUP BY 1, 2, 3
+        |), vocab AS (
+        |  SELECT b,
+        |    SUM(CASE WHEN source IN ('src0', 'src1', 'src2') THEN cnt ELSE 0 END) AS f_in,
+        |    SUM(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0 ELSE cnt END) AS f_gen
+        |  FROM db GROUP BY b
+        |), tot AS (
+        |  SELECT SUM(f_in) AS tot_in, SUM(f_gen) AS tot_gen FROM vocab
+        |), sc AS (
+        |  SELECT doc_id, cnt,
+        |    round(ln(CAST(f_in + 1 AS DOUBLE) / CAST(tot_in + 8192 AS DOUBLE)), 4)
+        |      - round(ln(CAST(f_gen + 1 AS DOUBLE) / CAST(tot_gen + 8192 AS DOUBLE)), 4) AS lpd
+        |  FROM db JOIN vocab USING (b) CROSS JOIN tot
+        |  WHERE source NOT IN ('src0', 'src1', 'src2')
+        |), w AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+        |    CAST(round(SUM(cnt * lpd) * 10000, 0) AS BIGINT) AS logw_1e4
+        |  FROM sc GROUP BY doc_id
+        |), keyed AS (
+        |  SELECT doc_id, n_feats, logw_1e4,
+        |    logw_1e4 + CAST(round(-ln(-ln(
+        |      (CAST(${hashSql("CAST(doc_id AS VARCHAR) || ':dsir'")} % 1000000 AS DOUBLE) + 0.5)
+        |        / 1000000.0)) * 10000, 0) AS BIGINT) AS key_1e4
+        |  FROM w
+        |)
+        |SELECT doc_id, n_feats, logw_1e4, key_1e4, rk FROM (
+        |  SELECT doc_id, n_feats, logw_1e4, key_1e4,
+        |    CAST(row_number() OVER (ORDER BY key_1e4 DESC, doc_id) AS BIGINT) AS rk
+        |  FROM keyed
+        |) WHERE rk <= 100
+        |""".stripMargin) { (s, dir) =>
+      import graft.operators.TopK
+      val m = 8192
+      val inDom = col("source").isin("src0", "src1", "src2")
+      val toks = F.tokens(col("text"))
+      val bigrams = zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (p, c) => concat(p, lit(" "), c))
+      val docBuckets = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(concat(toks, bigrams)).as("gram"))
+        .select(col("doc_id"), col("source"),
+          (Sampling.docHash32(col("gram")) % m).as("b"))
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val vocab = docBuckets.groupBy(col("b")).agg(
+        sum(when(inDom, col("cnt")).otherwise(0L)).as("f_in"),
+        sum(when(inDom, 0L).otherwise(col("cnt"))).as("f_gen"))
+      val tot = vocab.agg(sum(col("f_in")).as("tot_in"), sum(col("f_gen")).as("tot_gen"))
+      val weights = docBuckets.filter(!inDom)
+        .join(vocab, "b")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("cnt"),
+          (round(log((col("f_in") + 1).cast("double") / (col("tot_in") + m).cast("double")), 4)
+            - round(log((col("f_gen") + 1).cast("double") / (col("tot_gen") + m).cast("double")), 4))
+            .as("lpd"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("n_feats"),
+          round(sum(col("cnt") * col("lpd")) * 10000, 0).cast("long").as("logw_1e4"))
+      val u = ((Sampling.saltedHash32(col("doc_id"), "dsir") % 1000000).cast("double")
+        + lit(0.5)) / lit(1000000.0)
+      val keyed = weights.withColumn("key_1e4",
+        col("logw_1e4") + round(-log(-log(u)) * 10000, 0).cast("long"))
+      TopK.topKWithRank(keyed, lit(1),
+          Seq(col("key_1e4").desc, col("doc_id")), k = 100, rankName = "rk")
+        .select(col("doc_id"), col("n_feats"), col("logw_1e4"), col("key_1e4"),
+          col("rk").cast("long").as("rk"))
+    },
+
     // q106: bigram-LM scoring with stupid backoff — the level-2
     // model-based quality filter (q80 is the unigram floor; real
     // perplexity filters are n-gram). The model TRAINS on a 90%

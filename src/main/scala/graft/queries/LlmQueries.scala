@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.F
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** SURVEY.md §2.C — LLM-training-data pipeline operators over the
   * `documents` and `embeddings` tables. Oracle-checked where the semantics
@@ -611,6 +611,54 @@ object LlmQueries {
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
           TextAnalysis.qualityScore(toks).as("quality"))
+    },
+
+    // q164: hashed-linear quality-classifier INFERENCE — the
+    // fastText-style keep/drop filter (the CCNet / GPT-3 / RefinedWeb
+    // pipeline step q29's heuristic score approximates): a PRETRAINED
+    // linear model over hashed bag-of-words features, applied per
+    // document. The weight table is addressed by FEATURE HASH, so
+    // inference is a pure per-row expression — tokens → bucket →
+    // weight → mean margin — with ZERO joins and ZERO shuffles at any
+    // scale (the weight "table" here derives each bucket's weight from
+    // a second salted hash, the multimodal-stub posture: the shipped-
+    // model lookup is real, the trained values are a deterministic
+    // stand-in since no training lib exists in this container). The
+    // margin is pure arithmetic — no transcendentals — and the
+    // per-doc fold runs in ARRAY ORDER on both engines, so the
+    // 1e6-scaled integer margin is bit-deterministic across the gate
+    // (sign(margin) == sigmoid(margin) > 0.5, so the keep decision
+    // needs no exp()).
+    "q164_classifier_filter" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(toks, tok ->
+        |      CAST(CAST(('0x' || substr(md5('w:' ||
+        |          CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 8192 AS VARCHAR)
+        |        ), 1, 8)) AS BIGINT) % 2001 - 1000 AS DOUBLE) / 1000.0
+        |    )), (acc, x) -> acc + x) AS msum
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(round(msum / n * 1000000, 0) AS BIGINT) AS margin_1e6,
+        |  CAST(round(msum / n * 1000000, 0) AS BIGINT) > 0 AS kept
+        |FROM s""".stripMargin) { (s, dir) =>
+      val toks = F.tokens(col("text"))
+      def weight(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        ((Sampling.docHash32(concat(lit("w:"),
+          (Sampling.docHash32(t) % 8192).cast("string"))) % 2001) - 1000)
+          .cast("double") / lit(1000.0)
+      val msum = aggregate(transform(toks, weight _), lit(0.0), (acc, x) => acc + x)
+      val margin = round(msum / size(toks) * 1000000, 0).cast("long")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        margin.as("margin_1e6"),
+        (margin > 0).as("kept"))
     },
 
     // q30: token counting — whitespace tokens and a BPE-ish pre-tokenizer.

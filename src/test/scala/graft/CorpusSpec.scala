@@ -11,6 +11,46 @@ class CorpusSpec extends SpecBase {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, SfDir)
 
+  test("q163 DSIR: resample excludes the seed corpus, is importance-biased and rerun-stable") {
+    val sel = q("q163_dsir").collect()
+    assert(sel.length == 100, s"fixed-size resample: got ${sel.length}")
+    // the in-domain seed defines the target — it is never re-selected
+    val inDom = Tables.documents(spark, SfDir)
+      .filter(col("source").isin("src0", "src1", "src2"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(sel.forall(r => !inDom(r.getAs[Long]("doc_id"))),
+      "an in-domain seed doc must never appear in the resample")
+    // the hash-seeded Gumbel draw makes the resample rerun-stable
+    val rerun = q("q163_dsir").collect().map(_.toSeq).toSet
+    assert(rerun == sel.map(_.toSeq).toSet,
+      "the hash-seeded Gumbel draw must make the resample rerun-stable")
+    // the ranking respects the key within the sample: rk is the exact
+    // (key desc, doc_id) order — the trim never reorders survivors
+    val ordered = sel.sortBy(r => r.getAs[Long]("rk"))
+      .map(r => (r.getAs[Long]("key_1e4"), r.getAs[Long]("doc_id")))
+    assert(ordered.sliding(2).forall {
+      case Array((k1, d1), (k2, d2)) => k1 > k2 || (k1 == k2 && d1 < d2)
+      case _ => true
+    }, "rank order must follow (key desc, doc_id)")
+  }
+
+  test("q164 classifier filter: margin bounded by the weight range, kept == sign") {
+    val rows = q("q164_classifier_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("margin_1e6")
+      // every per-token weight sits in [-1, 1], so the mean margin does too
+      assert(math.abs(m) <= 1000000L, s"margin out of the weight hull: $m")
+      assert(r.getAs[Boolean]("kept") == (m > 0))
+    }
+    // the filter is a pure function of text: identical docs score identically
+    val byText = Tables.documents(spark, SfDir).select(col("doc_id"), col("text"))
+      .join(q("q164_classifier_filter"), "doc_id")
+      .groupBy(col("text")).agg(countDistinct(col("margin_1e6")).as("n"))
+    assert(byText.filter(col("n") > 1).count() == 0,
+      "same text must always produce the same margin")
+  }
+
   test("q94 holdout split: content duplicates share a split; assignment ignores doc_id") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, SfDir)

@@ -189,6 +189,23 @@ class PlanSpec extends SpecBase {
     assert(p.contains("*(1)"), "the boolean must run inside whole-stage codegen")
   }
 
+  test("q164's classifier inference is map-side: zero exchanges, codegen'd") {
+    // hashed-weight lookup is an expression, not a join — the filter
+    // must cost nothing but the scan at any scale
+    val p = plan("q164_classifier_filter")
+    assert(!p.contains("Exchange"), s"classifier inference must not shuffle:\n${p.take(500)}")
+    assert(p.contains("*(1)"), "the margin fold must run inside whole-stage codegen")
+  }
+
+  test("q163's Gumbel-top-k resample trims through TopKPerKey") {
+    // the global top-100 must ship ≤ k rows per input partition, never
+    // sort the scored pool; the bucket-count aggregations stay as
+    // ordinary hash exchanges below it
+    val p = plan("q163_dsir")
+    assert(p.linesIterator.count(_.contains("TopKPerKey ")) == 2,
+      s"expected partial+final TopKPerKey phases:\n${p.take(700)}")
+  }
+
   test("q120's outlier filter is one stats exchange + a broadcast back") {
     // per-language (n, S, Sxx) partial-combines into #langs rows; the
     // corpus side joins those by broadcast — the doc-sized stream never
@@ -251,11 +268,12 @@ class PlanSpec extends SpecBase {
     // joins are equi-joins on query_id/neighbor_id. q162: the two LM
     // totals are ONE broadcast 1-row frame cross-joined onto the scores
     // (q80's smoothing-constants pattern); the vocab join is a hash
-    // equi-join on tok.
+    // equi-join on tok. q163 carries the same broadcast 1-row totals
+    // frame over the 8192-bucket scores.
     val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob",
       "q93_range_join", "q106_bigram_logprob", "q118_cooccurrence",
       "q127_corpus_overlap", "q133_session_incidents",
-      "q151_fuzzy_distinct", "q152_pq_ann", "q162_ce_select")
+      "q151_fuzzy_distinct", "q152_pq_ann", "q162_ce_select", "q163_dsir")
     val offenders = SparkEntry.queries.keys.filter { name =>
       try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
       catch { case _: Throwable => false }
