@@ -249,6 +249,97 @@ object CleaningQueries {
     // match DuckDB's quantile_cont definition; at 100 TB the same query
     // swaps percentile() for percentile_approx (t-digest, one pass,
     // mergeable) — the report tolerates approximation, the oracle doesn't.
+    // q165: the Gopher quality-rule bundle (Rae et al. 2021, Table A1) —
+    // THE published heuristic filter suite (reused by MassiveText /
+    // RefinedWeb / Dolma): word-count band, mean-word-length band,
+    // symbol-to-word ratio, alphabetic-word fraction, bullet-line and
+    // ellipsis-line fractions, required-stopword hits. Every rule is a
+    // pure per-row expression over the token/line arrays (in-order
+    // integer folds + exact rational divisions — no transcendentals, so
+    // every emitted value and boolean is bit-deterministic across the
+    // gate), and the whole bundle is ONE map-side pass: zero joins, zero
+    // shuffles at any corpus scale. Thresholds are the paper's; on this
+    // synthetic corpus some rules bind (word count, stopwords) and some
+    // are trivially green (single-line docs) — the OUTPUT carries each
+    // rule separately so the oracle pins all seven, not just the AND.
+    "q165_gopher_rules" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |    string_split(text, chr(10)) AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x) AS char_sum,
+        |    n_hash + n_ell AS n_sym,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |    len(list_intersect(list_distinct(toks),
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_hits,
+        |    len(lines) AS n_lines,
+        |    len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*'))) AS n_bullet,
+        |    len(list_filter(lines, l -> l LIKE '%...')) AS n_ell_end
+        |  FROM t
+        |), r AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    CAST(round(CAST(char_sum AS DOUBLE) / n_words * 10000, 0) AS BIGINT) AS mean_wlen_1e4,
+        |    CAST(round(CAST(n_sym AS DOUBLE) / n_words * 10000, 0) AS BIGINT) AS sym_ratio_1e4,
+        |    CAST(stop_hits AS BIGINT) AS stop_hits,
+        |    n_words BETWEEN 50 AND 100000 AS r_words,
+        |    CAST(char_sum AS DOUBLE) / n_words BETWEEN 3 AND 10 AS r_mean_len,
+        |    CAST(n_sym AS DOUBLE) / n_words <= 0.1 AS r_symbol,
+        |    CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS r_alpha,
+        |    CAST(n_bullet AS DOUBLE) / n_lines <= 0.9 AS r_bullet,
+        |    CAST(n_ell_end AS DOUBLE) / n_lines <= 0.3 AS r_ellipsis,
+        |    stop_hits >= 2 AS r_stop
+        |  FROM m
+        |)
+        |SELECT doc_id, n_words, mean_wlen_1e4, sym_ratio_1e4, stop_hits,
+        |  r_words, r_mean_len, r_symbol, r_alpha, r_bullet, r_ellipsis, r_stop,
+        |  r_words AND r_mean_len AND r_symbol AND r_alpha
+        |    AND r_bullet AND r_ellipsis AND r_stop AS passes
+        |FROM r""".stripMargin) { (s, dir) =>
+      import graft.functions.F
+      val toks = F.tokens(col("text"))
+      val lines = split(col("text"), "\n")
+      val nWords = size(toks)
+      val charSum = aggregate(transform(toks, x => length(x).cast("long")),
+        lit(0L), (a, x) => a + x)
+      val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+      val nEll = (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+      val nSym = nHash + nEll
+      val nAlpha = size(filter(toks, x => x.rlike("[a-z]")))
+      val stopHits = size(array_intersect(array_distinct(toks),
+        array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
+      val nLines = size(lines)
+      val nBullet = size(filter(lines, l => substring(l, 1, 1).isin("-", "*")))
+      val nEllEnd = size(filter(lines, l => l.endsWith("...")))
+      val meanLen = charSum.cast("double") / nWords
+      val symRatio = nSym.cast("double") / nWords
+      val rWords = nWords.between(50, 100000)
+      val rMeanLen = meanLen.between(3, 10)
+      val rSymbol = symRatio <= 0.1
+      val rAlpha = nAlpha.cast("double") / nWords >= 0.8
+      val rBullet = nBullet.cast("double") / nLines <= 0.9
+      val rEllipsis = nEllEnd.cast("double") / nLines <= 0.3
+      val rStop = stopHits >= 2
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        round(meanLen * 10000, 0).cast("long").as("mean_wlen_1e4"),
+        round(symRatio * 10000, 0).cast("long").as("sym_ratio_1e4"),
+        stopHits.cast("long").as("stop_hits"),
+        rWords.as("r_words"), rMeanLen.as("r_mean_len"), rSymbol.as("r_symbol"),
+        rAlpha.as("r_alpha"), rBullet.as("r_bullet"), rEllipsis.as("r_ellipsis"),
+        rStop.as("r_stop"),
+        (rWords && rMeanLen && rSymbol && rAlpha && rBullet && rEllipsis && rStop)
+          .as("passes"))
+    },
+
     "q74_length_stats" -> QueryDef.of(
       """SELECT lang,
         |  CAST(COUNT(*) AS BIGINT) AS docs,

@@ -51,6 +51,26 @@ class CorpusSpec extends SpecBase {
       "same text must always produce the same margin")
   }
 
+  test("q165 Gopher rules: passes is exactly the conjunction; rules are self-consistent") {
+    val rows = q("q165_gopher_rules").collect()
+    assert(rows.nonEmpty)
+    val ruleCols = Seq("r_words", "r_mean_len", "r_symbol", "r_alpha",
+      "r_bullet", "r_ellipsis", "r_stop")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("passes") ==
+        ruleCols.forall(c => r.getAs[Boolean](c)),
+        s"passes must be the AND of the seven rules: $r")
+      assert(r.getAs[Boolean]("r_stop") == (r.getAs[Long]("stop_hits") >= 2))
+      assert(r.getAs[Boolean]("r_words") ==
+        (r.getAs[Long]("n_words") >= 50 && r.getAs[Long]("n_words") <= 100000))
+      // single-line synthetic docs: the line rules must be trivially green
+      assert(r.getAs[Boolean]("r_bullet") && r.getAs[Boolean]("r_ellipsis"))
+    }
+    // the bundle must DISCRIMINATE on this corpus (not all-pass/all-fail)
+    val n = rows.count(_.getAs[Boolean]("passes"))
+    assert(n < rows.length, "some docs must fail the bundle on the synthetic corpus")
+  }
+
   test("q94 holdout split: content duplicates share a split; assignment ignores doc_id") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, SfDir)

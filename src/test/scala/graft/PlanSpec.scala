@@ -197,6 +197,12 @@ class PlanSpec extends SpecBase {
     assert(p.contains("*(1)"), "the margin fold must run inside whole-stage codegen")
   }
 
+  test("q165's Gopher rule bundle is map-side: zero exchanges, codegen'd") {
+    val p = plan("q165_gopher_rules")
+    assert(!p.contains("Exchange"), s"the rule bundle must not shuffle:\n${p.take(500)}")
+    assert(p.contains("*(1)"), "the rule folds must run inside whole-stage codegen")
+  }
+
   test("q163's Gumbel-top-k resample trims through TopKPerKey") {
     // the global top-100 must ship ≤ k rows per input partition, never
     // sort the scored pool; the bucket-count aggregations stay as
