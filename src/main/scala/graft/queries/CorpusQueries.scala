@@ -54,8 +54,14 @@ object CorpusQueries {
         |FROM dt JOIN vocab USING (tok) CROSS JOIN tot
         |GROUP BY doc_id
         |""".stripMargin) { (s, dir) =>
+      // the explicit isnotnull matches the filter the scoring join pushes
+      // into its own copy of this subtree — with it, all three consumers
+      // (scoring join, vocab, total) are canonically identical and AQE
+      // reuses ONE tokenize stage instead of re-reading the corpus per
+      // consumer (same alignment as q163; ProfLmReuse measured it)
       val docTok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(F.tokens(col("text"))).as("tok"))
+        .where(col("tok").isNotNull)
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
       val vocab = docTok.groupBy(col("tok")).agg(sum(col("cnt")).as("freq"))
@@ -113,8 +119,14 @@ object CorpusQueries {
         |FROM sc GROUP BY doc_id
         |""".stripMargin) { (s, dir) =>
       val inDom = col("source").isin("src0", "src1", "src2")
+      // one tokenize stage, physically (the q163/q80 alignment): the
+      // explicit isnotnull matches the scoring join's pushed filter so
+      // all consumers share one AQE stage, and the seed docs are scored
+      // then dropped on an AGGREGATED flag (a pre-join source filter
+      // would push into the scan and fork the subtree)
       val docTok = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), explode(F.tokens(col("text"))).as("tok"))
+        .where(col("tok").isNotNull)
         .groupBy(col("doc_id"), col("source"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
       val vocab = docTok.groupBy(col("tok")).agg(
@@ -122,15 +134,17 @@ object CorpusQueries {
         sum(when(inDom, 0L).otherwise(col("cnt"))).as("f_gen"))
       val tot = vocab.agg(sum(col("f_in")).as("tot_in"),
         sum(col("f_gen")).as("tot_gen"), count(lit(1)).as("v"))
-      docTok.filter(!inDom)
+      docTok
         .join(vocab, "tok")
         .crossJoin(broadcast(tot))
-        .select(col("doc_id"), col("cnt"),
+        .select(col("doc_id"), col("source"), col("cnt"),
           (round(log((col("f_in") + 1).cast("double") / (col("tot_in") + col("v")).cast("double")), 4)
             - round(log((col("f_gen") + 1).cast("double") / (col("tot_gen") + col("v")).cast("double")), 4)).as("lpd"))
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).cast("long").as("n_tokens"),
-          round(sum(col("cnt") * col("lpd")) * 10000, 0).cast("long").as("ce_diff_1e4_sum"))
+          round(sum(col("cnt") * col("lpd")) * 10000, 0).cast("long").as("ce_diff_1e4_sum"),
+          max(when(inDom, 1).otherwise(0)).as("__is_seed"))
+        .filter(col("__is_seed") === 0).drop("__is_seed")
         .withColumn("selected", col("ce_diff_1e4_sum") > 0)
     },
 
@@ -199,27 +213,48 @@ object CorpusQueries {
       val bigrams = zip_with(
         slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
         (p, c) => concat(p, lit(" "), c))
+      // ONE tokenize pass, physically: all three consumers of the
+      // per-(doc, bucket) counts — the per-bucket LM table, the corpus
+      // totals, and the per-doc scoring join — hang off the SAME
+      // unfiltered aggregation, so Spark's exchange reuse materializes
+      // the explode+count once (PlanSpec pins one documents scan). The
+      // naive form (filter the seed docs before scoring) pushes the
+      // source filter into the scan, makes the subtrees non-identical
+      // and re-tokenizes the corpus once per consumer; instead every
+      // doc is scored (the seed rows ride the shared exchange for free)
+      // and the seed is dropped on an AGGREGATED flag, which no
+      // pushdown can move below the join.
       val docBuckets = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           explode(concat(toks, bigrams)).as("gram"))
         .select(col("doc_id"), col("source"),
           (Sampling.docHash32(col("gram")) % m).as("b"))
+        // semantically a no-op (the hash is never null) — but the join
+        // branches acquire exactly this filter from their isnotnull join
+        // requirement, and WITHOUT it on the totals branch the three
+        // subtrees stop being canonically identical, which is what AQE
+        // stage reuse keys on
+        .where(col("b").isNotNull)
         .groupBy(col("doc_id"), col("source"), col("b"))
         .agg(count(lit(1)).as("cnt"))
       val vocab = docBuckets.groupBy(col("b")).agg(
         sum(when(inDom, col("cnt")).otherwise(0L)).as("f_in"),
         sum(when(inDom, 0L).otherwise(col("cnt"))).as("f_gen"))
-      val tot = vocab.agg(sum(col("f_in")).as("tot_in"), sum(col("f_gen")).as("tot_gen"))
-      val weights = docBuckets.filter(!inDom)
-        .join(vocab, "b")
+      val tot = docBuckets.agg(
+        sum(when(inDom, col("cnt")).otherwise(0L)).as("tot_in"),
+        sum(when(inDom, 0L).otherwise(col("cnt"))).as("tot_gen"))
+      val weights = docBuckets
+        .join(broadcast(vocab), "b") // ≤ m rows by construction — always broadcastable
         .crossJoin(broadcast(tot))
-        .select(col("doc_id"), col("cnt"),
+        .select(col("doc_id"), col("source"), col("cnt"),
           (round(log((col("f_in") + 1).cast("double") / (col("tot_in") + m).cast("double")), 4)
             - round(log((col("f_gen") + 1).cast("double") / (col("tot_gen") + m).cast("double")), 4))
             .as("lpd"))
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).cast("long").as("n_feats"),
-          round(sum(col("cnt") * col("lpd")) * 10000, 0).cast("long").as("logw_1e4"))
+          round(sum(col("cnt") * col("lpd")) * 10000, 0).cast("long").as("logw_1e4"),
+          max(when(inDom, 1).otherwise(0)).as("__is_seed"))
+        .filter(col("__is_seed") === 0).drop("__is_seed")
       val u = ((Sampling.saltedHash32(col("doc_id"), "dsir") % 1000000).cast("double")
         + lit(0.5)) / lit(1000000.0)
       val keyed = weights.withColumn("key_1e4",
@@ -280,18 +315,29 @@ object CorpusQueries {
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), F.tokens(col("text")).as("toks"))
       val isTrain = Sampling.saltedHash32(col("doc_id"), "lm") % 10 < 9
+      // stage-reuse alignment (the q163/q80/q162 pattern): the explicit
+      // isnotnull filters match what the downstream joins push into
+      // their own copies, and the train-side bigram table derives from
+      // the UNFILTERED pair counts via a conditional sum (a tr filter
+      // before the aggregate would push into the scan and fork the
+      // subtree) — so the bigram explode+count and the unigram count
+      // each materialize ONCE, not once per consumer
       val pairs = base.filter(size(col("toks")) >= 2)
         .select(col("doc_id"), isTrain.as("tr"),
           explode(arrays_zip(
             slice(col("toks"), lit(1), size(col("toks")) - 1).as("p"),
             slice(col("toks"), lit(2), size(col("toks")) - 1).as("c"))).as("pc"))
         .select(col("doc_id"), col("tr"), col("pc.p").as("p"), col("pc.c").as("c"))
+        .where(col("p").isNotNull && col("c").isNotNull)
       val docPairs = pairs.groupBy(col("doc_id"), col("tr"), col("p"), col("c"))
         .agg(count(lit(1)).as("cnt"))
-      val bigrams = docPairs.filter(col("tr"))
-        .groupBy(col("p"), col("c")).agg(sum(col("cnt")).as("bcnt"))
+      val bigrams = docPairs
+        .groupBy(col("p"), col("c"))
+        .agg(sum(when(col("tr"), col("cnt")).otherwise(0L)).as("bcnt"))
+        .filter(col("bcnt") > 0) // pairs the train split never saw back off
       val unigrams = base.filter(isTrain)
         .select(explode(col("toks")).as("tok"))
+        .where(col("tok").isNotNull)
         .groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
       val total = unigrams.agg(sum(col("ucnt")).as("total"))
       val model = bigrams.join(unigrams, col("p") === col("tok"))
