@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Decoupled tagger/filter architecture for a training corpus (the
+  * Dolma attribute-store posture): taggers run ONCE over the text and
+  * persist their outputs as SLIM per-doc attribute tables beside the
+  * corpus; filter policies then compose by joining attributes back —
+  * re-filtering under a new policy never re-reads bodies or re-runs a
+  * tagger. Corpus and attribute tables are all bucketed identically on
+  * the doc key, so a policy materialization is a ZERO-SHUFFLE
+  * co-located sort-merge join chain even when the corpus is 100 TB and
+  * each attribute table has a row per document
+  * (AttributeStoreSpec pins the no-Exchange plan and policy ≡ inline).
+  *
+  * This composes the library's taggers: q28 lang-id, q29/q164 quality,
+  * q165 Gopher rules, q80/q106/q162/q163 LM scores — anything slim and
+  * doc-keyed qualifies.
+  */
+object AttributeStore {
+
+  /** Persist one tagger's output as a bucketed attribute table.
+    * `attrs` must carry `key` plus the attribute columns — never text. */
+  def writeAttributeTable(attrs: DataFrame, table: String,
+                          key: String = "doc_id", nBuckets: Int = 16): Unit = {
+    require(attrs.columns.contains(key), s"attribute table needs the '$key' column")
+    Sources.dumpToTable(attrs, table, indexFields = Seq(key), nBuckets = nBuckets)
+  }
+
+  /** The corpus joined with the named attribute tables on `key` — the
+    * frame a filter policy evaluates over. Every join is hinted merge:
+    * identically-bucketed tables sort-merge co-located (zero exchange);
+    * the hint only matters at test scale, where Spark would otherwise
+    * broadcast. Policies `.filter(...)` the result and select what they
+    * materialize. */
+  def compose(spark: SparkSession, corpusTable: String,
+              attrTables: Seq[String], key: String = "doc_id"): DataFrame =
+    attrTables.foldLeft(spark.table(corpusTable)) { (acc, t) =>
+      acc.join(spark.table(t).hint("merge"), Seq(key))
+    }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.AttributeStore
+
+/** The decoupled tagger/filter architecture: tag once into slim bucketed
+  * attribute tables, compose any filter policy as a zero-shuffle
+  * co-located join chain, and re-policy without re-tagging.
+  */
+class AttributeStoreSpec extends SpecBase {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, SfDir)
+
+  private lazy val stored: Unit = {
+    graft.sources.Sources.dumpToTable(
+      Tables.documents(spark, SfDir).select(col("doc_id"), col("text"), col("lang")),
+      "as_corpus", indexFields = Seq("doc_id"), nBuckets = 8)
+    AttributeStore.writeAttributeTable(
+      q("q28_langid").select(col("doc_id"), col("en_ratio")),
+      "as_lang", nBuckets = 8)
+    AttributeStore.writeAttributeTable(
+      q("q164_classifier_filter").select(col("doc_id"), col("margin_1e6"), col("kept")),
+      "as_clf", nBuckets = 8)
+    AttributeStore.writeAttributeTable(
+      q("q165_gopher_rules").select(col("doc_id"), col("r_stop"), col("passes")),
+      "as_gopher", nBuckets = 8)
+  }
+
+  test("a filter policy composes as a zero-shuffle co-located join over slim attributes") {
+    stored
+    val composed = AttributeStore.compose(spark, "as_corpus",
+      Seq("as_lang", "as_clf", "as_gopher"))
+    val policy = composed
+      .filter(col("kept") && col("r_stop") && col("en_ratio") > 0.02)
+      .select(col("doc_id"), col("text"))
+    val plan = policy.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("SortMergeJoin")) == 3,
+      s"three attribute joins must all sort-merge:\n${plan.take(800)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"identically-bucketed tables must compose with ZERO shuffles:\n${plan.take(800)}")
+    // attribute scans never read text — the whole point of slim tables
+    val attrScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan") && (l.contains("as_lang") || l.contains("as_clf") ||
+        l.contains("as_gopher")))
+    assert(attrScans.forall(!_.contains("text")), "attribute scans must not read text")
+    // policy output ≡ computing every tagger inline over the raw corpus
+    val inline = Tables.documents(spark, SfDir)
+      .join(q("q28_langid"), "doc_id")
+      .join(q("q164_classifier_filter").withColumnRenamed("n_tokens", "nt2"), "doc_id")
+      .join(q("q165_gopher_rules"), "doc_id")
+      .filter(col("kept") && col("r_stop") && col("en_ratio") > 0.02)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(policy.select(col("doc_id")).collect().map(_.getLong(0)).toSet == inline,
+      "the composed policy must keep exactly the inline-computed set")
+  }
+
+  test("re-policying reuses the stored attributes: different filter, no re-tagging, same store") {
+    stored
+    val composed = AttributeStore.compose(spark, "as_corpus", Seq("as_clf", "as_gopher"))
+    val strict = composed.filter(col("passes") && col("margin_1e6") > 0)
+    val loose = composed.filter(col("kept"))
+    val nStrict = strict.count()
+    val nLoose = loose.count()
+    assert(nStrict <= nLoose, "the strict policy cannot keep more than the loose one")
+    // strict ⊆ loose here because passes ∧ margin>0 implies kept (= margin>0)
+    val strictIds = strict.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val looseIds = loose.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(strictIds.subsetOf(looseIds))
+  }
+}
