@@ -418,12 +418,16 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       srcDir: String, dstDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    Seq("cells", "delta", "tombstones").foreach { sub =>
+    // codebook is in the list for the family marker, not just hygiene: a
+    // stale codebook/ beside a compacted plain-IVF artifact would make
+    // hasCodebook misclassify it as composed and probes read a codebook
+    // that never quantized these cells
+    Seq("cells", "delta", "tombstones", "centroids", "codebook").foreach { sub =>
       val p = new org.apache.hadoop.fs.Path(s"$dstDir/$sub")
       require(!p.getFileSystem(hconf).exists(p),
         s"$dstDir already carries $sub/ — compactIvfIndex writes a FRESH " +
-          "artifact (it never clears stale delta/tombstone state); compact " +
-          "into a new dir and pointer-swap")
+          "artifact (it never clears stale state); compact into a new dir " +
+          "and pointer-swap")
     }
     spark.read.parquet(s"$srcDir/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")

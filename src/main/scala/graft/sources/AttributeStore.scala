@@ -20,7 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AttributeStore {
 
   /** Persist one tagger's output as a bucketed attribute table.
-    * `attrs` must carry `key` plus the attribute columns — never text. */
+    * `attrs` must carry `key` plus the attribute columns — never text.
+    * Re-tagging REPLACES the table (drop + recreate, the dumpToTable
+    * contract) — coordinate with concurrent policy readers the same way
+    * as any snapshot swap: re-tag into a new table name and repoint, or
+    * quiesce readers across the rewrite. */
   def writeAttributeTable(attrs: DataFrame, table: String,
                           key: String = "doc_id", nBuckets: Int = 16): Unit = {
     require(attrs.columns.contains(key), s"attribute table needs the '$key' column")
