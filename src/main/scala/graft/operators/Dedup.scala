@@ -38,6 +38,72 @@ object Dedup {
         sequence(lit(1), size(tokens) - (w - 1)),
         i => array_join(slice(tokens, i, lit(w)), " ")))
 
+  /** Cross-corpus duplicate-PASSAGE detection — the exact-substring member
+    * of the dedup family (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": the ExactSubstr pass, re-expressed for
+    * a shared-nothing engine with fixed-k token windows in place of the
+    * single-machine suffix array — the standard distributed approximation).
+    * Every k-token window is hashed ([[shingles]], so a doc shorter than k
+    * is ONE whole-doc passage and short exact dups are still caught); a
+    * hash seen more than once corpus-wide is a duplicated passage, and
+    * every occurrence except the corpus-first (row_number over the hash
+    * partition ordered by (id, pos) — a TOTAL order, so the keep choice is
+    * engine-independent) is marked for removal. Per doc the marked window
+    * starts fold into merged-interval coverage — consecutive sorted starts
+    * contribute min(k, gap), the last start contributes k, clamped to the
+    * doc length (exact: a short-doc fallback window covers exactly the
+    * doc) — i.e. the EXACT token count a remove-duplicated-passages pass
+    * would cut, with overlapping windows counted once.
+    *
+    * Cost shape: ONE shuffle keyed on the 128-bit window hash (the wire
+    * carries (hash, id, pos), never text) plus one per-doc aggregation —
+    * both linear in corpus token count, no all-pairs anywhere, so the plan
+    * survives any corpus scale. Hash-partition skew is bounded by each
+    * hash's own occurrence list (boilerplate passages repeated millions of
+    * times are real at web scale — AQE's skew handling applies because
+    * the marking is a plain window, not a join).
+    *
+    * Returns one row per input doc: (id, n_tokens, dup_windows,
+    * dup_tokens, kept_tokens, dup_frac_1e4). */
+  def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 13): DataFrame = {
+    require(k >= 2, s"[graft.dedup] window size must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol).as("id"), F.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("n_tokens"))
+    val wins = base
+      .select(col("id"),
+        posexplode(transform(shingles(col("toks"), k), g => md5(g)))
+          .as(Seq("pos0", "h")))
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+    val byHash = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
+    val marked = wins
+      .withColumn("cnt", count(lit(1)).over(byHash
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("cnt") > 1 && col("rn") > 1)
+    val perDoc = marked.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"),
+        count(lit(1)).as("m"))
+      .select(col("id"), col("m"),
+        (aggregate(
+          zip_with(
+            slice(col("starts"), lit(1), size(col("starts")) - 1),
+            slice(col("starts"), lit(2), size(col("starts")) - 1),
+            (a, b) => least(b - a, lit(k.toLong))),
+          lit(0L), (acc, x) => acc + x) + k).as("rawcov"))
+    val dupTokens = least(coalesce(col("rawcov"), lit(0L)), col("n_tokens"))
+    base.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("m"), lit(0L)).cast("long").as("dup_windows"),
+        dupTokens.cast("long").as("dup_tokens"),
+        (col("n_tokens") - dupTokens).cast("long").as("kept_tokens"))
+      .withColumn("dup_frac_1e4",
+        expr("CAST((dup_tokens * 10000) DIV n_tokens AS BIGINT)"))
+  }
+
   /** MinHash signatures, map-only: a document's signature and shingle set
     * are pure functions of that document's own text, so the whole pass is
     * ONE projection — native [[graft.functions.expressions.Shingles]]

@@ -201,6 +201,52 @@ object LlmQueries {
       Dedup.exactGroups(Tables.documents(s, dir), col("text"), col("doc_id"))
     },
 
+    // q166: duplicate-PASSAGE removal report — the exact-substring dedup
+    // member (Lee et al. 2022 ExactSubstr, distributed as fixed-k window
+    // hashing; k=13 ≈ the paper's 50-BPE-token span on this corpus's
+    // short words). One window-hash shuffle (wire = (md5, id, pos)) +
+    // one per-doc fold; the keep-first choice is a row_number over a
+    // TOTAL (id, pos) order and the coverage math is pure integer
+    // (min(k, gap) over sorted starts + k, clamped to doc length), so
+    // every column crosses the oracle gate bit-exactly. The corpus has
+    // planted cross-doc duplicate passages — 23 docs flagged at sf0.01,
+    // from partial spans (dup_frac 9583) to full copies (10000).
+    "q166_passage_dedup" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) < 13 THEN [md5(array_to_string(toks, ' '))]
+        |         ELSE list_transform(range(1, len(toks) - 11), i -> md5(array_to_string(toks[i:i+12], ' ')))
+        |    END AS grams
+        |  FROM t
+        |), w AS (
+        |  SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS pos, grams[i] AS h
+        |  FROM g CROSS JOIN LATERAL unnest(range(1, len(grams) + 1)) u(i)
+        |), c AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY h) AS cnt,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM w
+        |), d AS (
+        |  SELECT doc_id, list_sort(list(pos)) AS starts, COUNT(*) AS m
+        |  FROM c WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+        |), cov AS (
+        |  SELECT doc_id, m,
+        |    13 + coalesce(list_sum(list_transform(range(1, m), j -> least(13, starts[j+1] - starts[j]))), 0) AS rawcov
+        |  FROM d
+        |)
+        |SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cov.m, 0) AS BIGINT) AS dup_windows,
+        |  CAST(least(coalesce(cov.rawcov, 0), g.n_tokens) AS BIGINT) AS dup_tokens,
+        |  CAST(g.n_tokens - least(coalesce(cov.rawcov, 0), g.n_tokens) AS BIGINT) AS kept_tokens,
+        |  CAST((least(coalesce(cov.rawcov, 0), g.n_tokens) * 10000) // g.n_tokens AS BIGINT) AS dup_frac_1e4
+        |FROM g LEFT JOIN cov USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.duplicatePassages(Tables.documents(s, dir), "doc_id", "text", k = 13)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // q23: MinHash+LSH dedup links (star-to-representative: linear in
     // bucket size — the only shape that survives self-similar corpora at
     // 100 TB), verified with exact shingle Jaccard. Rows-only (seeded

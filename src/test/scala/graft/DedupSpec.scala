@@ -309,4 +309,39 @@ class DedupSpec extends SpecBase {
       assert(byParam == byScan)
     } finally spark.conf.unset("spark.graft.incrementalCutoff")
   }
+
+  test("duplicatePassages: exact coverage on a hand-built corpus (k=3)") {
+    // d1 is the corpus-first for every shared passage; d2 embeds "b c d e"
+    // mid-doc; d3 shares the 5-token prefix-overlap "b c d e f"; d4/d5 are
+    // identical SHORT docs exercising the whole-doc fallback window.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x y b c d e z"), (3L, "b c d e f g"),
+      (4L, "p q"), (5L, "p q")).toDF("doc_id", "text")
+    val got = Dedup.duplicatePassages(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_windows"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("dup_frac_1e4"))).toMap
+    assert(got === Map(
+      1L -> ((6L, 0L, 0L, 6L, 0L)),      // corpus-first: nothing marked
+      2L -> ((7L, 2L, 4L, 3L, 5714L)),   // overlap-merged: 2 windows cover 4 tokens
+      3L -> ((6L, 3L, 5L, 1L, 8333L)),   // 3 windows cover the 5-token run
+      4L -> ((2L, 0L, 0L, 2L, 0L)),      // short-doc fallback, corpus-first
+      5L -> ((2L, 1L, 2L, 0L, 10000L)))) // short exact dup: clamped to doc length
+  }
+
+  test("duplicatePassages: per-doc accounting is conserved on the real corpus") {
+    val r = Dedup.duplicatePassages(docs, "doc_id", "text").collect()
+    assert(r.length == docs.count())
+    r.foreach { row =>
+      val (n, dw, dt, kt) = (row.getAs[Long]("n_tokens"),
+        row.getAs[Long]("dup_windows"), row.getAs[Long]("dup_tokens"),
+        row.getAs[Long]("kept_tokens"))
+      assert(n == dt + kt, s"doc ${row.getAs[Long]("id")}: $n != $dt + $kt")
+      assert((dw > 0) == (dt > 0))
+      assert(dt <= n && dt >= 0)
+    }
+    // the generator plants cross-doc duplicate passages at every SF
+    assert(r.count(_.getAs[Long]("dup_windows") > 0) > 0)
+  }
 }
