@@ -92,4 +92,65 @@ object TextAnalysis {
     src.select(col(idCol).as("id"),
         XxHash64ArrayMin(Shingles(F.tokens(col(textCol)), w)).as("min_shingle_fp"))
   }
+
+  /** BM25 ranked retrieval: top-k documents per query, scored with the
+    * Lucene/Robertson BM25 formula (idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+    * tf saturation k1, length normalization b against the corpus mean).
+    *
+    * `queries` carries (query_id, tok) — one row per query term; it is the
+    * SMALL side by construction (a query workload, not a corpus) and is
+    * broadcast twice: once to prune the (doc, tok) frequency table down to
+    * query terms BEFORE document frequencies are counted (so the plan
+    * never materializes the corpus-wide vocabulary — df is only ever
+    * computed for queried terms, from the already-pruned rows), and once
+    * to attach per-term df back to the pruned postings. The only
+    * corpus-scale exchanges are the (doc, tok) partial-combined count and
+    * the doc-keyed join against doc lengths — both linear, both
+    * AQE-coalescible. Corpus totals (N, Σdl) ride a broadcast 1-row frame.
+    *
+    * Float portability is the q163 posture: idf is ln rounded once at
+    * 4dp, the PER-TERM contribution integerizes at 1e4 (every other
+    * factor is an IEEE-exact expression over integer inputs with a fixed
+    * tree shape), and the query score is an INTEGER SUM of those — no
+    * float addition order ever crosses an engine boundary. Ranking is
+    * (score_1e4 desc, doc_id): total, through the bounded-heap top-k trim.
+    *
+    * Returns (query_id, doc_id, score_1e4, n_terms_hit, rk), rk ≤ topK. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, topK: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), F.tokens(col(textCol)).as("toks"))
+    val stats = t.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(size(col("toks"))).cast("long").as("sum_dl"))
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val qTerms = queries.select(col("query_id"), col("tok"))
+    // prune FIRST: df only exists for queried terms, counted from the
+    // pruned postings (tf is unique per (doc, tok), so count == df)
+    val tfq = tf.join(broadcast(qTerms.select(col("tok")).distinct()), "tok")
+    val dfq = tfq.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+    val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val idf4 = round(log(
+      (col("n_docs").cast("double") - col("df") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 4)
+    val num = col("tf").cast("double") * lit(k1 + 1.0)
+    val den = col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
+      + lit(b) * (col("dl") * col("n_docs")).cast("double")
+        / col("sum_dl").cast("double"))
+    val contrib = tfq
+      .join(broadcast(qTerms), "tok")
+      .join(broadcast(dfq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf4 * num / den * lit(10000), 0).cast("long").as("c_1e4"))
+    val scores = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_1e4")).cast("long").as("score_1e4"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+    TopK.topKWithRank(scores, col("query_id"),
+        Seq(col("score_1e4").desc, col("doc_id")), k = topK, rankName = "rk")
+      .select(col("query_id"), col("doc_id"), col("score_1e4"),
+        col("n_terms_hit"), col("rk").cast("long").as("rk"))
+  }
 }

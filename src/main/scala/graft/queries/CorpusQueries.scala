@@ -1083,6 +1083,71 @@ object CorpusQueries {
           expr("array_join(transform(smp, x -> x.id), ',')").as("postings"))
     },
 
+    // q167: BM25 RANKED RETRIEVAL — the query-time consumer of q117's
+    // index artifacts: top-10 documents per query under Lucene-form BM25
+    // (idf = ln((N-df+0.5)/(df+0.5)+1), tf saturation k1=1.2, length
+    // normalization b=0.75 against the corpus mean). The query workload
+    // here is DERIVED deterministically (per-language top-3 tokens by
+    // corpus frequency, ties token-asc) so the gate needs no fixture
+    // table; a production caller passes any (query_id, tok) frame.
+    // Scale shapes (see [[graft.operators.TextAnalysis.bm25TopK]]): the
+    // query set broadcasts and PRUNES the posting table before df is
+    // counted — the corpus-wide vocabulary is never materialized; the
+    // only big exchanges are the (doc,tok) count and the doc-keyed
+    // length join, both linear. Scoring crosses the oracle gate as
+    // INTEGER per-term contributions (idf ln-rounded once at 4dp, the
+    // rest an IEEE-exact fixed-shape expression over integer inputs,
+    // 1e4-integerized per term, integer-summed) — no float addition
+    // order anywhere; ranking is the total (score desc, doc_id) order
+    // through the bounded-heap trim.
+    "q167_bm25" -> QueryDef.of(
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |), stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM t
+         |), tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+         |), df AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+         |), dl AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+         |), qt AS (
+         |  SELECT lang AS query_id, tok FROM (
+         |    SELECT lang, tok, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+         |    FROM (SELECT lang, tok, COUNT(*) AS c
+         |          FROM (SELECT lang, unnest(toks) AS tok FROM t) GROUP BY 1, 2)
+         |  ) WHERE rn <= 3
+         |), contrib AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(round(
+         |      round(ln((CAST(stats.n_docs AS DOUBLE) - df.df + 0.5e0) / (CAST(df.df AS DOUBLE) + 0.5e0) + 1.0e0), 4)
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2e0)
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0 * CAST(dl.dl * stats.n_docs AS DOUBLE) / CAST(stats.sum_dl AS DOUBLE)))
+         |      * 10000, 0) AS BIGINT) AS c_1e4
+         |  FROM qt JOIN tf USING (tok) JOIN df USING (tok)
+         |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+         |), sc AS (
+         |  SELECT query_id, doc_id, CAST(SUM(c_1e4) AS BIGINT) AS score_1e4,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+         |  FROM contrib GROUP BY 1, 2
+         |)
+         |SELECT query_id, doc_id, score_1e4, n_terms_hit, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_1e4 DESC, doc_id) AS BIGINT) AS rk
+         |  FROM sc
+         |) WHERE rk <= 10
+         |""".stripMargin) { (s, dir) =>
+      import graft.operators.TopK
+      val docs = Tables.documents(s, dir)
+      val freq = docs
+        .select(col("lang"), explode(F.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val qt = TopK.topKWithRank(freq, col("lang"),
+          Seq(col("c").desc, col("tok")), k = 3, rankName = "rn")
+        .select(col("lang").as("query_id"), col("tok"))
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", qt, topK = 10)
+    },
+
     // q118: TOKEN CO-OCCURRENCE counts — the PMI/word-association input
     // (collocation mining, embedding-training statistics). Emits the
     // EXACT INTEGER components (c_ab, c_a, c_b, n_docs) — PMI itself is

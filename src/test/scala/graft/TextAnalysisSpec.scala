@@ -77,4 +77,34 @@ class TextAnalysisSpec extends SpecBase {
       .select(TextAnalysis.langIdPrediction(TextAnalysis.stopwordRatio(F.tokens($"text")))).collect()
     assert(out(0).getString(0) == "en" && out(1).getString(0) == "unknown")
   }
+
+  test("bm25TopK: tf saturation, idf rarity, and length normalization order as BM25 demands") {
+    // equal-length docs so only tf/idf vary across d1-d3; d4 repeats d1's
+    // content at 3x length for the normalization check. 'rare' appears in
+    // d2 only; 'com' in every doc.
+    val docs = Seq(
+      (1L, "com aaa bbb ccc"),
+      (2L, "com rare ddd eee"),
+      (3L, "com com fff ggg"),
+      (4L, "com aaa bbb ccc com aaa bbb ccc com aaa bbb ccc")).toDF("doc_id", "text")
+    val qs = Seq(("q_rare", "rare"), ("q_com", "com")).toDF("query_id", "tok")
+    val r = TextAnalysis.bm25TopK(docs, "doc_id", "text", qs, topK = 10)
+      .collect()
+      .map(x => (x.getAs[String]("query_id"), x.getAs[Long]("doc_id")) ->
+        (x.getAs[Long]("score_1e4"), x.getAs[Long]("rk"))).toMap
+    // rare term: only d2 retrieved, and beats d2's own score for the
+    // everywhere-term (idf dominance at equal tf and length)
+    assert(r.keySet.count(_._1 == "q_rare") == 1)
+    assert(r(("q_rare", 2L))._2 == 1L)
+    assert(r(("q_rare", 2L))._1 > r(("q_com", 2L))._1)
+    // common term: d3 (tf=2) outranks d1/d2 (tf=1) at equal length;
+    // d4 carries tf=3 but 3x the length — normalization must hold its
+    // score below d3's saturated-tf score
+    assert(r(("q_com", 3L))._1 > r(("q_com", 1L))._1)
+    assert(r(("q_com", 1L))._1 == r(("q_com", 2L))._1)
+    assert(r(("q_com", 3L))._1 > r(("q_com", 4L))._1)
+    // ranks are the (score desc, doc_id) total order, 1..hits
+    val comRanks = r.filterKeys(_._1 == "q_com").values.map(_._2).toSeq.sorted
+    assert(comRanks == Seq(1L, 2L, 3L, 4L))
+  }
 }
