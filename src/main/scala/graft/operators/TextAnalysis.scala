@@ -99,14 +99,17 @@ object TextAnalysis {
     *
     * `queries` carries (query_id, tok) — one row per query term; it is the
     * SMALL side by construction (a query workload, not a corpus) and is
-    * broadcast twice: once to prune the (doc, tok) frequency table down to
-    * query terms BEFORE document frequencies are counted (so the plan
-    * never materializes the corpus-wide vocabulary — df is only ever
-    * computed for queried terms, from the already-pruned rows), and once
-    * to attach per-term df back to the pruned postings. The only
+    * broadcast twice (term prune + per-query fan-out) — callers deriving
+    * it from something expensive should materialize it first (the gate
+    * query localCheckpoints its corpus-derived workload). The posting
+    * table prunes to query terms BEFORE document frequencies exist
+    * anywhere: df rides a window count over the pruned tok partitions, so
+    * the corpus-scale (doc, tok) aggregate is consumed exactly once and
+    * the corpus-wide vocabulary is never materialized. The only
     * corpus-scale exchanges are the (doc, tok) partial-combined count and
     * the doc-keyed join against doc lengths — both linear, both
-    * AQE-coalescible. Corpus totals (N, Σdl) ride a broadcast 1-row frame.
+    * AQE-coalescible. Corpus totals (N, Σdl) ride a broadcast 1-row
+    * frame.
     *
     * Float portability is the q163 posture: idf is ln rounded once at
     * 4dp, the PER-TERM contribution integerizes at 1e4 (every other
@@ -126,10 +129,19 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).cast("long").as("tf"))
     val qTerms = queries.select(col("query_id"), col("tok"))
-    // prune FIRST: df only exists for queried terms, counted from the
-    // pruned postings (tf is unique per (doc, tok), so count == df)
-    val tfq = tf.join(broadcast(qTerms.select(col("tok")).distinct()), "tok")
-    val dfq = tfq.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+    // prune FIRST: the distinct query-term set cuts the posting table to
+    // query terms before df exists anywhere; df then rides a WINDOW count
+    // over the pruned tok partitions (postings are unique per (doc, tok),
+    // so the partition count IS df) — the corpus-scale (doc, tok)
+    // aggregate is consumed exactly once and the corpus-wide vocabulary
+    // is never materialized. (A groupBy-df branch instead would fork the
+    // shared aggregate: column pruning strips `tf` from the df copy, the
+    // canonical plans diverge, and exchange reuse is lost — the lesson-46
+    // failure shape, measured as a second corpus pass.)
+    val pruned = tf.join(broadcast(qTerms.select(col("tok")).distinct()), "tok")
+    val withDf = pruned.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tok"))).cast("long"))
     val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val idf4 = round(log(
       (col("n_docs").cast("double") - col("df") + lit(0.5))
@@ -138,9 +150,8 @@ object TextAnalysis {
     val den = col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
       + lit(b) * (col("dl") * col("n_docs")).cast("double")
         / col("sum_dl").cast("double"))
-    val contrib = tfq
+    val contrib = withDf
       .join(broadcast(qTerms), "tok")
-      .join(broadcast(dfq), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),

@@ -1142,9 +1142,12 @@ object CorpusQueries {
       val freq = docs
         .select(col("lang"), explode(F.tokens(col("text"))).as("tok"))
         .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      // the derived workload is corpus-priced; materialize the 15 rows
+      // once so the operator's two broadcasts don't replay the corpus agg
       val qt = TopK.topKWithRank(freq, col("lang"),
           Seq(col("c").desc, col("tok")), k = 3, rankName = "rn")
         .select(col("lang").as("query_id"), col("tok"))
+        .localCheckpoint(true)
       TextAnalysis.bm25TopK(docs, "doc_id", "text", qt, topK = 10)
     },
 
