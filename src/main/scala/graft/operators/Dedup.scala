@@ -67,22 +67,43 @@ object Dedup {
     * dup_tokens, kept_tokens, dup_frac_1e4). */
   def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 13): DataFrame = {
-    require(k >= 2, s"[graft.dedup] window size must be >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val base = df
-      .select(col(idCol).as("id"), F.tokens(col(textCol)).as("toks"))
-      .select(col("id"), col("toks"), size(col("toks")).as("n_tokens"))
-    val wins = base
-      .select(col("id"),
-        posexplode(transform(shingles(col("toks"), k), g => md5(g)))
-          .as(Seq("pos0", "h")))
-      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+    val wins = passageWindows(df, idCol, textCol, k)
     val byHash = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
     val marked = wins
       .withColumn("cnt", count(lit(1)).over(byHash
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("rn", row_number().over(byHash))
       .filter(col("cnt") > 1 && col("rn") > 1)
+      .select(col("id"), col("pos"))
+    passageCoverage(marked, passageBase(df, idCol, textCol), k)
+  }
+
+  /** All k-token window hashes of a corpus: (id, pos, h) with pos 1-based
+    * and h the window's md5 ([[shingles]] semantics, so a doc shorter
+    * than k contributes ONE whole-doc window). Map-only. */
+  private[graft] def passageWindows(df: DataFrame, idCol: String,
+                                    textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"[graft.dedup] window size must be >= 2, got $k")
+    df.select(col(idCol).as("id"),
+        posexplode(transform(shingles(F.tokens(col(textCol)), k), g => md5(g)))
+          .as(Seq("pos0", "h")))
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+  }
+
+  /** (id, n_tokens) for the per-doc report frame. Map-only. */
+  private[graft] def passageBase(df: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(F.tokens(col(textCol))).as("n_tokens"))
+
+  /** Fold marked duplicate-window starts into the per-doc report:
+    * merged-interval coverage (consecutive sorted starts contribute
+    * min(k, gap), the last contributes k, clamped to the doc length —
+    * exact for the short-doc fallback window) left-joined onto every
+    * doc of `base`. Pure integer math throughout. */
+  private[graft] def passageCoverage(marked: DataFrame, base: DataFrame,
+                                     k: Int): DataFrame = {
     val perDoc = marked.groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"),
         count(lit(1)).as("m"))

@@ -367,4 +367,88 @@ object DocumentStreams {
     }
     } finally fresh.unpersist()
   }
+
+  /** foreachBatch INCREMENTAL passage-dedup sink — the streaming twin of
+    * [[graft.operators.Dedup.duplicatePassages]] (q166). State is a
+    * window-hash store of corpus-FIRST occurrences under
+    * `<outDir>/hashes/batch=<id>` (the LSM-delta posture: a batch appends
+    * only the hashes it saw first). Each micro-batch marks its window
+    * occurrences against the store plus itself — an occurrence is a
+    * duplicate iff its hash is in the store OR an earlier (id, pos) of
+    * the same batch carries it — emits the FINAL per-doc report rows for
+    * its docs under `reports/batch=<id>`, and appends its
+    * first-occurrence hashes. Docs are never re-reported: the
+    * first-arriving copy of a passage stays clean forever and later
+    * copies arrive already knowing their coverage — the incremental
+    * contract of the Dolma/CCNet dedup taggers.
+    *
+    * Under the monotone doc-id arrival contract (batches cut in
+    * ascending id order — the [[clusterMaintenanceSink]] contract) the
+    * union of `reports` EQUALS batch q166 over the union corpus
+    * row-for-row: the global corpus-first (min (id, pos)) is then always
+    * the first-arriving occurrence. Without monotone arrival the sink
+    * still implements first-ARRIVAL-wins, the streaming-native keep rule.
+    *
+    * Per-batch cost: the store join is batch-windows × store-hashes on
+    * `h` — the read side grows with corpus hash cardinality (the same
+    * growth a Bloom-filter tagger hides behind false positives; this
+    * sink is exact). Store deltas accrue one dir per batch; coalescing
+    * them into one base is compaction — operational, not correctness
+    * (the compactIvfIndex posture). Replay/crash: docmax is written
+    * LAST; reports/hashes are deterministic overwrites of their own
+    * `batch=` dir, so any crash before the docmax commit replays into
+    * identical files; redelivered rows of a committed batch drop at the
+    * docmax guard; all state reads take only `batch < batchId`
+    * partitions, so a crashed attempt's partials never count. */
+  def passageDedupSink(outDir: String, k: Int = 13)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val b = batch.select(col("doc_id").cast("long"), col("text"))
+    val maxRoot = s"$outDir/docmax"
+    val hashesRoot = s"$outDir/hashes"
+    val reportsRoot = s"$outDir/reports"
+    def priorOnly(root: String): Option[DataFrame] =
+      if (!EventStreams.hasParquetFile(root)) None
+      else Some(spark.read.parquet(root).filter(col("batch") < batchId))
+    val maxOld: Option[Long] = priorOnly(maxRoot).flatMap { df =>
+      val r = df.agg(max(col("max_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val fresh = maxOld.map(m => b.filter(col("doc_id") > m)).getOrElse(b)
+    val freshMax: Option[Long] = {
+      val r = fresh.agg(max(col("doc_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // nothing new: a fully-redelivered batch's artifacts are already on
+    // disk (they land before its docmax), so returning re-commits nothing
+    if (freshMax.isEmpty) return
+    val wins = Dedup.passageWindows(fresh, "doc_id", "text", k)
+    val withPrior = priorOnly(hashesRoot) match {
+      case Some(p) => wins.join(
+          p.select(col("h")).withColumn("in_prior", lit(true)), Seq("h"), "left")
+        .withColumn("in_prior", coalesce(col("in_prior"), lit(false)))
+      case None => wins.withColumn("in_prior", lit(false))
+    }
+    // flagged feeds both the marking and the store append — materialize
+    // once (the corpusBuildSink cache posture; checkpoint also cuts the
+    // store-join lineage out of both consumers)
+    val flagged = withPrior
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
+      .localCheckpoint(true)
+    val marked = flagged.filter(col("in_prior") || col("rn") > 1)
+      .select(col("id"), col("pos"))
+    Dedup.passageCoverage(marked, Dedup.passageBase(fresh, "doc_id", "text"), k)
+      .write.mode("overwrite").parquet(s"$reportsRoot/batch=$batchId")
+    // every first occurrence enters the store, singletons included — a
+    // future batch must see them to mark ITS copy
+    flagged.filter(!col("in_prior") && col("rn") === 1)
+      .select(col("h"), col("id"), col("pos"))
+      .write.mode("overwrite").parquet(s"$hashesRoot/batch=$batchId")
+    Seq(freshMax.get).toDF("max_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$maxRoot/batch=$batchId")
+  }
 }

@@ -478,6 +478,67 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("incremental passage-dedup sink: cumulative reports equal batch q166; replay idempotent") {
+    import graft.streaming.DocumentStreams
+    import graft.streaming.DocumentStreams.Doc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+      .zipWithIndex.map { case (r, i) =>
+        Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[String]("lang"), r.getAs[String]("source"),
+          new Timestamp(1700000000000L + i * 1000L))
+      }
+    val outDir = java.nio.file.Files.createTempDirectory("passages").toString
+
+    val stream = MemoryStream[Doc]
+    val query = stream.toDF().writeStream
+      .foreachBatch(DocumentStreams.passageDedupSink(outDir) _)
+      .start()
+    try {
+      // consecutive-id chunks: the monotone-arrival contract under which
+      // streaming first-arrival == batch corpus-first
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      def reports() = spark.read.parquet(s"$outDir/reports")
+        .select($"id", $"n_tokens", $"dup_windows", $"dup_tokens",
+          $"kept_tokens", $"dup_frac_1e4")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val streamed = reports()
+      val batchTwin = Dedup
+        .duplicatePassages(Tables.documents(spark, SfDir), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(batchTwin.exists(_._3 > 0), "planted dups should flag docs")
+      assert(streamed == batchTwin,
+        s"stream-only ${(streamed -- batchTwin).take(3)}, " +
+          s"batch-only ${(batchTwin -- streamed).take(3)}")
+
+      // cross-batch marking actually happened: some doc outside the first
+      // chunk was marked against an earlier chunk's store entry
+      val firstChunkMax = docs((docs.length + 2) / 3 - 1).doc_id
+      assert(streamed.exists(t => t._1 > firstChunkMax && t._3 > 0),
+        "expected a later-batch doc marked against the hash store")
+
+      // redelivery of a committed chunk drops at the docmax guard
+      stream.addData(docs.takeRight(docs.length / 3).toSeq)
+      query.processAllAvailable()
+      assert(reports() == batchTwin, "replayed rows must be idempotent")
+
+      // a crashed-checkpoint replay calls the closure again with the same
+      // batch id — artifacts are already on disk, nothing may change
+      DocumentStreams.passageDedupSink(outDir)(
+        docs.takeRight(docs.length / 3).toSeq.toDF(), 2L)
+      assert(reports() == batchTwin, "direct same-batch replay must no-op")
+    } finally query.stop()
+  }
+
   test("composed corpus pipeline: curate -> build sink over 3 batches equals batch q88") {
     import graft.streaming.DocumentStreams
     import graft.streaming.DocumentStreams.Doc
