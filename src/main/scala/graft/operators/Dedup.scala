@@ -66,17 +66,50 @@ object Dedup {
     * Returns one row per input doc: (id, n_tokens, dup_windows,
     * dup_tokens, kept_tokens, dup_frac_1e4). */
   def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 13): DataFrame = {
+                        k: Int = 13): DataFrame =
+    passageCoverage(passageMarked(df, idCol, textCol, k),
+      passageBase(df, idCol, textCol), k)
+
+  /** The REMOVE step over the same marking: re-emit each document with
+    * every marked duplicated window's tokens cut (the corpus-first copy
+    * of each passage survives). kept_tokens here equals q166's
+    * n_tokens − coverage by construction — the mask and the
+    * merged-interval fold count the same positions — and the oracle gate
+    * pins both encodings against each other. The mask itself is a pure
+    * per-row expression (exists() over the doc's own marked starts), so
+    * beyond [[passageMarked]]'s hash shuffle the emit costs one per-doc
+    * aggregation and map-side text reconstruction. */
+  def removeDuplicatePassages(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 13): DataFrame = {
+    val starts = passageMarked(df, idCol, textCol, k)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val base = df.select(col(idCol).as("id"), F.tokens(col(textCol)).as("toks"))
+    val cleaned = base.join(starts, Seq("id"), "left")
+      .select(col("id"), size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (x, i) => !exists(
+          coalesce(col("starts"), array().cast("array<bigint>")),
+          s => (i + 1) >= s && (i + 1) < s + k)).as("kept"))
+    cleaned.select(col("id"), col("n_tokens"),
+      size(col("kept")).cast("long").as("kept_tokens"),
+      array_join(col("kept"), " ").as("kept_text"))
+  }
+
+  /** Corpus-wide duplicate-window marking: every (id, pos) window
+    * occurrence whose hash occurs more than once, EXCEPT the
+    * corpus-first (min (id, pos)) occurrence of each hash. One shuffle
+    * keyed on the window hash; both window functions share the single
+    * sorted partition. */
+  private[graft] def passageMarked(df: DataFrame, idCol: String,
+                                   textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = passageWindows(df, idCol, textCol, k)
     val byHash = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
-    val marked = wins
+    passageWindows(df, idCol, textCol, k)
       .withColumn("cnt", count(lit(1)).over(byHash
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("rn", row_number().over(byHash))
       .filter(col("cnt") > 1 && col("rn") > 1)
       .select(col("id"), col("pos"))
-    passageCoverage(marked, passageBase(df, idCol, textCol), k)
   }
 
   /** All k-token window hashes of a corpus: (id, pos, h) with pos 1-based

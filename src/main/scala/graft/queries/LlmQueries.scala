@@ -247,6 +247,49 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // q168: the REMOVE step over q166's marking — re-emit each document
+    // with every marked duplicated window's tokens cut (the corpus-first
+    // copy survives), the actionable terminal of the ExactSubstr pass.
+    // Same single hash shuffle as q166; the mask is a pure per-row
+    // exists() over the doc's own marked starts and the text rebuild is
+    // map-side. kept_tokens ≡ q166's n_tokens − coverage by construction
+    // (mask and merged-interval fold count the same positions) — the two
+    // encodings cross-pin each other through the gate.
+    "q168_passage_removal" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 13 THEN [md5(array_to_string(toks, ' '))]
+        |         ELSE list_transform(range(1, len(toks) - 11), i -> md5(array_to_string(toks[i:i+12], ' ')))
+        |    END AS grams
+        |  FROM t
+        |), w AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, grams[i] AS h
+        |  FROM g CROSS JOIN LATERAL unnest(range(1, len(grams) + 1)) u(i)
+        |), c AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY h) AS cnt,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM w
+        |), d AS (
+        |  SELECT doc_id, list_sort(list(pos)) AS starts
+        |  FROM c WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+        |), m AS (
+        |  SELECT g.doc_id, g.toks,
+        |    list_filter(g.toks, (x, i) ->
+        |      len(list_filter(coalesce(d.starts, []), s -> i >= s AND i < s + 13)) = 0) AS kept
+        |  FROM g LEFT JOIN d USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS kept_tokens,
+        |  coalesce(array_to_string(kept, ' '), '') AS kept_text
+        |FROM m""".stripMargin) { (s, dir) =>
+      Dedup.removeDuplicatePassages(Tables.documents(s, dir), "doc_id", "text", k = 13)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // q23: MinHash+LSH dedup links (star-to-representative: linear in
     // bucket size — the only shape that survives self-similar corpora at
     // 100 TB), verified with exact shingle Jaccard. Rows-only (seeded

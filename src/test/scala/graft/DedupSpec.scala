@@ -330,6 +330,34 @@ class DedupSpec extends SpecBase {
       5L -> ((2L, 1L, 2L, 0L, 10000L)))) // short exact dup: clamped to doc length
   }
 
+  test("removeDuplicatePassages: cut text matches the hand corpus; counts agree with the report") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x y b c d e z"), (3L, "b c d e f g"),
+      (4L, "p q"), (5L, "p q")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatePassages(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("kept_tokens"), r.getAs[String]("kept_text"))).toMap
+    assert(got === Map(
+      1L -> ((6L, "a b c d e f")), // corpus-first copy survives untouched
+      2L -> ((3L, "x y z")),       // the embedded "b c d e" run is cut
+      3L -> ((1L, "g")),           // the 5-token shared prefix is cut
+      4L -> ((2L, "p q")),
+      5L -> ((0L, ""))))           // short exact dup vanishes entirely
+    // on the real corpus, the mask and the merged-interval fold must
+    // count the same positions
+    val report = Dedup.duplicatePassages(docs, "doc_id", "text", k = 3)
+      .select(col("id"), col("kept_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.forall { case (id, (kt, _)) => report(id) == kt })
+    val corpus = Dedup.removeDuplicatePassages(Tables.documents(spark, SfDir), "doc_id", "text")
+      .select(col("id"), col("kept_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val corpusReport = Dedup.duplicatePassages(Tables.documents(spark, SfDir), "doc_id", "text")
+      .select(col("id"), col("kept_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(corpus == corpusReport)
+  }
+
   test("duplicatePassages: per-doc accounting is conserved on the real corpus") {
     val r = Dedup.duplicatePassages(docs, "doc_id", "text").collect()
     assert(r.length == docs.count())
