@@ -109,7 +109,11 @@ object TextAnalysis {
     * corpus-scale exchanges are the (doc, tok) partial-combined count and
     * the doc-keyed join against doc lengths — both linear, both
     * AQE-coalescible. Corpus totals (N, Σdl) ride a broadcast 1-row
-    * frame.
+    * frame. Skew caveat: the df window sorts one partition per queried
+    * term, so querying a stopword materializes that term's whole posting
+    * list in one task — spillable, but a workload dominated by ubiquitous
+    * terms should pre-drop them (as every IR stack does) rather than
+    * lean on the sort.
     *
     * Float portability is the q163 posture: idf is ln rounded once at
     * 4dp, the PER-TERM contribution integerizes at 1e4 (every other

@@ -275,11 +275,15 @@ class PlanSpec extends SpecBase {
     // totals are ONE broadcast 1-row frame cross-joined onto the scores
     // (q80's smoothing-constants pattern); the vocab join is a hash
     // equi-join on tok. q163 carries the same broadcast 1-row totals
-    // frame over the 8192-bucket scores.
+    // frame over the 8192-bucket scores. q167: the BM25 corpus totals
+    // (N, Σdl) are the same broadcast 1-row cross join; the posting
+    // prune, df attach, query fan-out and length joins are all hash
+    // equi-joins on tok/doc_id.
     val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob",
       "q93_range_join", "q106_bigram_logprob", "q118_cooccurrence",
       "q127_corpus_overlap", "q133_session_incidents",
-      "q151_fuzzy_distinct", "q152_pq_ann", "q162_ce_select", "q163_dsir")
+      "q151_fuzzy_distinct", "q152_pq_ann", "q162_ce_select", "q163_dsir",
+      "q167_bm25")
     val offenders = SparkEntry.queries.keys.filter { name =>
       try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
       catch { case _: Throwable => false }
