@@ -113,15 +113,21 @@ object Dedup {
   }
 
   /** All k-token window hashes of a corpus: (id, pos, h) with pos 1-based
-    * and h the window's md5 ([[shingles]] semantics, so a doc shorter
-    * than k contributes ONE whole-doc window). Map-only. */
+    * and h the window's 16-byte md5 ([[shingles]] semantics, so a doc
+    * shorter than k contributes ONE whole-doc window). Map-only. The hash
+    * is taken AFTER the generator (a codegen'd scalar on the exploded
+    * gram, not an interpreted transform() over the array) and carried as
+    * BINARY, not hex — the gram strings die before the exchange and the
+    * shuffle key is 16 bytes instead of 32 chars. 128 bits keeps window
+    * collisions negligible at trillion-window corpus scale (a 64-bit key
+    * birthday-collides in the billions). */
   private[graft] def passageWindows(df: DataFrame, idCol: String,
                                     textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"[graft.dedup] window size must be >= 2, got $k")
     df.select(col(idCol).as("id"),
-        posexplode(transform(shingles(F.tokens(col(textCol)), k), g => md5(g)))
-          .as(Seq("pos0", "h")))
-      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+        posexplode(shingles(F.tokens(col(textCol)), k)).as(Seq("pos0", "g")))
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
+        unhex(md5(col("g"))).as("h"))
   }
 
   /** (id, n_tokens) for the per-doc report frame. Map-only. */
