@@ -392,9 +392,9 @@ object DocumentStreams {
     * Per-batch cost: the store join is batch-windows × store-hashes on
     * `h` — the read side grows with corpus hash cardinality (the same
     * growth a Bloom-filter tagger hides behind false positives; this
-    * sink is exact). Store deltas accrue one dir per batch; coalescing
-    * them into one base is compaction — operational, not correctness
-    * (the compactIvfIndex posture). Replay/crash: docmax is written
+    * sink is exact). Store deltas accrue one dir per batch;
+    * [[compactPassageStore]] folds them into a `batch=-1` sentinel base
+    * in a fresh pointer-swapped store — operational, not correctness. Replay/crash: docmax is written
     * LAST; reports/hashes are deterministic overwrites of their own
     * `batch=` dir, so any crash before the docmax commit replays into
     * identical files; redelivered rows of a committed batch drop at the
@@ -450,5 +450,42 @@ object DocumentStreams {
       .write.mode("overwrite").parquet(s"$hashesRoot/batch=$batchId")
     Seq(freshMax.get).toDF("max_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$maxRoot/batch=$batchId")
+  }
+
+  /** Compact a [[passageDedupSink]] store: fold every per-batch delta
+    * (hashes, reports, docmax) into one `batch=-1` sentinel partition in
+    * a FRESH destination store. −1 sorts below every real micro-batch id,
+    * so the sink's `batch < batchId` state reads keep the compacted rows
+    * for every future batch — INCLUDING batch 0 of a stream restarted
+    * with a fresh checkpoint, a read the uncompacted layout would miss
+    * (its deltas sit at ids a restarted stream's `batch < 0` filter
+    * excludes). Like [[graft.operators.Similarity.compactIvfIndex]], the
+    * destination must be untouched and the caller pointer-swaps: an
+    * in-place rewrite would open a crash window in which a half-written
+    * base coexists with undeleted deltas and the store serves duplicate
+    * hash rows. Loud on a source that is not a passage store. */
+  def compactPassageStore(spark: org.apache.spark.sql.SparkSession,
+                          srcDir: String, dstDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(EventStreams.hasParquetFile(s"$srcDir/hashes"),
+      s"$srcDir is not a passage-dedup store (no hashes/ parquet)")
+    Seq("hashes", "reports", "docmax").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dstDir/$sub")
+      require(!p.getFileSystem(hconf).exists(p),
+        s"$dstDir already carries $sub/ — compactPassageStore writes a " +
+          "FRESH store; compact into a new dir and pointer-swap")
+    }
+    // `batch` arrives as the partition column of every component read and
+    // must not ride into the sentinel partition as a data column
+    spark.read.parquet(s"$srcDir/hashes").drop("batch")
+      .write.mode("errorifexists").parquet(s"$dstDir/hashes/batch=-1")
+    if (EventStreams.hasParquetFile(s"$srcDir/reports"))
+      spark.read.parquet(s"$srcDir/reports").drop("batch")
+        .write.mode("errorifexists").parquet(s"$dstDir/reports/batch=-1")
+    import spark.implicits._
+    val maxId = spark.read.parquet(s"$srcDir/docmax")
+      .agg(max(col("max_id"))).head().getLong(0)
+    Seq(maxId).toDF("max_id").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dstDir/docmax/batch=-1")
   }
 }

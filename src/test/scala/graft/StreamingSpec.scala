@@ -539,6 +539,52 @@ class StreamingSpec extends SpecBase {
     } finally query.stop()
   }
 
+  test("passage store compaction: a restarted stream continues on the swapped store; reuse fails loud") {
+    import graft.streaming.DocumentStreams
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, SfDir)
+      .select($"doc_id", $"text").collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val src = java.nio.file.Files.createTempDirectory("pstore_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("pstore").toString + "/compacted"
+
+    // two committed micro-batches into the source store
+    val sinkSrc = DocumentStreams.passageDedupSink(src) _
+    sinkSrc(chunks(0).toSeq.toDF("doc_id", "text"), 0L)
+    sinkSrc(chunks(1).toSeq.toDF("doc_id", "text"), 1L)
+    DocumentStreams.compactPassageStore(spark, src, dst)
+
+    // a RESTARTED stream (fresh checkpoint, batch ids from 0) continues on
+    // the compacted store: the sentinel batch=-1 survives its batch<0 read
+    DocumentStreams.passageDedupSink(dst)(chunks(2).toSeq.toDF("doc_id", "text"), 0L)
+    val streamed = spark.read.parquet(s"$dst/reports")
+      .select($"id", $"n_tokens", $"dup_windows", $"dup_tokens",
+        $"kept_tokens", $"dup_frac_1e4")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val batchTwin = Dedup
+      .duplicatePassages(Tables.documents(spark, SfDir), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == batchTwin,
+      s"stream-only ${(streamed -- batchTwin).take(3)}, " +
+        s"batch-only ${(batchTwin -- streamed).take(3)}")
+
+    // a reused destination must fail loud, not serve duplicate hash rows
+    val err = intercept[IllegalArgumentException] {
+      DocumentStreams.compactPassageStore(spark, src, dst)
+    }
+    assert(err.getMessage.contains("FRESH store"))
+    // and a non-store source must fail loud too
+    val empty = java.nio.file.Files.createTempDirectory("notastore").toString
+    val err2 = intercept[IllegalArgumentException] {
+      DocumentStreams.compactPassageStore(spark, empty,
+        java.nio.file.Files.createTempDirectory("pstore2").toString + "/x")
+    }
+    assert(err2.getMessage.contains("not a passage-dedup store"))
+  }
+
   test("composed corpus pipeline: curate -> build sink over 3 batches equals batch q88") {
     import graft.streaming.DocumentStreams
     import graft.streaming.DocumentStreams.Doc
