@@ -475,16 +475,28 @@ object DocumentStreams {
         s"$dstDir already carries $sub/ — compactPassageStore writes a " +
           "FRESH store; compact into a new dir and pointer-swap")
     }
+    // fold COMMITTED batches only: docmax is each batch's commit marker
+    // (written last), so a store whose final batch crashed mid-write
+    // carries orphan hashes/reports above the committed horizon — folding
+    // those would erase their batch identity and the post-swap REPLAY of
+    // that batch would see its own hashes as prior state (marking its
+    // first occurrences as duplicates) and duplicate its report rows
+    require(EventStreams.hasParquetFile(s"$srcDir/docmax"),
+      s"$srcDir has no committed batch (docmax/ absent) — nothing to compact")
+    val commit = spark.read.parquet(s"$srcDir/docmax")
+      .agg(max(col("batch")).cast("long").as("b"),
+        max(col("max_id")).cast("long").as("m")).head()
+    val (bCommit, maxId) = (commit.getLong(0), commit.getLong(1))
     // `batch` arrives as the partition column of every component read and
     // must not ride into the sentinel partition as a data column
-    spark.read.parquet(s"$srcDir/hashes").drop("batch")
+    spark.read.parquet(s"$srcDir/hashes").filter(col("batch") <= bCommit)
+      .drop("batch")
       .write.mode("errorifexists").parquet(s"$dstDir/hashes/batch=-1")
     if (EventStreams.hasParquetFile(s"$srcDir/reports"))
-      spark.read.parquet(s"$srcDir/reports").drop("batch")
+      spark.read.parquet(s"$srcDir/reports").filter(col("batch") <= bCommit)
+        .drop("batch")
         .write.mode("errorifexists").parquet(s"$dstDir/reports/batch=-1")
     import spark.implicits._
-    val maxId = spark.read.parquet(s"$srcDir/docmax")
-      .agg(max(col("max_id"))).head().getLong(0)
     Seq(maxId).toDF("max_id").coalesce(1)
       .write.mode("errorifexists").parquet(s"$dstDir/docmax/batch=-1")
   }

@@ -549,14 +549,27 @@ class StreamingSpec extends SpecBase {
     val src = java.nio.file.Files.createTempDirectory("pstore_src").toString
     val dst = java.nio.file.Files.createTempDirectory("pstore").toString + "/compacted"
 
-    // two committed micro-batches into the source store
+    // two committed micro-batches into the source store, then a CRASHED
+    // third: its hashes/reports landed but its docmax (the commit marker,
+    // written last) did not — compaction must not fold the orphans, or
+    // the post-swap replay would see its own hashes as prior state
     val sinkSrc = DocumentStreams.passageDedupSink(src) _
     sinkSrc(chunks(0).toSeq.toDF("doc_id", "text"), 0L)
     sinkSrc(chunks(1).toSeq.toDF("doc_id", "text"), 1L)
+    sinkSrc(chunks(2).toSeq.toDF("doc_id", "text"), 2L)
+    def rmr(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+    }
+    rmr(s"$src/docmax/batch=2")
     DocumentStreams.compactPassageStore(spark, src, dst)
+    assert(spark.read.parquet(s"$dst/reports").filter($"id".isin(
+        chunks(2).map(_._1).take(5): _*)).count() == 0,
+      "orphan uncommitted reports must not fold into the base")
 
-    // a RESTARTED stream (fresh checkpoint, batch ids from 0) continues on
-    // the compacted store: the sentinel batch=-1 survives its batch<0 read
+    // a RESTARTED stream (fresh checkpoint, batch ids from 0) replays the
+    // crashed chunk on the compacted store: the sentinel batch=-1
+    // survives its batch<0 read, and the replay marks cleanly
     DocumentStreams.passageDedupSink(dst)(chunks(2).toSeq.toDF("doc_id", "text"), 0L)
     val streamed = spark.read.parquet(s"$dst/reports")
       .select($"id", $"n_tokens", $"dup_windows", $"dup_tokens",
