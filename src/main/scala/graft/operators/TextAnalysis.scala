@@ -93,6 +93,51 @@ object TextAnalysis {
         XxHash64ArrayMin(Shingles(F.tokens(col(textCol)), w)).as("min_shingle_fp"))
   }
 
+  /** The Gopher quality-rule bundle (Rae et al. 2021, Table A1) as ONE
+    * named struct over a document's text — the single source of truth
+    * shared by the q165 report and every composition that only needs
+    * `passes` (the q169 datasheet, attribute-store taggers). All rules
+    * are in-order integer folds and exact rational divisions over the
+    * token/line arrays — no transcendentals, bit-deterministic across
+    * engines; struct-field extraction collapses at optimization time
+    * (SimplifyExtractValueOps), so consumers pay only the expressions
+    * they read. */
+  def gopherBundle(text: Column): Column = {
+    val toks = F.tokens(text)
+    val lines = split(text, "\n")
+    val nWords = size(toks)
+    val charSum = aggregate(transform(toks, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEll = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val nSym = nHash + nEll
+    val nAlpha = size(filter(toks, x => x.rlike("[a-z]")))
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => substring(l, 1, 1).isin("-", "*")))
+    val nEllEnd = size(filter(lines, l => l.endsWith("...")))
+    val meanLen = charSum.cast("double") / nWords
+    val symRatio = nSym.cast("double") / nWords
+    val rWords = nWords.between(50, 100000)
+    val rMeanLen = meanLen.between(3, 10)
+    val rSymbol = symRatio <= 0.1
+    val rAlpha = nAlpha.cast("double") / nWords >= 0.8
+    val rBullet = nBullet.cast("double") / nLines <= 0.9
+    val rEllipsis = nEllEnd.cast("double") / nLines <= 0.3
+    val rStop = stopHits >= 2
+    struct(
+      nWords.cast("long").as("n_words"),
+      round(meanLen * 10000, 0).cast("long").as("mean_wlen_1e4"),
+      round(symRatio * 10000, 0).cast("long").as("sym_ratio_1e4"),
+      stopHits.cast("long").as("stop_hits"),
+      rWords.as("r_words"), rMeanLen.as("r_mean_len"), rSymbol.as("r_symbol"),
+      rAlpha.as("r_alpha"), rBullet.as("r_bullet"), rEllipsis.as("r_ellipsis"),
+      rStop.as("r_stop"),
+      (rWords && rMeanLen && rSymbol && rAlpha && rBullet && rEllipsis && rStop)
+        .as("passes"))
+  }
+
   /** BM25 ranked retrieval: top-k documents per query, scored with the
     * Lucene/Robertson BM25 formula (idf = ln((N - df + 0.5)/(df + 0.5) + 1),
     * tf saturation k1, length normalization b against the corpus mean).

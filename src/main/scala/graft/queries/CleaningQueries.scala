@@ -302,42 +302,16 @@ object CleaningQueries {
         |  r_words AND r_mean_len AND r_symbol AND r_alpha
         |    AND r_bullet AND r_ellipsis AND r_stop AS passes
         |FROM r""".stripMargin) { (s, dir) =>
-      import graft.functions.F
-      val toks = F.tokens(col("text"))
-      val lines = split(col("text"), "\n")
-      val nWords = size(toks)
-      val charSum = aggregate(transform(toks, x => length(x).cast("long")),
-        lit(0L), (a, x) => a + x)
-      val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
-      val nEll = (length(col("text")) -
-        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
-      val nSym = nHash + nEll
-      val nAlpha = size(filter(toks, x => x.rlike("[a-z]")))
-      val stopHits = size(array_intersect(array_distinct(toks),
-        array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
-      val nLines = size(lines)
-      val nBullet = size(filter(lines, l => substring(l, 1, 1).isin("-", "*")))
-      val nEllEnd = size(filter(lines, l => l.endsWith("...")))
-      val meanLen = charSum.cast("double") / nWords
-      val symRatio = nSym.cast("double") / nWords
-      val rWords = nWords.between(50, 100000)
-      val rMeanLen = meanLen.between(3, 10)
-      val rSymbol = symRatio <= 0.1
-      val rAlpha = nAlpha.cast("double") / nWords >= 0.8
-      val rBullet = nBullet.cast("double") / nLines <= 0.9
-      val rEllipsis = nEllEnd.cast("double") / nLines <= 0.3
-      val rStop = stopHits >= 2
+      // the rule construction lives in TextAnalysis.gopherBundle — ONE
+      // source of truth for this report and every composition that only
+      // reads `passes` (q169's datasheet); field extraction collapses at
+      // optimization time, so this plan is identical to the inlined form
+      val b = graft.operators.TextAnalysis.gopherBundle(col("text"))
       Tables.documents(s, dir).select(
-        col("doc_id"),
-        nWords.cast("long").as("n_words"),
-        round(meanLen * 10000, 0).cast("long").as("mean_wlen_1e4"),
-        round(symRatio * 10000, 0).cast("long").as("sym_ratio_1e4"),
-        stopHits.cast("long").as("stop_hits"),
-        rWords.as("r_words"), rMeanLen.as("r_mean_len"), rSymbol.as("r_symbol"),
-        rAlpha.as("r_alpha"), rBullet.as("r_bullet"), rEllipsis.as("r_ellipsis"),
-        rStop.as("r_stop"),
-        (rWords && rMeanLen && rSymbol && rAlpha && rBullet && rEllipsis && rStop)
-          .as("passes"))
+        col("doc_id") +: ("n_words" :: "mean_wlen_1e4" :: "sym_ratio_1e4" ::
+          "stop_hits" :: "r_words" :: "r_mean_len" :: "r_symbol" ::
+          "r_alpha" :: "r_bullet" :: "r_ellipsis" :: "r_stop" ::
+          "passes" :: Nil).map(f => b.getField(f).as(f)): _*)
     },
 
     "q74_length_stats" -> QueryDef.of(

@@ -1151,6 +1151,94 @@ object CorpusQueries {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", qt, topK = 10)
     },
 
+    // q169: the per-source CORPUS DATASHEET — the "datasheets for
+    // datasets" artifact a training-data pipeline publishes per source:
+    // volume (docs/tokens/languages), quality (Gopher-rule pass rate,
+    // from the SAME TextAnalysis.gopherBundle q165 reports), and
+    // contamination-by-duplication (flagged docs + duplicated-token
+    // share from the q166 marking kernel). Everything aggregates from
+    // the two per-doc frames in ONE groupBy over ≤ #sources rows; the
+    // expensive parts are exactly q165's map-side pass and q166's single
+    // hash shuffle, composed — no new exchange shapes. Ratios integerize
+    // per lesson 27 (integer DIV after integer sums).
+    "q169_corpus_datasheet" -> QueryDef.of(
+      s"""WITH t AS (
+         |  SELECT doc_id, source, lang,
+         |    $toksSql AS toks,
+         |    string_split(text, chr(10)) AS lines,
+         |    length(text) - length(replace(text, '#', '')) AS n_hash,
+         |    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, source, lang,
+         |    len(toks) BETWEEN 50 AND 100000
+         |    AND CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x) AS DOUBLE) / len(toks) BETWEEN 3 AND 10
+         |    AND CAST(n_hash + n_ell AS DOUBLE) / len(toks) <= 0.1
+         |    AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) >= 0.8
+         |    AND CAST(len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*'))) AS DOUBLE) / len(lines) <= 0.9
+         |    AND CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines) <= 0.3
+         |    AND len(list_intersect(list_distinct(toks),
+         |          ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= 2 AS gp
+         |  FROM t
+         |), g AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    CASE WHEN len(toks) < 13 THEN [md5(array_to_string(toks, ' '))]
+         |         ELSE list_transform(range(1, len(toks) - 11), i -> md5(array_to_string(toks[i:i+12], ' ')))
+         |    END AS grams
+         |  FROM t
+         |), w AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, grams[i] AS h
+         |  FROM g CROSS JOIN LATERAL unnest(range(1, len(grams) + 1)) u(i)
+         |), c AS (
+         |  SELECT doc_id, pos,
+         |    COUNT(*) OVER (PARTITION BY h) AS cnt,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM w
+         |), d AS (
+         |  SELECT doc_id, list_sort(list(pos)) AS starts, COUNT(*) AS m
+         |  FROM c WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+         |), cov AS (
+         |  SELECT doc_id, m,
+         |    13 + coalesce(list_sum(list_transform(range(1, m), j -> least(13, starts[j+1] - starts[j]))), 0) AS rawcov
+         |  FROM d
+         |), perdoc AS (
+         |  SELECT p.doc_id, p.source, p.lang, p.gp, g.n_tokens,
+         |    coalesce(cov.m, 0) AS dup_windows,
+         |    least(coalesce(cov.rawcov, 0), g.n_tokens) AS dup_tokens
+         |  FROM p JOIN g ON p.doc_id = g.doc_id LEFT JOIN cov ON p.doc_id = cov.doc_id
+         |)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(SUM(CASE WHEN gp THEN 1 ELSE 0 END) AS BIGINT) AS gopher_pass,
+         |  CAST((SUM(CASE WHEN gp THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS gopher_pass_1e4,
+         |  CAST(SUM(CASE WHEN dup_windows > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+         |  CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+         |  CAST((SUM(dup_tokens) * 1000000) // SUM(n_tokens) AS BIGINT) AS dup_share_1e6
+         |FROM perdoc GROUP BY source
+         |""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val gp = docs.select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.gopherBundle(col("text")).getField("passes").as("gp"))
+      val rep = Dedup.duplicatePassages(docs, "doc_id", "text", k = 13)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("dup_windows"), col("dup_tokens"))
+      gp.join(rep, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("docs"),
+          sum(col("n_tokens")).cast("long").as("tokens"),
+          countDistinct(col("lang")).cast("long").as("n_langs"),
+          sum(when(col("gp"), 1).otherwise(0)).cast("long").as("gopher_pass"),
+          sum(when(col("dup_windows") > 0, 1).otherwise(0)).cast("long").as("dup_docs"),
+          sum(col("dup_tokens")).cast("long").as("dup_tokens"))
+        .withColumn("gopher_pass_1e4",
+          expr("CAST((gopher_pass * 10000) DIV docs AS BIGINT)"))
+        .withColumn("dup_share_1e6",
+          expr("CAST((dup_tokens * 1000000) DIV tokens AS BIGINT)"))
+    },
+
     // q118: TOKEN CO-OCCURRENCE counts — the PMI/word-association input
     // (collocation mining, embedding-training statistics). Emits the
     // EXACT INTEGER components (c_ab, c_a, c_b, n_docs) — PMI itself is
