@@ -85,11 +85,30 @@ object Dedup {
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     val base = df.select(col(idCol).as("id"), F.tokens(col(textCol)).as("toks"))
-    val cleaned = base.join(starts, Seq("id"), "left")
+    // Fold the sorted fixed-width starts into DISJOINT merged intervals
+    // ONCE per row before masking: with equal window width, a start opens
+    // a new interval iff its gap from the previous start is >= k, so the
+    // begin/end lists derive from the consecutive-pair arrays. The
+    // per-token mask then scans #intervals — a near-fully-duplicated
+    // boilerplate doc has O(n_tokens) marked starts but O(1) merged
+    // intervals, where an exists() over the raw starts would be O(n²)
+    // inside a single row (these HOFs are interpreted; see lesson 47).
+    val prevs = slice(col("starts"), lit(1), size(col("starts")) - 1)
+    val nexts = slice(col("starts"), lit(2), size(col("starts")) - 1)
+    val withIv = starts.select(col("id"),
+        array_compact(concat(
+          slice(col("starts"), lit(1), lit(1)),
+          zip_with(nexts, prevs, (c, p) => when(c - p >= k, c)))).as("ivb"),
+        array_compact(concat(
+          zip_with(prevs, nexts, (p, c) => when(c - p >= k, p + (k - 1))),
+          array(element_at(col("starts"), -1) + (k - 1)))).as("ive"))
+      .select(col("id"), arrays_zip(col("ivb"), col("ive")).as("iv"))
+    val cleaned = base.join(withIv, Seq("id"), "left")
       .select(col("id"), size(col("toks")).cast("long").as("n_tokens"),
         filter(col("toks"), (x, i) => !exists(
-          coalesce(col("starts"), array().cast("array<bigint>")),
-          s => (i + 1) >= s && (i + 1) < s + k)).as("kept"))
+          coalesce(col("iv"), array().cast("array<struct<ivb:bigint,ive:bigint>>")),
+          s => (i + 1) >= s.getField("ivb") && (i + 1) <= s.getField("ive")))
+          .as("kept"))
     cleaned.select(col("id"), col("n_tokens"),
       size(col("kept")).cast("long").as("kept_tokens"),
       array_join(col("kept"), " ").as("kept_text"))
@@ -98,17 +117,18 @@ object Dedup {
   /** Corpus-wide duplicate-window marking: every (id, pos) window
     * occurrence whose hash occurs more than once, EXCEPT the
     * corpus-first (min (id, pos)) occurrence of each hash. One shuffle
-    * keyed on the window hash; both window functions share the single
-    * sorted partition. */
+    * keyed on the window hash, ONE window function: rn > 1 alone is the
+    * whole predicate — a row_number above 1 already proves a second
+    * occurrence exists, so an occurrence-count window would be dead
+    * weight (the streaming twin's `in_prior || rn > 1` is the same
+    * observation). */
   private[graft] def passageMarked(df: DataFrame, idCol: String,
                                    textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byHash = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
     passageWindows(df, idCol, textCol, k)
-      .withColumn("cnt", count(lit(1)).over(byHash
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("rn", row_number().over(byHash))
-      .filter(col("cnt") > 1 && col("rn") > 1)
+      .filter(col("rn") > 1)
       .select(col("id"), col("pos"))
   }
 

@@ -1192,12 +1192,11 @@ object CorpusQueries {
          |  FROM g CROSS JOIN LATERAL unnest(range(1, len(grams) + 1)) u(i)
          |), c AS (
          |  SELECT doc_id, pos,
-         |    COUNT(*) OVER (PARTITION BY h) AS cnt,
          |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
          |  FROM w
          |), d AS (
          |  SELECT doc_id, list_sort(list(pos)) AS starts, COUNT(*) AS m
-         |  FROM c WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+         |  FROM c WHERE rn > 1 GROUP BY doc_id
          |), cov AS (
          |  SELECT doc_id, m,
          |    13 + coalesce(list_sum(list_transform(range(1, m), j -> least(13, starts[j+1] - starts[j]))), 0) AS rawcov
@@ -1235,8 +1234,12 @@ object CorpusQueries {
           sum(col("dup_tokens")).cast("long").as("dup_tokens"))
         .withColumn("gopher_pass_1e4",
           expr("CAST((gopher_pass * 10000) DIV docs AS BIGINT)"))
+        // dup_tokens is token-count-sized: a trillion-token source times
+        // 1e6 overflows a long, so the scale step widens to DECIMAL(38,0)
+        // (DuckDB's SUM already returns HUGEINT — the widening keeps the
+        // engines on the same value everywhere a long would wrap)
         .withColumn("dup_share_1e6",
-          expr("CAST((dup_tokens * 1000000) DIV tokens AS BIGINT)"))
+          expr("CAST((CAST(dup_tokens AS DECIMAL(38,0)) * 1000000) DIV tokens AS BIGINT)"))
     },
 
     // q118: TOKEN CO-OCCURRENCE counts — the PMI/word-association input

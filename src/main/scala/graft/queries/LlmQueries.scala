@@ -226,12 +226,11 @@ object LlmQueries {
         |  FROM g CROSS JOIN LATERAL unnest(range(1, len(grams) + 1)) u(i)
         |), c AS (
         |  SELECT doc_id, pos,
-        |    COUNT(*) OVER (PARTITION BY h) AS cnt,
         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
         |  FROM w
         |), d AS (
         |  SELECT doc_id, list_sort(list(pos)) AS starts, COUNT(*) AS m
-        |  FROM c WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+        |  FROM c WHERE rn > 1 GROUP BY doc_id
         |), cov AS (
         |  SELECT doc_id, m,
         |    13 + coalesce(list_sum(list_transform(range(1, m), j -> least(13, starts[j+1] - starts[j]))), 0) AS rawcov
@@ -270,12 +269,11 @@ object LlmQueries {
         |  FROM g CROSS JOIN LATERAL unnest(range(1, len(grams) + 1)) u(i)
         |), c AS (
         |  SELECT doc_id, pos,
-        |    COUNT(*) OVER (PARTITION BY h) AS cnt,
         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
         |  FROM w
         |), d AS (
         |  SELECT doc_id, list_sort(list(pos)) AS starts
-        |  FROM c WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+        |  FROM c WHERE rn > 1 GROUP BY doc_id
         |), m AS (
         |  SELECT g.doc_id, g.toks,
         |    list_filter(g.toks, (x, i) ->

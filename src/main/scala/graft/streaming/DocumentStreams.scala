@@ -386,8 +386,12 @@ object DocumentStreams {
     * ascending id order — the [[clusterMaintenanceSink]] contract) the
     * union of `reports` EQUALS batch q166 over the union corpus
     * row-for-row: the global corpus-first (min (id, pos)) is then always
-    * the first-arriving occurrence. Without monotone arrival the sink
-    * still implements first-ARRIVAL-wins, the streaming-native keep rule.
+    * the first-arriving occurrence. The contract is a REQUIREMENT, not a
+    * preference: the docmax guard that makes redelivery idempotent
+    * cannot tell a replayed row from a never-seen row with a low id, so
+    * an out-of-contract doc (backfill, out-of-order source) is DROPPED —
+    * no report row, no store entry. Backfills go through the batch
+    * operator (or a store rebuild), not this sink.
     *
     * Per-batch cost: the store join is batch-windows × store-hashes on
     * `h` — the read side grows with corpus hash cardinality (the same
