@@ -46,22 +46,29 @@ object Dedup {
     * Every k-token window is hashed ([[shingles]], so a doc shorter than k
     * is ONE whole-doc passage and short exact dups are still caught); a
     * hash seen more than once corpus-wide is a duplicated passage, and
-    * every occurrence except the corpus-first (row_number over the hash
-    * partition ordered by (id, pos) — a TOTAL order, so the keep choice is
-    * engine-independent) is marked for removal. Per doc the marked window
+    * every occurrence except the corpus-first (the min (id, pos) struct —
+    * a TOTAL order, so the keep choice is engine-independent) is marked
+    * for removal. Per doc the marked window
     * starts fold into merged-interval coverage — consecutive sorted starts
     * contribute min(k, gap), the last start contributes k, clamped to the
     * doc length (exact: a short-doc fallback window covers exactly the
     * doc) — i.e. the EXACT token count a remove-duplicated-passages pass
     * would cut, with overlapping windows counted once.
     *
-    * Cost shape: ONE shuffle keyed on the 128-bit window hash (the wire
-    * carries (hash, id, pos), never text) plus one per-doc aggregation —
-    * both linear in corpus token count, no all-pairs anywhere, so the plan
-    * survives any corpus scale. Hash-partition skew is bounded by each
-    * hash's own occurrence list (boilerplate passages repeated millions of
-    * times are real at web scale — AQE's skew handling applies because
-    * the marking is a plain window, not a join).
+    * Cost shape: one shuffle keyed on the 128-bit window hash (the wire
+    * carries (hash, id, pos), never text) plus a map-side-combined
+    * hot-hash detection aggregate and one per-doc aggregation — all
+    * linear in corpus token count, no all-pairs anywhere. Skew posture:
+    * a boilerplate passage repeated 1e8-1e9 times at web scale would put
+    * its ENTIRE occurrence list into a single window task's sort — and
+    * Spark's AQE skew mitigation rewrites only joins and rebalance
+    * nodes, never window partitions, so nothing would split it. The
+    * marking therefore routes HOT hashes (detected by the combined
+    * count, which collapses the mega-key map-side) through a broadcast
+    * of their first occurrences — they never enter any exchange — while
+    * cold hashes keep the window with per-key lists bounded by
+    * [[HotHashThreshold]]. See [[passageMarked]] and ProfPassageSkew
+    * (SURVEY lesson 49).
     *
     * Returns one row per input doc: (id, n_tokens, dup_windows,
     * dup_tokens, kept_tokens, dup_frac_1e4). */
@@ -114,16 +121,126 @@ object Dedup {
       array_join(col("kept"), " ").as("kept_text"))
   }
 
+  /** Occurrence threshold above which a window hash counts as HOT in
+    * [[joinPerHash]]. Sized so (a) a cold key's occurrence list is a few
+    * MB at most inside its shuffle partition and (b) the hot set stays
+    * broadcastable by counting: #hot ≤ corpus_windows / threshold, and
+    * real web corpora carry thousands of boilerplate mega-passages, not
+    * millions. */
+  private[graft] val HotHashThreshold = 100000L
+
+  /** Skew-safe inner equi-join of per-occurrence rows against a per-hash
+    * frame on `h`. `perHash` must be one row per hash and carry `cntCol`
+    * (that hash's occurrence count in `wins`). Hashes above
+    * `hotThreshold` join through a BROADCAST — their occurrences are
+    * resolved map-side and never enter a shuffle — while the cold
+    * remainder takes a plain shuffled join whose per-key row count is
+    * bounded by the threshold (md5 keys distribute uniformly, so
+    * bounded keys ⇒ balanced partitions). This is deliberate static skew
+    * handling, NOT a bet on AQE: OptimizeSkewedJoin pattern-matches
+    * joins whose children are bare shuffle stages, and the build side
+    * here reaches the join through its aggregate, so the runtime rewrite
+    * never fires on this shape (and windows it never covers at all).
+    *
+    * The hot machinery costs two extra corpus map passes (both probe
+    * branches re-derive `wins`), so it is GATED on hot keys actually
+    * existing: one `isEmpty` probe of the per-hash frame — `perHash` MUST
+    * therefore be checkpointed by the caller (the probe and the hot/cold
+    * filters then scan the materialized per-hash rows, never the corpus).
+    * With no hot keys (every test corpus; most curated sources) the
+    * plan IS the plain single join, and its per-key rows are ≤ threshold
+    * by the same predicate that found no hot keys. `wins` stays lazy
+    * lineage (scan → explode → md5), deliberately recomputed per branch
+    * instead of materializing a corpus-token-sized frame. The cold/plain
+    * join is left to the planner: a shuffled-hash hint was measured OOMing
+    * on the build side (the per-hash frame is distinct-hash-sized and the
+    * SHJ hash map must fit per task), while sort-merge spills — AQE still
+    * converts to SHJ at runtime where the stats say it is safe. */
+  private[graft] def joinPerHash(wins: DataFrame, perHash: DataFrame,
+                                 cntCol: String,
+                                 hotThreshold: Long = HotHashThreshold): DataFrame = {
+    val payload = perHash.columns.filter(c => c != "h" && c != cntCol)
+    def side(p: DataFrame) = p.select(col("h") +: payload.map(col): _*)
+    val hot = side(perHash.filter(col(cntCol) > hotThreshold))
+    if (hot.isEmpty) {
+      wins.join(side(perHash), Seq("h"))
+    } else {
+      val cold = side(perHash.filter(col(cntCol) <= hotThreshold))
+      val hotHit = wins.join(
+          broadcast(hot.withColumnRenamed("h", "__hot_h")),
+          col("h") === col("__hot_h"), "left")
+      val hotRows = hotHit.filter(col("__hot_h").isNotNull).drop("__hot_h")
+      val coldRows = hotHit.filter(col("__hot_h").isNull)
+        .select(wins.columns.map(col): _*)
+        .join(cold, Seq("h"))
+      hotRows.unionByName(coldRows)
+    }
+  }
+
   /** Corpus-wide duplicate-window marking: every (id, pos) window
     * occurrence whose hash occurs more than once, EXCEPT the
-    * corpus-first (min (id, pos)) occurrence of each hash. One shuffle
-    * keyed on the window hash, ONE window function: rn > 1 alone is the
-    * whole predicate — a row_number above 1 already proves a second
-    * occurrence exists, so an occurrence-count window would be dead
-    * weight (the streaming twin's `in_prior || rn > 1` is the same
-    * observation). */
+    * corpus-first (min (id, pos)) occurrence of each hash.
+    *
+    * Skew posture. The natural encoding is ONE row_number window
+    * partitioned by the hash ([[passageMarkedWindow]]) — but a
+    * boilerplate passage repeated 1e8-1e9 times at web scale then sorts
+    * its ENTIRE occurrence list in a single task that nothing can split:
+    * Spark's AQE skew mitigation rewrites joins and rebalance nodes
+    * only, never window partitions. So the marking first detects HOT
+    * hashes with a map-side-combined (min, count) aggregate (the partial
+    * combine collapses the mega-key to one row per input split — the
+    * ProfSkew agg_skew observation), then routes: hot occurrences
+    * resolve MAP-SIDE against a broadcast of their hashes' firsts (a
+    * mega-key never enters any exchange), cold occurrences keep the
+    * window — now with per-key occurrence lists bounded by
+    * [[HotHashThreshold]] and md5-uniform keys, i.e. balanced by
+    * construction. Splitting the keys never changes the result: each
+    * branch marks exactly its keys' non-first occurrences (DedupSpec
+    * pins branch-form ≡ window-form; ProfPassageSkew measures the
+    * straggler curve — lesson 49).
+    *
+    * With NO hot hashes — every verification corpus, most curated
+    * sources — the gate (one isEmpty probe of the checkpointed per-hash
+    * aggregate) collapses the plan to exactly the single-window form;
+    * the detection aggregate is then the only cost over the naive
+    * encoding, and it is the one thing that cannot be skipped: hotness
+    * is a corpus-wide count. The window lineage (scan → explode → md5)
+    * is recomputed per branch rather than checkpointed — map-only,
+    * column-pruned CPU vs materializing a corpus-token-sized frame. */
   private[graft] def passageMarked(df: DataFrame, idCol: String,
                                    textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = passageWindows(df, idCol, textCol, k)
+    val byHash = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
+    def windowMarked(w: DataFrame) = w
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") > 1)
+      .select(col("id"), col("pos"))
+    val hot = wins
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > HotHashThreshold)
+      .select(col("h").as("__hot_h"), col("first").as("__first"))
+      .localCheckpoint(false)
+    if (hot.isEmpty) windowMarked(wins)
+    else {
+      val probed = wins.join(broadcast(hot), col("h") === col("__hot_h"), "left")
+      val hotMarked = probed.filter(col("__hot_h").isNotNull
+          && struct(col("id"), col("pos")) =!= col("__first"))
+        .select(col("id"), col("pos"))
+      val coldMarked = windowMarked(
+        probed.filter(col("__hot_h").isNull).select(col("h"), col("id"), col("pos")))
+      hotMarked.unionByName(coldMarked)
+    }
+  }
+
+  /** The row_number-window encoding of [[passageMarked]] — kept solely as
+    * the oracle twin (DedupSpec pins set equality on the real corpus).
+    * NOT for production use: the window partitions by the hash, so a
+    * boilerplate mega-key serializes in one task (see [[passageMarked]]). */
+  private[graft] def passageMarkedWindow(df: DataFrame, idCol: String,
+                                         textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byHash = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
     passageWindows(df, idCol, textCol, k)

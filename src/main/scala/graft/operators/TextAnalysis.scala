@@ -192,6 +192,21 @@ object TextAnalysis {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("tok"))).cast("long"))
     val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    bm25Rank(withDf, dl, stats, qTerms, topK, k1, b)
+  }
+
+  /** The shared BM25 ranking tail: per-term contribution → integer score
+    * sum → bounded-heap top-k. `postings` carries (tok, doc_id, tf, df);
+    * `dl` (doc_id, dl); `stats` ONE row (n_docs, sum_dl); `qTerms`
+    * (query_id, tok), broadcast-small by the [[bm25TopK]] contract. The
+    * expression TREE here is the oracle-parity surface (idf ln-rounded
+    * once at 4dp, per-term 1e4 integerization, integer sum) — both the
+    * corpus-priced path ([[bm25TopK]]) and the saved-artifact path
+    * ([[Retrieval.bm25TopKFromSaved]]) rank through this one kernel, so
+    * they agree bit-for-bit by construction. */
+  private[graft] def bm25Rank(postings: DataFrame, dl: DataFrame,
+                              stats: DataFrame, qTerms: DataFrame, topK: Int,
+                              k1: Double, b: Double): DataFrame = {
     val idf4 = round(log(
       (col("n_docs").cast("double") - col("df") + lit(0.5))
         / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 4)
@@ -199,7 +214,7 @@ object TextAnalysis {
     val den = col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
       + lit(b) * (col("dl") * col("n_docs")).cast("double")
         / col("sum_dl").cast("double"))
-    val contrib = withDf
+    val contrib = postings
       .join(broadcast(qTerms), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))

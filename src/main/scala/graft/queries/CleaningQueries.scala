@@ -574,6 +574,75 @@ object CleaningQueries {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("text")).as("n_forms"),
           min(col("k")).as("keep_id"))
+    },
+
+    // q171: URL CANONICALIZATION + per-domain rollup — the crawl step
+    // UPSTREAM of content dedup (RefinedWeb's URL-level pass): the same
+    // page re-fetched as HTTPS://WWW.Site.COM:443/Dir/?b=1&utm_source=x#f
+    // and https://site.com/Dir?b=1 must collide on one canonical key
+    // before q22 ever hashes bodies. Synthetic messy URLs derive
+    // deterministically per doc (uppercase scheme/host, default port,
+    // trailing slash, unsorted + tracking params, fragment) so both
+    // engines canonicalize identical inputs. The blocklist gate is a
+    // BROADCAST anti-join (a real blocklist is a side table, not a SQL
+    // literal — the oracle replays it as NOT IN). Plan shape: the whole
+    // canonicalization is a codegen'd regexp/split/sort chain (zero
+    // shuffles, no interpreted lambdas), then ONE rollup exchange on the
+    // domain; min/max canonical URLs surface the key normalization
+    // through the hash gate without a second (distinct) exchange.
+    "q171_url_canonical" -> QueryDef.of(
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Site-' || CAST(doc_id % 37 AS VARCHAR) || '.COM'
+        |      || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+        |      || '/Dir/Page-' || CAST(doc_id % 7 AS VARCHAR)
+        |      || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |      || '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&a=1'
+        |      || CASE WHEN doc_id % 2 = 0 THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |      || '#sec' AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(80|443)$', '') AS host,
+        |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+        |    regexp_replace(regexp_replace(regexp_extract(url, '\?([^#]*)', 1), '(^|&)(utm_[^=&]*|gclid|fbclid|ref)=[^&]*', '', 'g'), '^&+', '') AS cleaned
+        |  FROM raw
+        |), canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(host, '^www\.', '') AS domain,
+        |    scheme || '://' || host || path ||
+        |      CASE WHEN cleaned = '' THEN ''
+        |           ELSE '?' || array_to_string(list_sort(string_split(cleaned, '&')), '&') END AS canon
+        |  FROM parts
+        |)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  min(canon) AS first_url, max(canon) AS last_url
+        |FROM canon
+        |WHERE domain NOT IN ('site-0.com', 'site-7.com', 'site-13.com')
+        |GROUP BY domain
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Urls
+      val d = col("doc_id")
+      val url = concat(
+        lit("HTTPS://WWW.Site-"), (d % 37).cast("string"), lit(".COM"),
+        when(d % 4 === 0, ":443").otherwise(""),
+        lit("/Dir/Page-"), (d % 7).cast("string"),
+        when(d % 3 === 0, "/").otherwise(""),
+        lit("?b="), (d % 5).cast("string"), lit("&utm_source=feed&a=1"),
+        when(d % 2 === 0, concat(lit("&gclid=g"), d.cast("string"))).otherwise(""),
+        lit("#sec"))
+      val blocked = Seq("site-0.com", "site-7.com", "site-13.com").toDF("domain")
+      Tables.documents(s, dir)
+        .select(d, url.as("url"))
+        .select(Urls.urlDomain(col("url")).as("domain"),
+          Urls.canonicalUrl(col("url")).as("canon"))
+        .join(broadcast(blocked), Seq("domain"), "left_anti")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).cast("long").as("n_urls"),
+          min(col("canon")).as("first_url"),
+          max(col("canon")).as("last_url"))
     }
   )
 

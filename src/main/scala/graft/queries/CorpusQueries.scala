@@ -426,13 +426,30 @@ object CorpusQueries {
       val existing = hashed.filter(!col("incoming"))
         .select(col("text_hash")).distinct()
         .withColumn("seen", lit(true))
+      // Everything per-hash folds into ONE frame first — batch-first id
+      // and copy count from a map-side-combined aggregate (the mega-key
+      // collapses per input split), store membership from a hash×hash
+      // join (one row per side per hash: balanced by construction) —
+      // and the per-occurrence delivery goes through the skew-safe
+      // Dedup.joinPerHash (hot hashes broadcast and never shuffle; cold
+      // hashes are per-key bounded). The r9 row_number window partitioned
+      // by the content hash would sort a boilerplate mega-key's whole
+      // copy list in one task, and AQE skew handling splits joins, never
+      // windows. This is the passageDedupSink shape applied to exact
+      // dedup (the streaming twin StreamingSpec pins against this query).
       val incoming = hashed.filter(col("incoming"))
-        .withColumn("rn",
-          row_number().over(Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))))
-      incoming.join(existing, Seq("text_hash"), "left")
-        .select(col("doc_id"), col("text_hash"),
+      val perHash = incoming.groupBy(col("text_hash"))
+        .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("cnt"))
+        .join(existing, Seq("text_hash"), "left")
+        .withColumn("seen", coalesce(col("seen"), lit(false)))
+        .withColumnRenamed("text_hash", "h")
+        .localCheckpoint(false)
+      graft.operators.Dedup.joinPerHash(
+          incoming.withColumnRenamed("text_hash", "h"), perHash, "cnt")
+        .select(col("doc_id"), col("h").as("text_hash"),
           when(col("seen"), 1L).otherwise(0L).as("dup_vs_corpus"),
-          when(col("seen").isNull && col("rn") === 1, 1L).otherwise(0L).as("keep"))
+          when(!col("seen") && col("doc_id") === col("first_id"), 1L)
+            .otherwise(0L).as("keep"))
     },
 
     // q82: deterministic global shuffle into training shards — the last

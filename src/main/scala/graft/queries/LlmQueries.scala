@@ -657,6 +657,28 @@ object LlmQueries {
         tau = 0.3)
     },
 
+    // q170: SemDeDup's SCALE form — the SAME operator as q161, but over
+    // LEARNED IVF cells (the paper's actual k-means setting, the path
+    // SemDedupSpec pins): the coarse quantizer q40's index already
+    // maintains assigns every embedding to a cell, and the quadratic
+    // pair join is bounded by CELL CAPACITY, not by whatever the given
+    // label column happens to hold — cell count scales with the corpus
+    // (the paper's tractability argument), so per-cell membership and
+    // with it the per-key pair fan-out stay bounded as the corpus grows
+    // (q161's given-label form exists as the SQL-expressible ORACLE gate;
+    // this is the form a production run executes). Rows-only: k-means
+    // centroids are float-iterative; SemDedupSpec pins partition/keep-
+    // rule/tau-monotonicity over exactly this assignment.
+    "q170_semdedup_ivf" -> QueryDef.rowsOnly { (s, dir) =>
+      Similarity.semDedup(
+        Similarity.ivfIndex(Tables.embeddings(s, dir), nLists = 8, seed = 42L,
+            trainMod = 2)
+          .assigned
+          .select(col("vec_id").as("id"), col("cell").cast("long").as("cluster"),
+            col("embedding")),
+        tau = 0.3)
+    },
+
     // q28: language-ID heuristic (stopword-hit scoring).
     "q28_langid" -> QueryDef.of(
       s"""WITH t AS (

@@ -81,8 +81,13 @@ object SamplingQueries {
     // q71: frequency-capped soft dedup — keep up to 2 copies per exact
     // content hash instead of collapsing to 1 (repetition control: some
     // duplication is signal, unbounded duplication is memorization risk).
-    // The min_by dedup generalizes to a window rank capped at N; the
-    // shuffle key is the 16-byte hash, never the document body.
+    // The shuffle key is the 16-byte hash, never the document body.
+    // Skew posture (round-10): rank <= cap routes through the bounded-heap
+    // TopKPerKey plan node (≤ cap rows per hash per input split ever
+    // shuffle) and n_copies through a map-side-combined count joined back
+    // — the earlier row_number/count windows partitioned by the hash put
+    // a mega-duplicated boilerplate doc's whole copy list into ONE window
+    // task, and AQE skew handling splits joins, never windows.
     "q71_soft_dedup_cap" -> QueryDef.of(
       """SELECT doc_id, text_hash, copy_rank, n_copies FROM (
         |  SELECT doc_id, text_hash,
@@ -97,12 +102,13 @@ object SamplingQueries {
       val hashed = Tables.documents(s, dir)
         .select(col("doc_id"),
           md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"))
-      val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
-      hashed
-        .withColumn("copy_rank", row_number().over(w).cast("long"))
-        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("text_hash"))).cast("long"))
-        .filter(col("copy_rank") <= 2)
-        .select(col("doc_id"), col("text_hash"), col("copy_rank"), col("n_copies"))
+      val counts = hashed.groupBy(col("text_hash"))
+        .agg(count(lit(1)).cast("long").as("n_copies"))
+      graft.operators.TopK.topKWithRank(hashed, col("text_hash"),
+          Seq(col("doc_id")), 2, "copy_rank")
+        .join(counts, Seq("text_hash"))
+        .select(col("doc_id"), col("text_hash"),
+          col("copy_rank").cast("long").as("copy_rank"), col("n_copies"))
     },
 
     // q72: the composed curation pipeline — quality gate -> exact dedup

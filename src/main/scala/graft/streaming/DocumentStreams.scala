@@ -430,30 +430,50 @@ object DocumentStreams {
     // disk (they land before its docmax), so returning re-commits nothing
     if (freshMax.isEmpty) return
     val wins = Dedup.passageWindows(fresh, "doc_id", "text", k)
-    val withPrior = priorOnly(hashesRoot) match {
-      case Some(p) => wins.join(
+    // Batch-first occurrence per hash via a map-side-combined min/count
+    // aggregate + the skew-safe join back (Dedup.joinPerHash: boilerplate
+    // mega-keys broadcast and never shuffle; cold keys are bounded per
+    // key) — the batch Dedup.passageMarked posture: a row_number window
+    // partitioned by `h` would serialize a mega-key's whole occurrence
+    // list in one unsplittable task (AQE skew handling covers bare-
+    // shuffle joins only, never windows). The per-hash frame (one row
+    // per distinct batch hash) also carries the store membership flag, so
+    // the store join happens once at hash granularity, not per
+    // occurrence; it is checkpointed because the hot and cold branches
+    // both read it.
+    val firsts = wins.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+    val perHash = (priorOnly(hashesRoot) match {
+      case Some(p) => firsts.join(
           p.select(col("h")).withColumn("in_prior", lit(true)), Seq("h"), "left")
         .withColumn("in_prior", coalesce(col("in_prior"), lit(false)))
-      case None => wins.withColumn("in_prior", lit(false))
-    }
+      case None => firsts.withColumn("in_prior", lit(false))
+    }).localCheckpoint(false)
     // flagged feeds both the marking and the store append — materialize
     // once (the corpusBuildSink cache posture; checkpoint also cuts the
-    // store-join lineage out of both consumers)
-    val flagged = withPrior
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
-      .localCheckpoint(true)
-    val marked = flagged.filter(col("in_prior") || col("rn") > 1)
-      .select(col("id"), col("pos"))
-    Dedup.passageCoverage(marked, Dedup.passageBase(fresh, "doc_id", "text"), k)
-      .write.mode("overwrite").parquet(s"$reportsRoot/batch=$batchId")
-    // every first occurrence enters the store, singletons included — a
-    // future batch must see them to mark ITS copy
-    flagged.filter(!col("in_prior") && col("rn") === 1)
-      .select(col("h"), col("id"), col("pos"))
-      .write.mode("overwrite").parquet(s"$hashesRoot/batch=$batchId")
-    Seq(freshMax.get).toDF("max_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$maxRoot/batch=$batchId")
+    // store-join lineage out of both consumers), and unpersist once both
+    // consumers have written: localCheckpoint blocks otherwise live until
+    // a driver GC runs ContextCleaner, accumulating across micro-batches
+    val flagged = Dedup.joinPerHash(wins, perHash, "cnt").localCheckpoint(true)
+    try {
+      val marked = flagged.filter(
+          col("in_prior") || struct(col("id"), col("pos")) =!= col("first"))
+        .select(col("id"), col("pos"))
+      Dedup.passageCoverage(marked, Dedup.passageBase(fresh, "doc_id", "text"), k)
+        .write.mode("overwrite").parquet(s"$reportsRoot/batch=$batchId")
+      // every first occurrence enters the store, singletons included — a
+      // future batch must see them to mark ITS copy
+      flagged.filter(
+          !col("in_prior") && struct(col("id"), col("pos")) === col("first"))
+        .select(col("h"), col("id"), col("pos"))
+        .write.mode("overwrite").parquet(s"$hashesRoot/batch=$batchId")
+      Seq(freshMax.get).toDF("max_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$maxRoot/batch=$batchId")
+    } finally {
+      flagged.unpersist(false)
+      perHash.unpersist(false)
+    }
   }
 
   /** Compact a [[passageDedupSink]] store: fold every per-batch delta

@@ -358,6 +358,22 @@ class DedupSpec extends SpecBase {
     assert(corpus == corpusReport)
   }
 
+  test("passageMarked: the skew-safe min-agg + join-back form equals the window form") {
+    // The production marking is groupBy(h).agg(min(struct(id,pos))) +
+    // join back (map-side combine collapses a boilerplate mega-key; AQE
+    // skew-join splits the probe side — neither applies to a window
+    // partitioned by the hash). The row_number encoding stays as the
+    // oracle twin; both must mark the identical occurrence set.
+    for (k <- Seq(3, 13)) {
+      val agg = Dedup.passageMarked(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val win = Dedup.passageMarkedWindow(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(agg == win, s"k=$k: agg-form marking diverged from window form")
+      assert(agg.nonEmpty, s"k=$k: no marked occurrences; weak data")
+    }
+  }
+
   test("duplicatePassages: per-doc accounting is conserved on the real corpus") {
     val r = Dedup.duplicatePassages(docs, "doc_id", "text").collect()
     assert(r.length == docs.count())

@@ -133,20 +133,34 @@ class PlanSpec extends SpecBase {
     }
   }
 
-  test("q68/q69 stay shuffle-free; q70/q71 shuffle once on their key") {
+  test("q68/q69 stay shuffle-free; q70 shuffles once on its key") {
     // q68 is a union of per-row scans and q69 a hash-filtered scan —
-    // neither may grow an exchange. The packing/capping windows shuffle
-    // exactly once (shard key / content hash).
+    // neither may grow an exchange. The packing window shuffles exactly
+    // once (shard key).
     for (q <- Seq("q68_preprocess", "q69_stratified_sample")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q must be exchange-free:\n${p.take(600)}")
     }
-    for (q <- Seq("q70_pack_sequences", "q71_soft_dedup_cap")) {
-      val p = plan(q)
-      val shuffles = p.linesIterator.count(l =>
-        l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
-      assert(shuffles == 1, s"$q expected exactly 1 shuffle exchange, got $shuffles")
-    }
+    val p70 = plan("q70_pack_sequences")
+    val shuffles70 = p70.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(shuffles70 == 1, s"q70 expected exactly 1 shuffle exchange, got $shuffles70")
+  }
+
+  test("q71 caps copies through TopKPerKey, not a hash-partitioned window") {
+    // Round-10 skew posture: rank <= cap is the bounded-heap trim (≤ cap
+    // rows per hash per input split ever shuffle) and n_copies a map-side
+    // combined count joined back on the hash — two exchanges total, and
+    // NO window over the raw (untrimmed) frame: a row_number/count window
+    // partitioned by the content hash would sort a boilerplate mega-key's
+    // whole copy list in one task AQE cannot split (skew handling rewrites
+    // joins, never windows).
+    val p = plan("q71_soft_dedup_cap")
+    assert(p.contains("TopKPerKey"), "q71 must trim through the TopKPerKey node")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(shuffles == 2, s"q71 expected exactly 2 shuffle exchanges " +
+      s"(bounded-heap trim + combined count), got $shuffles")
   }
 
   test("q84 stays shuffle-free; q82 shuffles once on the shard key") {
