@@ -56,19 +56,18 @@ object Dedup {
     * would cut, with overlapping windows counted once.
     *
     * Cost shape: one shuffle keyed on the 128-bit window hash (the wire
-    * carries (hash, id, pos), never text) plus a map-side-combined
-    * hot-hash detection aggregate and one per-doc aggregation — all
-    * linear in corpus token count, no all-pairs anywhere. Skew posture:
-    * a boilerplate passage repeated 1e8-1e9 times at web scale would put
+    * carries (hash, id, pos), never text) plus a SAMPLE-priced hot-hash
+    * detection aggregate and one per-doc aggregation — all linear in
+    * corpus token count, no all-pairs anywhere. Skew posture: a
+    * boilerplate passage repeated 1e8-1e9 times at web scale would put
     * its ENTIRE occurrence list into a single window task's sort — and
     * Spark's AQE skew mitigation rewrites only joins and rebalance
     * nodes, never window partitions, so nothing would split it. The
-    * marking therefore routes HOT hashes (detected by the combined
-    * count, which collapses the mega-key map-side) through a broadcast
-    * of their first occurrences — they never enter any exchange — while
-    * cold hashes keep the window with per-key lists bounded by
-    * [[HotHashThreshold]]. See [[passageMarked]] and ProfPassageSkew
-    * (SURVEY lesson 49).
+    * marking therefore routes HOT hashes through a broadcast of their
+    * (exactly computed) first occurrences — they never enter any
+    * exchange — while cold hashes keep the window with per-key lists
+    * bounded near [[HotHashThreshold]]. See [[passageMarked]] and
+    * ProfPassageSkew (SURVEY lesson 49).
     *
     * Returns one row per input doc: (id, n_tokens, dup_windows,
     * dup_tokens, kept_tokens, dup_frac_1e4). */
@@ -122,12 +121,19 @@ object Dedup {
   }
 
   /** Occurrence threshold above which a window hash counts as HOT in
-    * [[joinPerHash]]. Sized so (a) a cold key's occurrence list is a few
-    * MB at most inside its shuffle partition and (b) the hot set stays
-    * broadcastable by counting: #hot ≤ corpus_windows / threshold, and
-    * real web corpora carry thousands of boilerplate mega-passages, not
-    * millions. */
+    * [[joinPerHash]] / [[passageMarked]]. Sized so (a) a cold key's
+    * occurrence list is a few MB at most inside its shuffle partition
+    * and (b) the hot set stays broadcastable by counting: #hot ≤
+    * corpus_windows / threshold, and real web corpora carry thousands of
+    * boilerplate mega-passages, not millions. */
   private[graft] val HotHashThreshold = 100000L
+
+  /** Sampling rate for [[passageMarked]]'s hot-hash detection: routing
+    * is correctness-independent, so detection only has to find keys
+    * orders of magnitude above the threshold — 1% keeps the detection
+    * exchange at 1% of the exact count's wire with a 1e3-occurrence
+    * sampled trigger. */
+  private[graft] val HotDetectionSampleRate = 0.01
 
   /** Skew-safe inner equi-join of per-occurrence rows against a per-hash
     * frame on `h`. `perHash` must be one row per hash and carry `cntCol`
@@ -187,25 +193,32 @@ object Dedup {
     * its ENTIRE occurrence list in a single task that nothing can split:
     * Spark's AQE skew mitigation rewrites joins and rebalance nodes
     * only, never window partitions. So the marking first detects HOT
-    * hashes with a map-side-combined (min, count) aggregate (the partial
-    * combine collapses the mega-key to one row per input split — the
-    * ProfSkew agg_skew observation), then routes: hot occurrences
-    * resolve MAP-SIDE against a broadcast of their hashes' firsts (a
-    * mega-key never enters any exchange), cold occurrences keep the
-    * window — now with per-key occurrence lists bounded by
-    * [[HotHashThreshold]] and md5-uniform keys, i.e. balanced by
-    * construction. Splitting the keys never changes the result: each
-    * branch marks exactly its keys' non-first occurrences (DedupSpec
-    * pins branch-form ≡ window-form; ProfPassageSkew measures the
-    * straggler curve — lesson 49).
+    * hashes, then routes: hot occurrences resolve MAP-SIDE against a
+    * broadcast of their hashes' firsts (a mega-key never enters any
+    * exchange), cold occurrences keep the window — now with per-key
+    * occurrence lists bounded near [[HotHashThreshold]] and md5-uniform
+    * keys, i.e. balanced by construction. Splitting the keys never
+    * changes the result: each branch marks exactly its keys' non-first
+    * occurrences (DedupSpec pins branch-form ≡ window-form;
+    * ProfPassageSkew measures the straggler curve — lesson 49).
+    *
+    * Detection is SAMPLE-priced, exactly because routing is
+    * correctness-independent: a 1% sample's per-hash count (map-side
+    * combined) costs 1% of the exact count's wire, and at the 1e3
+    * sampled-occurrence trigger a genuinely mega key is detected with
+    * overwhelming probability while a borderline miss merely leaves a
+    * near-threshold key in the cold window (a few-MB sort, not a
+    * straggler). What stays EXACT is what correctness needs: the hot
+    * hashes' corpus-first occurrences come from a full-frame aggregate
+    * restricted to the hot set (broadcast semi-filter, map-side
+    * combined, one row per hot hash).
     *
     * With NO hot hashes — every verification corpus, most curated
-    * sources — the gate (one isEmpty probe of the checkpointed per-hash
-    * aggregate) collapses the plan to exactly the single-window form;
-    * the detection aggregate is then the only cost over the naive
-    * encoding, and it is the one thing that cannot be skipped: hotness
-    * is a corpus-wide count. The window lineage (scan → explode → md5)
-    * is recomputed per branch rather than checkpointed — map-only,
+    * sources — the gate (one isEmpty probe of the checkpointed sampled
+    * count) collapses the plan to exactly the single-window form, and
+    * detection is the only overhead: one sample-priced aggregate over
+    * recomputed map-only lineage. The window lineage (scan → explode →
+    * md5) is recomputed per branch rather than checkpointed — map-only,
     * column-pruned CPU vs materializing a corpus-token-sized frame. */
   private[graft] def passageMarked(df: DataFrame, idCol: String,
                                    textCol: String, k: Int): DataFrame = {
@@ -216,16 +229,21 @@ object Dedup {
       .withColumn("rn", row_number().over(byHash))
       .filter(col("rn") > 1)
       .select(col("id"), col("pos"))
-    val hot = wins
+    val hotSet = wins.sample(HotDetectionSampleRate, seed = 42L)
       .groupBy(col("h"))
-      .agg(min(struct(col("id"), col("pos"))).as("first"),
-        count(lit(1)).as("cnt"))
-      .filter(col("cnt") > HotHashThreshold)
-      .select(col("h").as("__hot_h"), col("first").as("__first"))
+      .agg(count(lit(1)).as("scnt"))
+      .filter(col("scnt") > HotHashThreshold * HotDetectionSampleRate)
+      .select(col("h").as("__hot_h"))
       .localCheckpoint(false)
-    if (hot.isEmpty) windowMarked(wins)
+    if (hotSet.isEmpty) windowMarked(wins)
     else {
-      val probed = wins.join(broadcast(hot), col("h") === col("__hot_h"), "left")
+      val hotFirsts = wins
+        .join(broadcast(hotSet), col("h") === col("__hot_h"), "left_semi")
+        .groupBy(col("h"))
+        .agg(min(struct(col("id"), col("pos"))).as("__first"))
+        .withColumnRenamed("h", "__hot_h")
+      val probed = wins.join(broadcast(hotFirsts),
+        col("h") === col("__hot_h"), "left")
       val hotMarked = probed.filter(col("__hot_h").isNotNull
           && struct(col("id"), col("pos")) =!= col("__first"))
         .select(col("id"), col("pos"))

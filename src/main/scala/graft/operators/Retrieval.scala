@@ -78,6 +78,24 @@ object Retrieval {
     appendToBm25Index(spark, dir, docs, idCol, textCol, batchId = 0L)
   }
 
+  /** Idempotent artifact bootstrap for streaming ingest
+    * ([[graft.streaming.RetrievalStreams.bm25IngestSink]]): write the
+    * meta marker if absent, no-op if present with the SAME bucket count,
+    * fail loud on a mismatch — postings bucketed under a different
+    * modulus would be silently invisible to probes of the wrong buckets. */
+  def ensureBm25Index(spark: SparkSession, dir: String, nBuckets: Int): Unit = {
+    import spark.implicits._
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    if (hasParquetData(spark, s"$dir/meta")) {
+      val existing = spark.read.parquet(s"$dir/meta").head().getAs[Int]("n_buckets")
+      require(existing == nBuckets,
+        s"$dir is bucketed at $existing, ingest asked for $nBuckets — a mixed-" +
+          "modulus posting layout would silently miss probes; rebuild instead")
+    } else
+      Seq(nBuckets).toDF("n_buckets").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
   /** APPEND a batch of NEW documents into a saved index — the lifecycle's
     * ingest path. df and the corpus totals land as per-batch DELTAS
     * (additive, folded on read — the q126 incremental-report law applied

@@ -59,6 +59,15 @@ object PreprocessQueries {
       .filter(coalesce(col("name_raw"), lit("")) =!= "dummy")
       .filter(upper(trim(status)) === "ACTIVE")
       .filter(col("name_raw").isNotNull && col("name_raw") =!= "")
+      // lesson-4 repartition-for-compute: each staging table arrives as
+      // ONE parquet split locally, and the name/phone/url regex chains
+      // below are the expensive part — without the spread the whole
+      // chain runs on one core (r9 driver profile: q68 wall ≈ summed
+      // task-ms at zero shuffle). Placed after the row gates so dropped
+      // rows never shuffle; column pruning keeps the wire to the raw
+      // input columns. At real scale the scan has many splits and this
+      // exchange is batch-sized noise next to the compute it spreads.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         lit("organizations").as("entity"),
         F.hashKey(lit("organizations"), col("c_custkey")).as("key"),
@@ -91,6 +100,8 @@ object PreprocessQueries {
       .withColumn("name_raw", nameRaw)
       .filter(col("name_raw") =!= "dummy")
       .filter(upper(trim(status)) === "ACTIVE")
+      // lesson-4 compute spread — see orgs()
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         lit("services").as("entity"),
         F.hashKey(lit("services"), col("p_partkey")).as("key"),
@@ -125,6 +136,8 @@ object PreprocessQueries {
       .withColumn("name_raw", nameRaw)
       .filter(col("name_raw") =!= "dummy")
       .filter(upper(trim(status)) === "ACTIVE")
+      // lesson-4 compute spread — see orgs()
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         lit("branches").as("entity"),
         F.hashKey(lit("branches"), col("o_orderkey")).as("key"),
@@ -261,9 +274,10 @@ object PreprocessQueries {
   val defs: Map[String, QueryDef] = Map(
 
     // q68: the preprocess_* staging union. Each chain is narrow per-row
-    // work with no shuffle at all — the union of three file scans keeps
-    // every stage in whole-stage codegen, the shape that scales linearly
-    // with input splits.
+    // work with no hash exchange — the union of three file scans keeps
+    // every stage in whole-stage codegen; each scan round-robin-spreads
+    // across cores before its regex-heavy projection (lesson 4: locally
+    // one split per table serialized the whole union on one core).
     "q68_preprocess" -> QueryDef.of(
       s"""WITH orgs AS (
         |  SELECT 'organizations' AS entity,

@@ -36,10 +36,34 @@ object AttributeStore {
     * identically-bucketed tables sort-merge co-located (zero exchange);
     * the hint only matters at test scale, where Spark would otherwise
     * broadcast. Policies `.filter(...)` the result and select what they
-    * materialize. */
+    * materialize.
+    *
+    * Joins are LEFT outer: a doc missing a row in some attribute table
+    * (partially-written or stale tagger output) surfaces as NULL
+    * attribute columns — which a filter predicate drops, like the old
+    * inner join, but which a policy CAN distinguish (`attr.isNull` ≠
+    * "tagger scored it low") and a coverage audit can count. A silent
+    * inner join made a coverage gap indistinguishable from an
+    * intentional filter. For hard guarantees pass
+    * `assertCoverage = true`: one count per table (attr rows == corpus
+    * rows) fails loud BEFORE any policy runs over a shrunken corpus —
+    * opt-in because the counts are jobs, and a policy exploring an
+    * intentionally-partial store (a tagger still backfilling) is
+    * legitimate. */
   def compose(spark: SparkSession, corpusTable: String,
-              attrTables: Seq[String], key: String = "doc_id"): DataFrame =
-    attrTables.foldLeft(spark.table(corpusTable)) { (acc, t) =>
-      acc.join(spark.table(t).hint("merge"), Seq(key))
+              attrTables: Seq[String], key: String = "doc_id",
+              assertCoverage: Boolean = false): DataFrame = {
+    if (assertCoverage) {
+      val n = spark.table(corpusTable).count()
+      attrTables.foreach { t =>
+        val a = spark.table(t).count()
+        require(a == n,
+          s"attribute table $t covers $a of $n corpus rows — a policy over " +
+            "it would silently shrink the corpus; re-tag or drop the table")
+      }
     }
+    attrTables.foldLeft(spark.table(corpusTable)) { (acc, t) =>
+      acc.join(spark.table(t).hint("merge"), Seq(key), "left")
+    }
+  }
 }

@@ -49,13 +49,24 @@ object Sources {
   /** Replace a directory via STAGE-AND-RENAME: `write` fills a
     * dot-prefixed sibling staging dir (invisible to parquet partition
     * discovery and to [[hasParquetData]] while in flight), then any live
-    * target is deleted and the staged dir promoted with an FS rename
-    * (atomic on HDFS). For a writer that must replace a directory
-    * concurrent readers may be scanning — a crashed-batch replay
-    * overwriting its own per-batch partition — this narrows the visible
-    * race from the whole write duration to the delete+rename instant.
-    * A crashed attempt leaves only the invisible staging dir, which the
-    * next attempt's mode("overwrite") write reclaims. */
+    * target is deleted and the staged dir promoted with an FS rename.
+    * For a writer that must replace a directory concurrent readers may
+    * be scanning — a crashed-batch replay overwriting its own per-batch
+    * partition — this narrows the visible race from the whole write
+    * duration to the delete+rename instant.
+    *
+    * Atomicity contract, stated precisely: the promotion is two FS calls
+    * (delete, then rename), and the rename itself is atomic ONLY on
+    * HDFS/local filesystems — on an object store (S3A without a rename
+    * layer) rename is a non-atomic copy, so deployments there put a
+    * committer or a manifest pointer in front of this. A crash BETWEEN
+    * the delete and the rename leaves the target ABSENT with the
+    * complete new content hidden in `.staging_` — that state is
+    * unambiguous (the delete only runs after `write` returned, so a
+    * present staging dir with a missing target is always a COMPLETE
+    * write) and [[recoverStagedDir]] promotes it; a crash during `write`
+    * leaves the target intact and the partial staging dir is reclaimed
+    * by the next attempt's mode("overwrite") write. */
   def stageAndSwapDir(path: String, conf: org.apache.hadoop.conf.Configuration)
                      (write: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
@@ -66,6 +77,28 @@ object Sources {
     if (fs.exists(target)) fs.delete(target, true)
     require(fs.rename(staging, target),
       s"failed to promote staged dir $staging -> $target")
+  }
+
+  /** Recovery for [[stageAndSwapDir]]'s one crash window: if the target
+    * is absent but its staging sibling exists, the writer died between
+    * its delete and its rename — the staged content is complete by
+    * construction (the delete runs only after `write` returned), so
+    * promote it and return true. Any other state (target present, or
+    * neither) is not promotable: a staging dir BESIDE a live target is a
+    * crashed partial `write` and stays invisible until the next swap
+    * reclaims it. Call from a reader/owner recovery path before trusting
+    * target absence. */
+  def recoverStagedDir(path: String,
+                       conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".staging_${target.getName}")
+    val fs = target.getFileSystem(conf)
+    if (!fs.exists(target) && fs.exists(staging)) {
+      require(fs.rename(staging, target),
+        s"failed to promote orphaned staged dir $staging -> $target")
+      true
+    } else false
   }
 
   /** CSV with header + explicit schema inference off the first file only.

@@ -55,6 +55,56 @@ class AttributeStoreSpec extends SpecBase {
       "the composed policy must keep exactly the inline-computed set")
   }
 
+  test("q166's passage attributes compose with a gopher policy: re-threshold, zero corpus re-read") {
+    stored
+    // the ExactSubstr pass runs ONCE; its per-doc contamination numbers
+    // land as a slim bucketed attribute table beside the other taggers
+    AttributeStore.writeAttributeTable(
+      q("q166_passage_dedup").select(col("doc_id"),
+        col("dup_windows"), col("dup_frac_1e4")),
+      "as_passage", nBuckets = 8)
+    val composed = AttributeStore.compose(spark, "as_corpus",
+      Seq("as_gopher", "as_passage"))
+    val policy = composed
+      .filter(col("passes") && col("dup_frac_1e4") < 5000)
+      .select(col("doc_id"))
+    val plan = policy.queryExecution.executedPlan.toString
+    // a threshold change re-reads ONLY the store: no window hashing
+    // (md5), no text column, no exchange
+    assert(!plan.contains("md5"), "re-policy must not re-run the passage marking")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed policy must compose with zero shuffles:\n${plan.take(800)}")
+    val inline = q("q166_passage_dedup")
+      .select(col("doc_id"), col("dup_frac_1e4"))
+      .join(q("q165_gopher_rules").select(col("doc_id"), col("passes")), "doc_id")
+      .filter(col("passes") && col("dup_frac_1e4") < 5000)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(policy.collect().map(_.getLong(0)).toSet == inline,
+      "the attribute policy must keep exactly the inline-computed set")
+    // a stricter duplication threshold is a pure re-filter of the store
+    val strictIds = composed.filter(col("passes") && col("dup_frac_1e4") === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(strictIds.subsetOf(inline))
+  }
+
+  test("compose left-joins (coverage gaps visible as nulls); assertCoverage fails loud") {
+    stored
+    AttributeStore.writeAttributeTable(
+      q("q28_langid").filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("en_ratio")),
+      "as_partial", nBuckets = 8)
+    val composed = AttributeStore.compose(spark, "as_corpus", Seq("as_partial"))
+    val n = spark.table("as_corpus").count()
+    assert(composed.count() == n,
+      "left compose must keep every corpus row — a gap must not shrink the corpus silently")
+    assert(composed.filter(col("en_ratio").isNull).count() > 0,
+      "the coverage gap must surface as NULL attributes")
+    intercept[IllegalArgumentException] {
+      AttributeStore.compose(spark, "as_corpus", Seq("as_partial"),
+        assertCoverage = true)
+    }
+  }
+
   test("re-policying reuses the stored attributes: different filter, no re-tagging, same store") {
     stored
     val composed = AttributeStore.compose(spark, "as_corpus", Seq("as_clf", "as_gopher"))

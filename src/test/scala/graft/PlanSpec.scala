@@ -133,14 +133,20 @@ class PlanSpec extends SpecBase {
     }
   }
 
-  test("q68/q69 stay shuffle-free; q70 shuffles once on its key") {
-    // q68 is a union of per-row scans and q69 a hash-filtered scan —
-    // neither may grow an exchange. The packing window shuffles exactly
-    // once (shard key).
-    for (q <- Seq("q68_preprocess", "q69_stratified_sample")) {
-      val p = plan(q)
-      assert(!p.contains("Exchange"), s"$q must be exchange-free:\n${p.take(600)}")
-    }
+  test("q68 spreads compute round-robin only; q69 stays shuffle-free; q70 shuffles once") {
+    // q68 is a union of per-row regex chains: each of its three scans
+    // round-robin-spreads before the heavy projection (lesson 4 — one
+    // local split per table would serialize the union on one core), but
+    // NO hash exchange may appear (nothing groups or joins). q69 is a
+    // hash-filtered scan — no exchange at all. The packing window
+    // shuffles exactly once (shard key).
+    val p68 = plan("q68_preprocess")
+    assert(!p68.contains("Exchange hashpartitioning"),
+      s"q68 must carry no hash exchange:\n${p68.take(600)}")
+    val rr = p68.linesIterator.count(_.contains("Exchange RoundRobinPartitioning"))
+    assert(rr == 3, s"q68 expected 3 round-robin compute spreads, got $rr")
+    val p69 = plan("q69_stratified_sample")
+    assert(!p69.contains("Exchange"), s"q69 must be exchange-free:\n${p69.take(600)}")
     val p70 = plan("q70_pack_sequences")
     val shuffles70 = p70.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
@@ -161,6 +167,17 @@ class PlanSpec extends SpecBase {
       l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
     assert(shuffles == 2, s"q71 expected exactly 2 shuffle exchanges " +
       s"(bounded-heap trim + combined count), got $shuffles")
+  }
+
+  test("q85's global rank trims through TopKPerKey, never a bare global window") {
+    // The pair space is alphabet²-bounded today, but a bare
+    // row_number() over a partition-less window would sort whatever a
+    // future edit feeds it in ONE task — the bounded-heap trim caps the
+    // single sorted group at k by construction. The rank window that
+    // remains partitions on the trim's constant key (no "No Partition
+    // Defined" warning, no unbounded sort).
+    val p = plan("q85_bpe_pairs")
+    assert(p.contains("TopKPerKey"), "q85 must trim through the TopKPerKey node")
   }
 
   test("q84 stays shuffle-free; q82 shuffles once on the shard key") {
@@ -292,12 +309,14 @@ class PlanSpec extends SpecBase {
     // frame over the 8192-bucket scores. q167: the BM25 corpus totals
     // (N, Σdl) are the same broadcast 1-row cross join; the posting
     // prune, df attach, query fan-out and length joins are all hash
-    // equi-joins on tok/doc_id.
+    // equi-joins on tok/doc_id. q172 is q167's saved-artifact twin and
+    // carries the identical broadcast 1-row totals cross join (the
+    // totals there fold from the committed stat deltas).
     val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob",
       "q93_range_join", "q106_bigram_logprob", "q118_cooccurrence",
       "q127_corpus_overlap", "q133_session_incidents",
       "q151_fuzzy_distinct", "q152_pq_ann", "q162_ce_select", "q163_dsir",
-      "q167_bm25")
+      "q167_bm25", "q172_bm25_saved")
     val offenders = SparkEntry.queries.keys.filter { name =>
       try plan(name).contains("BroadcastNestedLoopJoin") || plan(name).contains("CartesianProduct")
       catch { case _: Throwable => false }

@@ -110,6 +110,29 @@ class RetrievalSpec extends SpecBase
     }
   }
 
+  test("streaming ingest: 3 micro-batches equal the single-shot build; replay idempotent") {
+    import graft.streaming.RetrievalStreams
+    val dir = tmp("bm25stream")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val b = Seq(
+      docs.filter(col("doc_id") * 3 <= maxId),
+      docs.filter(col("doc_id") * 3 > maxId && col("doc_id") * 3 <= 2 * maxId),
+      docs.filter(col("doc_id") * 3 > 2 * maxId))
+    val sink = RetrievalStreams.bm25IngestSink(dir, nBuckets = 16) _
+    sink(b(0), 0L); sink(b(1), 1L); sink(b(2), 2L)
+    val rebuilt = tmp("bm25streamreb")
+    Retrieval.saveBm25Index(docs, "doc_id", "text", rebuilt, nBuckets = 16)
+    val want = rows(Retrieval.bm25TopKFromSaved(spark, rebuilt, qt, topK = 10))
+    assert(rows(Retrieval.bm25TopKFromSaved(spark, dir, qt, topK = 10)) == want)
+    // a redelivered micro-batch overwrites its own zones — nothing doubles
+    sink(b(1), 1L)
+    assert(rows(Retrieval.bm25TopKFromSaved(spark, dir, qt, topK = 10)) == want)
+    // a mixed bucket modulus fails loud instead of silently missing probes
+    intercept[IllegalArgumentException] {
+      RetrievalStreams.bm25IngestSink(dir, nBuckets = 8)(b(0), 3L)
+    }
+  }
+
   test("an uncommitted (crash-orphaned) batch is invisible to probe and compaction") {
     val dir = tmp("bm25orphan")
     Retrieval.saveBm25Index(docs, "doc_id", "text", dir, nBuckets = 16)

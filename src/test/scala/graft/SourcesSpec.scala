@@ -49,6 +49,30 @@ class SourcesSpec extends SpecBase {
     assert(Sources.hasParquetData(s"$root/real", conf))
   }
 
+  test("recoverStagedDir promotes the delete-then-crash orphan; never a partial beside a live target") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = Files.createTempDirectory("graft_swap").toString
+    val target = s"$root/snap"
+    // the one promotable state: writer died BETWEEN its delete and its
+    // rename — target absent, COMPLETE content in the staging sibling
+    val staged = new java.io.File(s"$root/.staging_snap")
+    assert(staged.mkdirs())
+    Files.write(staged.toPath.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    assert(Sources.recoverStagedDir(target, conf), "orphan must promote")
+    assert(new java.io.File(s"$target/part-0.parquet").exists())
+    assert(!staged.exists())
+    // idempotent: nothing left to recover
+    assert(!Sources.recoverStagedDir(target, conf))
+    // a staging dir BESIDE a live target is a crashed partial write —
+    // recovery must refuse (the next swap's overwrite reclaims it)
+    val staged2 = new java.io.File(s"$root/.staging_snap")
+    assert(staged2.mkdirs())
+    Files.write(staged2.toPath.resolve("part-9.parquet"), Array[Byte](9))
+    assert(!Sources.recoverStagedDir(target, conf))
+    assert(new java.io.File(s"$target/part-0.parquet").exists(),
+      "the live target must be untouched")
+  }
+
   test("csv round-trip and json-lines round-trip") {
     val df = Tables.nation(spark, SfDir)
     val csvPath = tmp("csv")
