@@ -1214,8 +1214,8 @@ object CorpusQueries {
     // contamination-by-duplication (flagged docs + duplicated-token
     // share from the q166 marking kernel). Everything aggregates from
     // the two per-doc frames in ONE groupBy over ≤ #sources rows; the
-    // expensive parts are exactly q165's map-side pass and q166's single
-    // hash shuffle, composed — no new exchange shapes. Ratios integerize
+    // expensive parts are exactly q165's map-side pass and q166's
+    // hot/cold-routed marking, composed — no new exchange shapes. Ratios integerize
     // per lesson 27 (integer DIV after integer sums).
     "q169_corpus_datasheet" -> QueryDef.of(
       s"""WITH t AS (

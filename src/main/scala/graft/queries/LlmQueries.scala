@@ -205,12 +205,16 @@ object LlmQueries {
     // member (Lee et al. 2022 ExactSubstr, distributed as fixed-k window
     // hashing; k=13 ≈ the paper's 50-BPE-token span on this corpus's
     // short words). One window-hash shuffle (wire = (md5, id, pos)) +
-    // one per-doc fold; the keep-first choice is a row_number over a
-    // TOTAL (id, pos) order and the coverage math is pure integer
-    // (min(k, gap) over sorted starts + k, clamped to doc length), so
-    // every column crosses the oracle gate bit-exactly. The corpus has
-    // planted cross-doc duplicate passages — 23 docs flagged at sf0.01,
-    // from partial spans (dup_frac 9583) to full copies (10000).
+    // a sample-priced hot-hash detection pass + one per-doc fold; the
+    // keep-first choice is the min (id, pos) TOTAL order — hot/cold
+    // routed so a web-scale boilerplate mega-key never serializes in
+    // one window task (Dedup.passageMarked, lesson 49; the oracle's
+    // row_number encoding computes the identical set, DedupSpec-pinned)
+    // — and the coverage math is pure integer (min(k, gap) over sorted
+    // starts + k, clamped to doc length), so every column crosses the
+    // oracle gate bit-exactly. The corpus has planted cross-doc
+    // duplicate passages — 23 docs flagged at sf0.01, from partial
+    // spans (dup_frac 9583) to full copies (10000).
     "q166_passage_dedup" -> QueryDef.of(
       """WITH t AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
@@ -249,7 +253,7 @@ object LlmQueries {
     // q168: the REMOVE step over q166's marking — re-emit each document
     // with every marked duplicated window's tokens cut (the corpus-first
     // copy survives), the actionable terminal of the ExactSubstr pass.
-    // Same single hash shuffle as q166; the mask is a pure per-row
+    // Same hot/cold-routed marking as q166; the mask is a pure per-row
     // exists() over the doc's own marked starts and the text rebuild is
     // map-side. kept_tokens ≡ q166's n_tokens − coverage by construction
     // (mask and merged-interval fold count the same positions) — the two
@@ -659,20 +663,23 @@ object LlmQueries {
 
     // q170: SemDeDup's SCALE form — the SAME operator as q161, but over
     // LEARNED IVF cells (the paper's actual k-means setting, the path
-    // SemDedupSpec pins): the coarse quantizer q40's index already
-    // maintains assigns every embedding to a cell, and the quadratic
-    // pair join is bounded by CELL CAPACITY, not by whatever the given
-    // label column happens to hold — cell count scales with the corpus
-    // (the paper's tractability argument), so per-cell membership and
-    // with it the per-key pair fan-out stay bounded as the corpus grows
-    // (q161's given-label form exists as the SQL-expressible ORACLE gate;
-    // this is the form a production run executes). Rows-only: k-means
+    // SemDedupSpec pins). The tractability argument is made OPERATIONAL:
+    // cluster count scales WITH the corpus (nLists = n / targetCell, one
+    // cheap count to size it — the paper uses 11k clusters on LAION for
+    // the same reason), so expected cell membership stays ~constant and
+    // the quadratic within-cell pair join's bytes grow LINEARLY in the
+    // corpus. A fixed cell count would silently re-quadratize at scale:
+    // measured 24.4× shuffle bytes at the 10× sf1 step with nLists
+    // pinned at 8, vs the linear band once cells scale. (q161's
+    // given-label form exists as the SQL-expressible ORACLE gate; this
+    // is the form a production run executes.) Rows-only: k-means
     // centroids are float-iterative; SemDedupSpec pins partition/keep-
     // rule/tau-monotonicity over exactly this assignment.
     "q170_semdedup_ivf" -> QueryDef.rowsOnly { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val nLists = math.max(8, (emb.count() / 250L).toInt)
       Similarity.semDedup(
-        Similarity.ivfIndex(Tables.embeddings(s, dir), nLists = 8, seed = 42L,
-            trainMod = 2)
+        Similarity.ivfIndex(emb, nLists = nLists, seed = 42L, trainMod = 2)
           .assigned
           .select(col("vec_id").as("id"), col("cell").cast("long").as("cluster"),
             col("embedding")),
