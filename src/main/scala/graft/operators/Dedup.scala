@@ -220,8 +220,14 @@ object Dedup {
     * recomputed map-only lineage. The window lineage (scan → explode →
     * md5) is recomputed per branch rather than checkpointed — map-only,
     * column-pruned CPU vs materializing a corpus-token-sized frame. */
+  /** `hotThreshold`/`detectSample` are production constants; tests
+    * override them (threshold 1, sample 1.0) to FORCE the hot branch on
+    * small corpora — without the injection point the routing code would
+    * be unreachable by any spec and its ≡-window pin vacuous. */
   private[graft] def passageMarked(df: DataFrame, idCol: String,
-                                   textCol: String, k: Int): DataFrame = {
+                                   textCol: String, k: Int,
+                                   hotThreshold: Long = HotHashThreshold,
+                                   detectSample: Double = HotDetectionSampleRate): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = passageWindows(df, idCol, textCol, k)
     val byHash = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
@@ -229,10 +235,11 @@ object Dedup {
       .withColumn("rn", row_number().over(byHash))
       .filter(col("rn") > 1)
       .select(col("id"), col("pos"))
-    val hotSet = wins.sample(HotDetectionSampleRate, seed = 42L)
+    val sampled = if (detectSample >= 1.0) wins else wins.sample(detectSample, seed = 42L)
+    val hotSet = sampled
       .groupBy(col("h"))
       .agg(count(lit(1)).as("scnt"))
-      .filter(col("scnt") > HotHashThreshold * HotDetectionSampleRate)
+      .filter(col("scnt") > hotThreshold * detectSample)
       .select(col("h").as("__hot_h"))
       .localCheckpoint(false)
     if (hotSet.isEmpty) windowMarked(wins)

@@ -38,10 +38,17 @@ object Urls {
   private def schemeOf(u: Column): Column =
     lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
 
-  private def hostOf(u: Column): Column =
-    regexp_replace(
-      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
-      ":(80|443)$", "")
+  /** Lowercased host with the port stripped ONLY when it is the default
+    * FOR the URL's scheme: `http://h:443` is a real non-default-port
+    * endpoint and must NOT collide with `http://h` (and vice versa for
+    * `https://h:80`) — a scheme-blind strip would URL-dedup two
+    * different resources into one. */
+  private def hostOf(u: Column): Column = {
+    val raw = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    when(schemeOf(u) === "http", regexp_replace(raw, ":80$", ""))
+      .when(schemeOf(u) === "https", regexp_replace(raw, ":443$", ""))
+      .otherwise(raw)
+  }
 
   private def pathOf(u: Column): Column =
     regexp_replace(
@@ -66,8 +73,10 @@ object Urls {
       when(p === "", lit("")).otherwise(concat(lit("?"), p)))
   }
 
-  /** The domain rollup key: lowercased host, default port and leading
-    * `www.` stripped. */
+  /** The domain rollup key: lowercased host with ANY port and the
+    * leading `www.` stripped — a rollup/blocklist keys on the
+    * registrable host, so `site.com:8080` and `site.com` aggregate
+    * together even though their canonical URLs stay distinct. */
   def urlDomain(u: Column): Column =
-    regexp_replace(hostOf(u), "^www\\.", "")
+    regexp_replace(regexp_replace(hostOf(u), ":[0-9]+$", ""), "^www\\.", "")
 }

@@ -594,7 +594,8 @@ object CleaningQueries {
       """WITH raw AS (
         |  SELECT doc_id,
         |    'HTTPS://WWW.Site-' || CAST(doc_id % 37 AS VARCHAR) || '.COM'
-        |      || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+        |      || CASE WHEN doc_id % 11 = 0 THEN ':8080'
+        |              WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
         |      || '/Dir/Page-' || CAST(doc_id % 7 AS VARCHAR)
         |      || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
         |      || '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&a=1'
@@ -602,15 +603,22 @@ object CleaningQueries {
         |      || '#sec' AS url
         |  FROM documents
         |), parts AS (
-        |  SELECT doc_id,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(80|443)$', '') AS host,
-        |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
-        |    regexp_replace(regexp_replace(regexp_extract(url, '\?([^#]*)', 1), '(^|&)(utm_[^=&]*|gclid|fbclid|ref)=[^&]*', '', 'g'), '^&+', '') AS cleaned
-        |  FROM raw
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |         ELSE hostraw END AS host,
+        |    path, cleaned
+        |  FROM (
+        |    SELECT doc_id,
+        |      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostraw,
+        |      regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+        |      regexp_replace(regexp_replace(regexp_extract(url, '\?([^#]*)', 1), '(^|&)(utm_[^=&]*|gclid|fbclid|ref)=[^&]*', '', 'g'), '^&+', '') AS cleaned
+        |    FROM raw
+        |  )
         |), canon AS (
         |  SELECT doc_id,
-        |    regexp_replace(host, '^www\.', '') AS domain,
+        |    regexp_replace(regexp_replace(host, ':[0-9]+$', ''), '^www\.', '') AS domain,
         |    scheme || '://' || host || path ||
         |      CASE WHEN cleaned = '' THEN ''
         |           ELSE '?' || array_to_string(list_sort(string_split(cleaned, '&')), '&') END AS canon
@@ -627,7 +635,9 @@ object CleaningQueries {
       val d = col("doc_id")
       val url = concat(
         lit("HTTPS://WWW.Site-"), (d % 37).cast("string"), lit(".COM"),
-        when(d % 4 === 0, ":443").otherwise(""),
+        // :8080 is a REAL port and must survive canonicalization; :443
+        // is https's default and must strip (the scheme-conditional rule)
+        when(d % 11 === 0, ":8080").when(d % 4 === 0, ":443").otherwise(""),
         lit("/Dir/Page-"), (d % 7).cast("string"),
         when(d % 3 === 0, "/").otherwise(""),
         lit("?b="), (d % 5).cast("string"), lit("&utm_source=feed&a=1"),

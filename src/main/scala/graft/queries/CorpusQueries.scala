@@ -1200,8 +1200,13 @@ object CorpusQueries {
     // pays the corpus passes once; the probe is index-priced.
     "q172_bm25_saved" -> QueryDef.of(bm25OracleSql) { (s, dir) =>
       import graft.operators.Retrieval
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_bm25_idx").resolve("idx").toString
+      // one artifact slot per source corpus, wiped before each build —
+      // a fresh temp dir per run would strand a full index artifact in
+      // /tmp every bench/verify invocation
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bm25_idx_${java.lang.Integer.toHexString(dir.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       Retrieval.saveBm25Index(Tables.documents(s, dir), "doc_id", "text",
         idx, nBuckets = 64)
       Retrieval.bm25TopKFromSaved(s, idx, bm25Workload(s, dir), topK = 10)

@@ -54,12 +54,23 @@ object AttributeStore {
               attrTables: Seq[String], key: String = "doc_id",
               assertCoverage: Boolean = false): DataFrame = {
     if (assertCoverage) {
-      val n = spark.table(corpusTable).count()
+      // row-count equality alone is NOT coverage: a duplicated key can
+      // cancel a missing one. Anti-join proves every corpus key present;
+      // total == corpus count then forces exactly one row per key (no
+      // dup fan-out, no rogue keys).
+      val corpus = spark.table(corpusTable)
+      val n = corpus.count()
       attrTables.foreach { t =>
-        val a = spark.table(t).count()
+        val attr = spark.table(t)
+        val missing = corpus.select(key)
+          .join(attr.select(key), Seq(key), "left_anti").count()
+        require(missing == 0,
+          s"attribute table $t is missing $missing of $n corpus keys — a " +
+            "policy over it would silently shrink the corpus; re-tag or drop it")
+        val a = attr.count()
         require(a == n,
-          s"attribute table $t covers $a of $n corpus rows — a policy over " +
-            "it would silently shrink the corpus; re-tag or drop the table")
+          s"attribute table $t carries $a rows for $n covered corpus keys — " +
+            "duplicate or rogue keys would fan policies out; re-tag it")
       }
     }
     attrTables.foldLeft(spark.table(corpusTable)) { (acc, t) =>

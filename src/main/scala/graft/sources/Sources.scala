@@ -59,44 +59,56 @@ object Sources {
     * (delete, then rename), and the rename itself is atomic ONLY on
     * HDFS/local filesystems — on an object store (S3A without a rename
     * layer) rename is a non-atomic copy, so deployments there put a
-    * committer or a manifest pointer in front of this. A crash BETWEEN
-    * the delete and the rename leaves the target ABSENT with the
-    * complete new content hidden in `.staging_` — that state is
-    * unambiguous (the delete only runs after `write` returned, so a
-    * present staging dir with a missing target is always a COMPLETE
-    * write) and [[recoverStagedDir]] promotes it; a crash during `write`
-    * leaves the target intact and the partial staging dir is reclaimed
-    * by the next attempt's mode("overwrite") write. */
+    * committer or a manifest pointer in front of this. Completeness of a
+    * staged dir is carried by an explicit MARKER file written after
+    * `write` returns ("target absent ⇒ write completed" would be wrong
+    * for a FIRST-EVER write to the target, where a crash mid-`write`
+    * also leaves the target absent): a crash between the delete and the
+    * rename leaves the target absent with complete, marker-bearing
+    * content in `.staging_`, which [[recoverStagedDir]] promotes; a
+    * crash during `write` leaves a marker-less staging dir that recovery
+    * refuses and the next attempt wipes. The marker is dot-free but
+    * underscore-prefixed, so parquet discovery and [[hasParquetData]]
+    * ignore it if a crash strands it inside a promoted target. */
+  private val StagedCompleteMarker = "_GRAFT_STAGED_COMPLETE"
+
   def stageAndSwapDir(path: String, conf: org.apache.hadoop.conf.Configuration)
                      (write: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(
       target.getParent, s".staging_${target.getName}")
-    write(staging.toString)
     val fs = target.getFileSystem(conf)
+    // wipe any crashed prior attempt: its stale marker must not vouch
+    // for this attempt's partial write
+    if (fs.exists(staging)) fs.delete(staging, true)
+    write(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, StagedCompleteMarker), true).close()
     if (fs.exists(target)) fs.delete(target, true)
     require(fs.rename(staging, target),
       s"failed to promote staged dir $staging -> $target")
+    fs.delete(new org.apache.hadoop.fs.Path(target, StagedCompleteMarker), false)
   }
 
   /** Recovery for [[stageAndSwapDir]]'s one crash window: if the target
-    * is absent but its staging sibling exists, the writer died between
-    * its delete and its rename — the staged content is complete by
-    * construction (the delete runs only after `write` returned), so
-    * promote it and return true. Any other state (target present, or
-    * neither) is not promotable: a staging dir BESIDE a live target is a
-    * crashed partial `write` and stays invisible until the next swap
-    * reclaims it. Call from a reader/owner recovery path before trusting
-    * target absence. */
+    * is absent and its staging sibling carries the completion marker,
+    * the writer died between its delete and its rename — promote the
+    * staged content and return true. Any other state is not promotable:
+    * a marker-LESS staging dir is a crashed partial `write` (whether or
+    * not the target exists — a first-ever write has no target either),
+    * and a staging dir beside a live target stays invisible until the
+    * next swap reclaims it. Call from a reader/owner recovery path
+    * before trusting target absence. */
   def recoverStagedDir(path: String,
                        conf: org.apache.hadoop.conf.Configuration): Boolean = {
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(
       target.getParent, s".staging_${target.getName}")
     val fs = target.getFileSystem(conf)
-    if (!fs.exists(target) && fs.exists(staging)) {
+    val complete = fs.exists(new org.apache.hadoop.fs.Path(staging, StagedCompleteMarker))
+    if (!fs.exists(target) && complete) {
       require(fs.rename(staging, target),
         s"failed to promote orphaned staged dir $staging -> $target")
+      fs.delete(new org.apache.hadoop.fs.Path(target, StagedCompleteMarker), false)
       true
     } else false
   }

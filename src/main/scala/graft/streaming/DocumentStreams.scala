@@ -407,7 +407,6 @@ object DocumentStreams {
   def passageDedupSink(outDir: String, k: Int = 13)
                       (batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.Dedup
-    import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     import spark.implicits._
     val b = batch.select(col("doc_id").cast("long"), col("text"))
@@ -452,9 +451,12 @@ object DocumentStreams {
     }).localCheckpoint(false)
     // flagged feeds both the marking and the store append — materialize
     // once (the corpusBuildSink cache posture; checkpoint also cuts the
-    // store-join lineage out of both consumers), and unpersist once both
-    // consumers have written: localCheckpoint blocks otherwise live until
-    // a driver GC runs ContextCleaner, accumulating across micro-batches
+    // store-join lineage out of both consumers), and release the blocks
+    // once both consumers have written: localCheckpoint blocks otherwise
+    // live until a driver GC runs ContextCleaner, accumulating across
+    // micro-batches — and Dataset.unpersist does NOT release them (it
+    // only uncaches via the CacheManager; the checkpoint persists the
+    // RDD directly), so the release goes through the RDD-level bridge
     val flagged = Dedup.joinPerHash(wins, perHash, "cnt").localCheckpoint(true)
     try {
       val marked = flagged.filter(
@@ -471,8 +473,8 @@ object DocumentStreams {
       Seq(freshMax.get).toDF("max_id").coalesce(1)
         .write.mode("overwrite").parquet(s"$maxRoot/batch=$batchId")
     } finally {
-      flagged.unpersist(false)
-      perHash.unpersist(false)
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(flagged)
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(perHash)
     }
   }
 

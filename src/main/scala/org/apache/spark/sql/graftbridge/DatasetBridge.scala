@@ -14,4 +14,20 @@ object DatasetBridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
   def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Release the storage blocks behind a `localCheckpoint()`ed frame.
+    * `Dataset.unpersist` is a NO-OP there: it only uncaches via the
+    * CacheManager, while localCheckpoint persists the underlying RDD
+    * directly (`RDD.localCheckpoint()`), so its MEMORY_AND_DISK blocks
+    * live until a driver GC lets ContextCleaner collect the RDD — a
+    * long-running foreachBatch sink accumulates them across
+    * micro-batches. The checkpointed Dataset's analyzed plan is a
+    * LogicalRDD wrapping that RDD; unpersist it at the RDD level.
+    * Returns true when a checkpoint RDD was found and released. */
+  def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Boolean =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking); true
+      case _ => false
+    }
 }

@@ -358,20 +358,54 @@ class DedupSpec extends SpecBase {
     assert(corpus == corpusReport)
   }
 
-  test("passageMarked: the skew-safe min-agg + join-back form equals the window form") {
-    // The production marking is groupBy(h).agg(min(struct(id,pos))) +
-    // join back (map-side combine collapses a boilerplate mega-key; AQE
-    // skew-join splits the probe side — neither applies to a window
-    // partitioned by the hash). The row_number encoding stays as the
-    // oracle twin; both must mark the identical occurrence set.
+  test("passageMarked: the skew-routed form equals the window form in BOTH branches") {
+    // Production routing: hot hashes resolve map-side against broadcast
+    // firsts, cold hashes keep the window (AQE splits neither a window
+    // partition nor a join whose build side passes through an
+    // aggregate). Marking is routing-INVARIANT — pin the default (all
+    // test hashes cold → gated window plan) AND a forced-hot run
+    // (threshold 1, sample 1.0: every duplicated hash takes the hot
+    // branch, singletons the cold) against the plain window encoding.
     for (k <- Seq(3, 13)) {
-      val agg = Dedup.passageMarked(docs, "doc_id", "text", k)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val win = Dedup.passageMarkedWindow(docs, "doc_id", "text", k)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(agg == win, s"k=$k: agg-form marking diverged from window form")
-      assert(agg.nonEmpty, s"k=$k: no marked occurrences; weak data")
+      val gated = Dedup.passageMarked(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gated == win, s"k=$k: gated (cold) marking diverged from window form")
+      val forcedHot = Dedup.passageMarked(docs, "doc_id", "text", k,
+          hotThreshold = 1L, detectSample = 1.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(forcedHot == win, s"k=$k: hot-branch marking diverged from window form")
+      assert(win.nonEmpty, s"k=$k: no marked occurrences; weak data")
     }
+    // a mid threshold routes SOME duplicated hashes hot and leaves the
+    // rest cold — the union/split seam itself is pinned
+    val win13 = Dedup.passageMarkedWindow(docs, "doc_id", "text", 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mixed = Dedup.passageMarked(docs, "doc_id", "text", 13,
+        hotThreshold = 2L, detectSample = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mixed == win13, "mixed hot/cold routing diverged from window form")
+  }
+
+  test("joinPerHash: the hot broadcast branch delivers the same rows as the plain join") {
+    // Force hotness (threshold 1: any hash with >1 occurrence is hot) on
+    // a frame with a deliberate mega-key plus singletons; the delivered
+    // (rows × per-hash payload) set must match the gated plain join.
+    val wins = Seq(
+      (Array[Byte](1), 1L, 1L), (Array[Byte](1), 2L, 1L), (Array[Byte](1), 3L, 2L),
+      (Array[Byte](2), 4L, 1L), (Array[Byte](3), 5L, 1L), (Array[Byte](3), 6L, 1L)
+    ).toDF("h", "id", "pos")
+    val perHash = wins.groupBy($"h")
+      .agg(min(struct($"id", $"pos")).as("first"), count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(hex($"h").as("hb"), $"id", $"pos", $"first.id".as("fid"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val plain = rows(Dedup.joinPerHash(wins, perHash, "cnt")) // all cold at 100k
+    val forced = rows(Dedup.joinPerHash(wins, perHash, "cnt", hotThreshold = 1L))
+    assert(plain == forced, "hot/cold joinPerHash diverged from the plain join")
+    assert(plain.size == 6)
   }
 
   test("duplicatePassages: per-doc accounting is conserved on the real corpus") {

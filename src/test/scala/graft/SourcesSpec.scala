@@ -49,28 +49,66 @@ class SourcesSpec extends SpecBase {
     assert(Sources.hasParquetData(s"$root/real", conf))
   }
 
-  test("recoverStagedDir promotes the delete-then-crash orphan; never a partial beside a live target") {
+  test("recoverStagedDir promotes only the marker-complete delete-then-crash orphan") {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = Files.createTempDirectory("graft_swap").toString
     val target = s"$root/snap"
-    // the one promotable state: writer died BETWEEN its delete and its
-    // rename — target absent, COMPLETE content in the staging sibling
+    // a FIRST-EVER write that crashed mid-write: target absent, staging
+    // present, NO completion marker — recovery must refuse (promoting
+    // would commit truncated data; this is why target absence alone can
+    // never prove the write completed)
     val staged = new java.io.File(s"$root/.staging_snap")
     assert(staged.mkdirs())
     Files.write(staged.toPath.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
-    assert(Sources.recoverStagedDir(target, conf), "orphan must promote")
+    assert(!Sources.recoverStagedDir(target, conf),
+      "a marker-less staging dir is a partial write and must not promote")
+    // the one promotable state: writer died BETWEEN its delete and its
+    // rename — target absent, staging carries the completion marker
+    Files.write(staged.toPath.resolve("_GRAFT_STAGED_COMPLETE"), Array[Byte]())
+    assert(Sources.recoverStagedDir(target, conf), "marker-complete orphan must promote")
     assert(new java.io.File(s"$target/part-0.parquet").exists())
+    assert(!new java.io.File(s"$target/_GRAFT_STAGED_COMPLETE").exists(),
+      "the marker must not linger in the promoted target")
     assert(!staged.exists())
     // idempotent: nothing left to recover
     assert(!Sources.recoverStagedDir(target, conf))
     // a staging dir BESIDE a live target is a crashed partial write —
-    // recovery must refuse (the next swap's overwrite reclaims it)
+    // recovery must refuse (the next swap's wipe reclaims it)
     val staged2 = new java.io.File(s"$root/.staging_snap")
     assert(staged2.mkdirs())
     Files.write(staged2.toPath.resolve("part-9.parquet"), Array[Byte](9))
+    Files.write(staged2.toPath.resolve("_GRAFT_STAGED_COMPLETE"), Array[Byte]())
     assert(!Sources.recoverStagedDir(target, conf))
     assert(new java.io.File(s"$target/part-0.parquet").exists(),
       "the live target must be untouched")
+    // a real swap over the crashed staging leftovers works (wipe-first)
+    Sources.stageAndSwapDir(target, conf) { dir =>
+      val d = new java.io.File(dir)
+      d.mkdirs()
+      Files.write(d.toPath.resolve("part-1.parquet"), Array[Byte](4, 5))
+    }
+    assert(new java.io.File(s"$target/part-1.parquet").exists())
+    assert(!new java.io.File(s"$target/part-9.parquet").exists(),
+      "the stale partial staging content must not survive the swap")
+    assert(!new java.io.File(s"$target/_GRAFT_STAGED_COMPLETE").exists())
+  }
+
+  test("unpersistCheckpoint releases localCheckpoint blocks (Dataset.unpersist does not)") {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val df = spark.range(1000).toDF("v").localCheckpoint(true)
+    val lr = df.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val id = lr.rdd.id
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "a localCheckpoint must persist its RDD")
+    // the trap the streaming sinks hit: Dataset.unpersist only uncaches
+    // via the CacheManager and leaves the checkpoint blocks alive
+    df.unpersist(true)
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "Dataset.unpersist must be the documented no-op on checkpoints")
+    assert(DatasetBridge.unpersistCheckpoint(df, blocking = true))
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      "the bridge must release the checkpoint's storage blocks")
   }
 
   test("csv round-trip and json-lines round-trip") {
