@@ -77,13 +77,16 @@ object Bpe {
         merges += Merge(r, a, b, n)
         val prev = vocab
         vocab = vocab.map(v => Vocab(mergePair(v.syms, a, b), v.n)).localCheckpoint()
-        prev.unpersist()
+        // RDD-level release: Dataset.unpersist is a NO-OP on checkpointed
+        // frames (it only uncaches via the CacheManager)
+        org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(prev)
         r += 1
       }
     }
     val out = merges.toSeq.toDF("round", "left", "right", "n")
       .select(col("round").cast("int"), col("left"), col("right"), col("n").cast("long"))
-    vocab.unpersist() // the final round's checkpoint would otherwise leak
+    // the final round's checkpoint would otherwise leak until driver GC
+    org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(vocab)
     out
   }
 

@@ -809,7 +809,15 @@ object Dedup {
       // null metric = zero rows in the contracted graph (all-clique input
       // contracts away entirely) — converged
       changed = Option(obs.get("changed")).exists(_.asInstanceOf[Long] > 0)
+      // release the superseded round's checkpoint blocks at the RDD
+      // level (Dataset.unpersist is a no-op on checkpoints): `next` is
+      // eagerly materialized, so nothing reads `labels` again — without
+      // this, a long-lived caller (the streaming cluster-maintenance
+      // sink runs this loop EVERY micro-batch) accumulates one
+      // label-table checkpoint per round per batch until a driver GC
+      val prev = labels
       labels = next
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(prev)
       rounds += 1
       // POINTER-JUMP every 4th round: label <- label(label). One-hop BSP
       // alone moves min labels a single edge per round, so a chain-shaped
@@ -820,12 +828,14 @@ object Dedup {
       // are the freshly materialized checkpoint, so the jump costs one
       // extra job per 4 rounds, nothing on shallow graphs.
       if (changed && rounds % 4 == 0) {
+        val beforeJump = labels
         labels = labels
           .join(labels.select(col("id").as("label"), col("label").as("ll")),
             Seq("label"), "left")
           .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
           .repartition(nPart, col("id"))
           .localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(beforeJump)
       }
     }
     if (changed)
@@ -833,6 +843,11 @@ object Dedup {
         s"[graft.cc] NOT converged after $maxRounds rounds — component diameter " +
           "exceeds the cap even with pointer jumping; labels would be wrong")
     logger.info(s"[graft.cc] converged after $rounds rounds over the contracted graph")
+    // the loop is done with the contracted edge list; only labels0 and
+    // the final `labels` stay live — the RETURNED frame's (lazy) lineage
+    // reads both, so those two checkpoints are the caller's to consume
+    // and fall to GC after its action
+    org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(cEdges)
     // Compose: each id's final label is its contracted node's component
     // label; ids whose contracted node lost every edge to self-loops are
     // already final at their init label.

@@ -218,11 +218,18 @@ object DocumentStreams {
           Dedup.minhashDedupLinks(all, "doc_id", "text", threshold = threshold)
             .select(col("id_a"), col("id_b")))
     }
-    EventStreams.stageAndPublish(outDir, batchId) { staged =>
+    try EventStreams.stageAndPublish(outDir, batchId) { staged =>
       labels.write.mode("overwrite").parquet(s"$staged/labels")
       Seq(maxAll.get).toDF("coverage_max_id").coalesce(1)
         .write.mode("overwrite").parquet(s"$staged/meta")
-    }
+    } finally
+      // the CC inside incrementalMinhashLabels releases its superseded
+      // per-round checkpoints itself, but its RETURNED lineage still
+      // reads the init + final label checkpoints — only THIS sink knows
+      // when the last action over them has run; without the deep release
+      // a long-lived stream accumulates two label-table checkpoints per
+      // micro-batch until a driver GC (the passage-sink ADVICE shape)
+      org.apache.spark.sql.graftbridge.DatasetBridge.unpersistLineageCheckpoints(labels)
   }
 
   /** foreachBatch CORPUS-BUILD sink — the streaming flagship closing the
