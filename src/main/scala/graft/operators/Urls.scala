@@ -32,8 +32,14 @@ import org.apache.spark.sql.functions._
 object Urls {
 
   /** Tracking params dropped by canonicalization. `(^|&)`-anchored so a
-    * legitimate `ref`-suffixed param name (e.g. `href=`) never matches. */
-  private[graft] val TrackingRe = "(^|&)(utm_[^=&]*|gclid|fbclid|ref)=[^&]*"
+    * legitimate `ref`-suffixed param name (e.g. `href=`) never matches,
+    * and the value is OPTIONAL (`(=[^&]*)?`) so a valueless `?fbclid` /
+    * `&gclid` is stripped too — but guarded by `\b` (ASCII word boundary,
+    * identical in the Java and RE2 dialects) so the optional value never
+    * turns `ref` into a prefix-match that eats `refresh=1`. Adjacent
+    * valueless params ("&fbclid&gclid") each keep their own leading '&',
+    * so one global pass removes both — no trailing-separator consumption. */
+  private[graft] val TrackingRe = "(^|&)(utm_[^=&]*|gclid|fbclid|ref)\\b(=[^&]*)?"
 
   private def schemeOf(u: Column): Column =
     lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -56,10 +62,14 @@ object Urls {
       "/+$", "")
 
   /** Surviving query params, tracking-stripped and bytewise-sorted;
-    * empty string when none survive. */
+    * empty string when none survive. The extraction is anchored to a '?'
+    * that PRECEDES any '#' (`^[^#?]*\?`): a hash-routing URL whose only
+    * '?' lives inside the fragment (`http://h/p#/route?tab=1`) has no
+    * real query, and fragment params must not leak into the canonical
+    * key — the fragment-dropped rule applies to everything after '#'. */
   private def paramsOf(u: Column): Column = {
     val cleaned = regexp_replace(
-      regexp_replace(regexp_extract(u, "\\?([^#]*)", 1), TrackingRe, ""),
+      regexp_replace(regexp_extract(u, "^[^#?]*\\?([^#]*)", 1), TrackingRe, ""),
       "^&+", "")
     when(cleaned === "", lit(""))
       .otherwise(array_join(array_sort(split(cleaned, "&")), "&"))

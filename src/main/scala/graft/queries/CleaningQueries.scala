@@ -598,9 +598,11 @@ object CleaningQueries {
         |              WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
         |      || '/Dir/Page-' || CAST(doc_id % 7 AS VARCHAR)
         |      || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
-        |      || '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&a=1'
-        |      || CASE WHEN doc_id % 2 = 0 THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END
-        |      || '#sec' AS url
+        |      || CASE WHEN doc_id % 13 = 0 THEN '#/route?tab=1&b=9'
+        |         ELSE '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&a=1'
+        |           || CASE WHEN doc_id % 2 = 0 THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |           || CASE WHEN doc_id % 5 = 1 THEN '&fbclid' ELSE '' END
+        |           || '#sec' END AS url
         |  FROM documents
         |), parts AS (
         |  SELECT doc_id, scheme,
@@ -613,7 +615,7 @@ object CleaningQueries {
         |      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostraw,
         |      regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
-        |      regexp_replace(regexp_replace(regexp_extract(url, '\?([^#]*)', 1), '(^|&)(utm_[^=&]*|gclid|fbclid|ref)=[^&]*', '', 'g'), '^&+', '') AS cleaned
+        |      regexp_replace(regexp_replace(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '(^|&)(utm_[^=&]*|gclid|fbclid|ref)\b(=[^&]*)?', '', 'g'), '^&+', '') AS cleaned
         |    FROM raw
         |  )
         |), canon AS (
@@ -640,9 +642,14 @@ object CleaningQueries {
         when(d % 11 === 0, ":8080").when(d % 4 === 0, ":443").otherwise(""),
         lit("/Dir/Page-"), (d % 7).cast("string"),
         when(d % 3 === 0, "/").otherwise(""),
-        lit("?b="), (d % 5).cast("string"), lit("&utm_source=feed&a=1"),
-        when(d % 2 === 0, concat(lit("&gclid=g"), d.cast("string"))).otherwise(""),
-        lit("#sec"))
+        // %13 docs: hash-routing shape — NO real query, a '?' inside the
+        // fragment; its params must NOT leak into the canonical key.
+        // %5=1 docs: valueless '&fbclid' (no '='), must still strip.
+        when(d % 13 === 0, lit("#/route?tab=1&b=9")).otherwise(concat(
+          lit("?b="), (d % 5).cast("string"), lit("&utm_source=feed&a=1"),
+          when(d % 2 === 0, concat(lit("&gclid=g"), d.cast("string"))).otherwise(""),
+          when(d % 5 === 1, "&fbclid").otherwise(""),
+          lit("#sec"))))
       val blocked = Seq("site-0.com", "site-7.com", "site-13.com").toDF("domain")
       Tables.documents(s, dir)
         .select(d, url.as("url"))

@@ -17,6 +17,12 @@ import graft.operators.{Dedup, Relational, Sampling, TextAnalysis}
   */
 object CorpusQueries {
 
+  /** Per-process nonce for the q172 index slot: keeps reruns within one
+    * JVM reusing (and wiping) a single slot per corpus, while two
+    * concurrent processes never share one. */
+  private lazy val bm25IdxNonce: String =
+    java.lang.Long.toHexString(java.lang.ProcessHandle.current.pid)
+
   /** Portable 32-bit hash twin (see [[Sampling.docHash32]]). */
   private def hashSql(expr: String) =
     s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
@@ -1200,11 +1206,16 @@ object CorpusQueries {
     // pays the corpus passes once; the probe is index-priced.
     "q172_bm25_saved" -> QueryDef.of(bm25OracleSql) { (s, dir) =>
       import graft.operators.Retrieval
-      // one artifact slot per source corpus, wiped before each build —
-      // a fresh temp dir per run would strand a full index artifact in
-      // /tmp every bench/verify invocation
+      // one artifact slot per (process, source corpus), wiped before each
+      // build — a fresh temp dir per run would strand a full index
+      // artifact in /tmp every bench/verify invocation. The slot key is
+      // the SANITIZED FULL PATH (an Int hashCode could collide two
+      // different corpus dirs into one slot) plus a per-process nonce
+      // (two concurrent runs over the same corpus must not race one
+      // slot: one would delete/rebuild while the other probes).
+      val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_bm25_idx_${java.lang.Integer.toHexString(dir.hashCode)}").toString
+        s"graft_bm25_idx_${bm25IdxNonce}_$safeDir").toString
       val p = new org.apache.hadoop.fs.Path(idx)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       Retrieval.saveBm25Index(Tables.documents(s, dir), "doc_id", "text",

@@ -38,13 +38,22 @@ object AttributeStore {
     * broadcast. Policies `.filter(...)` the result and select what they
     * materialize.
     *
-    * Joins are LEFT outer: a doc missing a row in some attribute table
-    * (partially-written or stale tagger output) surfaces as NULL
-    * attribute columns — which a filter predicate drops, like the old
-    * inner join, but which a policy CAN distinguish (`attr.isNull` ≠
-    * "tagger scored it low") and a coverage audit can count. A silent
-    * inner join made a coverage gap indistinguishable from an
-    * intentional filter. For hard guarantees pass
+    * ==Join semantics — READ THIS if your policy negates predicates==
+    * Joins default to LEFT outer (changed from inner in r10): a doc
+    * missing a row in some attribute table (partially-written or stale
+    * tagger output) surfaces as NULL attribute columns — which a
+    * positive filter predicate (`attr > x`) drops, like the old inner
+    * join, but which a NEGATED predicate (`!(attr > x)`, `attr =!= v`)
+    * now KEEPS, because SQL three-valued logic evaluates `!(NULL > x)`
+    * to NULL→dropped only for the un-negated form. Likewise aggregates
+    * over the composed frame now see uncovered docs. Policies written
+    * against the pre-r10 inner behavior that rely on uncovered-doc
+    * exclusion should pass `joinType = "inner"` — the explicit opt-out —
+    * or gate NULLs themselves (`attr.isNotNull && !(...)`). The left
+    * default stands because a silent inner join made a coverage gap
+    * indistinguishable from an intentional filter; a policy CAN now
+    * distinguish (`attr.isNull` ≠ "tagger scored it low") and a
+    * coverage audit can count. For hard guarantees pass
     * `assertCoverage = true`: one count per table (attr rows == corpus
     * rows) fails loud BEFORE any policy runs over a shrunken corpus —
     * opt-in because the counts are jobs, and a policy exploring an
@@ -52,7 +61,10 @@ object AttributeStore {
     * legitimate. */
   def compose(spark: SparkSession, corpusTable: String,
               attrTables: Seq[String], key: String = "doc_id",
-              assertCoverage: Boolean = false): DataFrame = {
+              assertCoverage: Boolean = false,
+              joinType: String = "left"): DataFrame = {
+    require(joinType == "left" || joinType == "inner",
+      s"compose joins attribute tables 'left' (default) or 'inner', got '$joinType'")
     if (assertCoverage) {
       // row-count equality alone is NOT coverage: a duplicated key can
       // cancel a missing one. Anti-join proves every corpus key present;
@@ -74,7 +86,7 @@ object AttributeStore {
       }
     }
     attrTables.foldLeft(spark.table(corpusTable)) { (acc, t) =>
-      acc.join(spark.table(t).hint("merge"), Seq(key), "left")
+      acc.join(spark.table(t).hint("merge"), Seq(key), joinType)
     }
   }
 }
