@@ -519,8 +519,14 @@ object CorpusQueries {
     // pseudo-random but RERUN-STABLE shard and an in-shard position
     // (hash-ordered, so adjacent source docs scatter). rand() would break
     // task-retry determinism; a salted key hash gives the same layout on
-    // every backfill. One shuffle (the window on shard), which at corpus
-    // scale IS the training shuffle itself — there is no cheaper shape.
+    // every backfill. The in-shard position is a TWO-LEVEL rank
+    // (PrefixSum.rowNumber): a window partitioned by the 16 fixed shards
+    // would sort corpus/16 rows in ONE task at 100 TB, so rows shuffle
+    // once on (shard, h div 2^20) — 4096 hash-prefix sub-buckets per
+    // shard, each window task corpus/65536 — and pos = broadcast
+    // sub-bucket base + within-bucket row_number. The single raw-row
+    // exchange still IS the training shuffle (data lands hash-clustered
+    // by (shard, hash prefix) — a per-shard writer reads it unchanged).
     "q82_shard_assign" -> QueryDef.of(
       s"""SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
@@ -531,11 +537,11 @@ object CorpusQueries {
         |  FROM documents
         |)""".stripMargin) { (s, dir) =>
       val h = Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":shard")))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), h.as("h"), (h % 16).as("shard"))
-        .withColumn("pos",
-          row_number().over(Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
-            .cast("long"))
+      graft.operators.PrefixSum.rowNumber(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), h.as("h"), (h % 16).as("shard")),
+          Seq("shard"), expr("h div 1048576"),
+          Seq(col("h"), col("doc_id")), "pos")
         .select(col("doc_id"), col("shard"), col("pos"))
     },
 
@@ -750,11 +756,17 @@ object CorpusQueries {
       val sampled = corp
         .join(contaminated, Seq("doc_id"), "left_anti")
         .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang")))
-      val packed = sampled
-        .select(col("doc_id"), col("lang"),
-          TextAnalysis.bpeTokenCount(col("text")).as("tokens"))
-        .withColumn("cum", sum(col("tokens"))
-          .over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      // packing cumsum via the two-level prefix sum (q70's posture): a
+      // per-lang window would serialize the dominant language's whole
+      // sampled corpus into one sort task at 100 TB. The raw-row
+      // exchange on (lang, doc_id div 65536) is REUSED by the totals
+      // branch, so the gate→dedup→decontaminate→sample chain above runs
+      // once (PlanSpec pins the ReusedExchange).
+      val packed = graft.operators.PrefixSum.runningSum(
+        sampled.select(col("doc_id"), col("lang"),
+          TextAnalysis.bpeTokenCount(col("text")).as("tokens")),
+        Seq("lang"), expr("doc_id div 65536"), Seq(col("doc_id")),
+        col("tokens"), "cum")
       packed.select(col("doc_id"), col("lang"), col("tokens"),
         floor((col("cum") - col("tokens")) / 512.0).cast("long").as("seq_id"),
         ((col("cum") - col("tokens")) % 512).cast("long").as("seq_off"))

@@ -51,10 +51,14 @@ object SamplingQueries {
     },
 
     // q70: token-budget sequence packing — the concat-then-chunk layout
-    // LLM training uses: docs stream per language shard in doc_id order,
-    // and each doc belongs to the chunk holding its first token. One
-    // window cumsum per shard = one shuffle on the shard key; chunk ids
-    // and offsets are pure arithmetic on the running total.
+    // LLM training uses: docs stream per language in doc_id order, and
+    // each doc belongs to the chunk holding its first token. The running
+    // total is a TWO-LEVEL PREFIX SUM (PrefixSum.runningSum), not a
+    // per-lang window: a per-lang window serializes a dominant language
+    // into ONE sort task at 100 TB (AQE splits skewed joins, never
+    // windows). Rows shuffle once on (lang, doc_id div 65536); per-bucket
+    // totals ride the same reused exchange; base offsets broadcast back.
+    // Chunk ids and offsets stay pure arithmetic on the running total.
     "q70_pack_sequences" -> QueryDef.of(
       """SELECT doc_id, lang, tokens,
         |  CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS seq_id,
@@ -68,11 +72,11 @@ object SamplingQueries {
         |    FROM documents
         |  )
         |)""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      Tables.documents(s, dir)
+      val toks = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           TextAnalysis.bpeTokenCount(col("text")).as("tokens"))
-        .withColumn("cum", sum(col("tokens")).over(w))
+      graft.operators.PrefixSum.runningSum(toks, Seq("lang"),
+          expr("doc_id div 65536"), Seq(col("doc_id")), col("tokens"), "cum")
         .select(col("doc_id"), col("lang"), col("tokens"),
           floor((col("cum") - col("tokens")) / 512.0).cast("long").as("seq_id"),
           ((col("cum") - col("tokens")) % 512).cast("long").as("seq_off"))
@@ -283,6 +287,35 @@ object SamplingQueries {
       scored.select(col("doc_id"), col("lang"),
         ntile(10).over(Window.partitionBy(col("lang"))
           .orderBy(col("quality"), col("doc_id"))).cast("long").as("bucket"))
+    },
+
+    // q173: q114's 100 TB form, registered — per-language decile CUT
+    // POINTS from one percentile_approx pass (GK sketch: mergeable, so
+    // the per-lang aggregation partial-combines map-side and the
+    // exchange carries sketches, not rows), broadcast back (≤ #langs
+    // rows), bucket assignment a codegen'd when-chain over the 9 cuts —
+    // map-side. ZERO windows: the per-lang ntile sort that serializes a
+    // dominant language into one task at scale never exists here
+    // (PlanSpec pins window-free). Rows-only: the GK sketch's cut
+    // points aren't bit-replayable in DuckDB; SamplingSpec pins ≥99%
+    // bucket agreement with exact q114 on the fixture, q114 stays the
+    // oracle gate. Boundary semantics differ from ntile by design:
+    // equal-population splits tie-groups across buckets, quantile cuts
+    // keep a tie-group whole — the disagreement lives only on
+    // cut-straddling ties.
+    "q173_curriculum_buckets_approx" -> QueryDef.rowsOnly { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val toks = graft.functions.F.tokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextAnalysis.qualityScore(toks).as("quality"))
+      val cuts = scored.groupBy(col("lang"))
+        .agg(percentile_approx(col("quality"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("cuts"))
+      val bucket = (1 to 9).foldRight(lit(10L): org.apache.spark.sql.Column) { (i, rest) =>
+        when(col("quality") <= element_at(col("cuts"), i), i.toLong).otherwise(rest)
+      }
+      scored.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
     }
   )
 }

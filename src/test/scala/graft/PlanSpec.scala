@@ -147,10 +147,43 @@ class PlanSpec extends SpecBase {
     assert(rr == 3, s"q68 expected 3 round-robin compute spreads, got $rr")
     val p69 = plan("q69_stratified_sample")
     assert(!p69.contains("Exchange"), s"q69 must be exchange-free:\n${p69.take(600)}")
-    val p70 = plan("q70_pack_sequences")
-    val shuffles70 = p70.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
-    assert(shuffles70 == 1, s"q70 expected exactly 1 shuffle exchange, got $shuffles70")
+  }
+
+  private def finalPlan(name: String): String = {
+    // exchange/stage reuse is an AQE runtime decision: run the query,
+    // then read the FINAL adaptive plan (the section before the Initial
+    // Plan dump). Pin the UNCACHED regime first: a neighbor suite's
+    // .cache() of the documents frame substitutes InMemoryRelation into
+    // the scans, and AQE wraps each in its own TableCacheQueryStage —
+    // whose node identity breaks exchange-stage dedup, so ReusedExchange
+    // silently vanishes (lesson 50's suite-order trap; production runs
+    // don't cache the corpus).
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries(name)(spark, SfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q70/q88 packing and q82 positions: two-level prefix sum, no per-key corpus window") {
+    // The r10 verdict's 100 TB defect class: a window partitioned by a
+    // STRUCTURALLY low-cardinality key (lang, a 16-way shard) serializes
+    // a dominant key's whole corpus into one sort task, and AQE splits
+    // skewed joins, never windows. PrefixSum decomposes the running
+    // sum/rank so every Window node carries the sub-bucket — either in
+    // its partition spec (the bounded local cumsum) or as its order key
+    // (the exclusive prefix over the AGGREGATED totals frame) — and the
+    // raw rows shuffle exactly once, with the totals branch riding a
+    // ReusedExchange instead of re-running the upstream pipeline.
+    for (q <- Seq("q70_pack_sequences", "q82_shard_assign", "q88_corpus_build")) {
+      val p = finalPlan(q)
+      val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+      assert(windows.nonEmpty, s"$q should window somewhere (prefix sum kept two bounded windows)")
+      val bad = windows.filterNot(_.contains("__pfx_bucket"))
+      assert(bad.isEmpty,
+        s"$q has a window without the prefix-sum sub-bucket (corpus-sized task risk):\n${bad.mkString("\n")}")
+      assert(p.contains("ReusedExchange"),
+        s"$q's totals branch must reuse the raw-row exchange, not recompute the pipeline:\n${p.take(900)}")
+    }
   }
 
   test("q71 caps copies through TopKPerKey, not a hash-partitioned window") {
@@ -180,14 +213,20 @@ class PlanSpec extends SpecBase {
     assert(p.contains("TopKPerKey"), "q85 must trim through the TopKPerKey node")
   }
 
-  test("q84 stays shuffle-free; q82 shuffles once on the shard key") {
-    // q84 is pure per-row vector arithmetic; q82's single exchange IS the
-    // training shuffle (there is no cheaper shape for a global reorder).
+  test("q84 stays shuffle-free; q82 shuffles raw rows once on (shard, hash prefix)") {
+    // q84 is pure per-row vector arithmetic. q82's raw rows cross exactly
+    // one exchange — on (shard, h div 2^20), which IS the training
+    // shuffle (data lands hash-clustered; a per-shard writer reads it
+    // unchanged); the only other exchanges carry the ≤ 65536-row
+    // aggregated totals frame for the two-level rank.
     assert(!plan("q84_quantize_embeddings").contains("Exchange"),
       "q84 must be exchange-free")
-    val shuffles = plan("q82_shard_assign").linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
-    assert(shuffles == 1, s"q82 expected exactly 1 shuffle exchange, got $shuffles")
+    val p = finalPlan("q82_shard_assign")
+    val rawShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Broadcast")
+        && !l.contains("ReusedExchange") && l.contains("__pfx_bucket"))
+    assert(rawShuffles == 1,
+      s"q82 expected exactly 1 raw-row exchange on (shard, sub-bucket), got $rawShuffles:\n${p.take(900)}")
   }
 
   test("q80's corpus total joins as a broadcast, not a driver collect") {
