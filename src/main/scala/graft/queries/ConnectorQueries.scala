@@ -2234,6 +2234,161 @@ object ConnectorQueries {
           coalesce(col("noshmim_raw") === "יש", lit(false)).as("noshmim"),
           coalesce(col("otzma_raw") === "יש", lit(false)).as("otzma"))
         .filter(col("semel_machlaka").isNotNull)
+    },
+
+    // q174: the Guidestar LANGUAGE-FIELD FOLD — the one row transform
+    // embedded in the Guidestar fetch client (reference:
+    // srm_tools/guidestar_api.py:27-48
+    // replace_language_field_in_array_of_object): branch payloads carry
+    // arrays of objects whose `language` field may hold a NUMERIC-coded
+    // situation key (human_situations:language:N_speaking, N=1..8); the
+    // client folds each to its named tag (1→hebrew … 8→other_speaking)
+    // and leaves empty, already-named, and unknown-coded values
+    // untouched. Spark-first shape (lesson 47): the array unwinds FIRST
+    // (posexplode of a generated index list), then the fold is a
+    // codegen'd when-chain map-side — no per-row lambda, one scan, ZERO
+    // exchanges (the unwound form is what downstream tagging joins on
+    // anyway).
+    "q174_guidestar_language_fold" -> QueryDef.of(
+      """WITH e AS (
+        |  SELECT c_custkey AS org_id, unnest(range(0, 1 + c_custkey % 3)) AS pos
+        |  FROM customer
+        |), raw AS (
+        |  SELECT org_id, pos,
+        |    CASE (org_id + pos) % 6
+        |      WHEN 3 THEN 'human_situations:language:hebrew_speaking'
+        |      WHEN 4 THEN ''
+        |      WHEN 5 THEN 'human_situations:language:9_speaking'
+        |      ELSE 'human_situations:language:' ||
+        |           CAST(1 + (org_id + pos * 7) % 8 AS VARCHAR) || '_speaking'
+        |    END AS raw_language
+        |  FROM e
+        |)
+        |SELECT org_id, CAST(pos AS BIGINT) AS pos, raw_language,
+        |  CASE raw_language
+        |    WHEN 'human_situations:language:1_speaking' THEN 'human_situations:language:hebrew_speaking'
+        |    WHEN 'human_situations:language:2_speaking' THEN 'human_situations:language:arabic_speaking'
+        |    WHEN 'human_situations:language:3_speaking' THEN 'human_situations:language:russian_speaking'
+        |    WHEN 'human_situations:language:4_speaking' THEN 'human_situations:language:french_speaking'
+        |    WHEN 'human_situations:language:5_speaking' THEN 'human_situations:language:english_speaking'
+        |    WHEN 'human_situations:language:6_speaking' THEN 'human_situations:language:amharic_speaking'
+        |    WHEN 'human_situations:language:7_speaking' THEN 'human_situations:language:spanish_speaking'
+        |    WHEN 'human_situations:language:8_speaking' THEN 'human_situations:language:other_speaking'
+        |    ELSE raw_language
+        |  END AS language
+        |FROM raw
+        |""".stripMargin) { (s, dir) =>
+      val named = Seq("hebrew", "arabic", "russian", "french", "english",
+        "amharic", "spanish", "other")
+      val oid = col("org_id")
+      val r = (oid + col("pos")) % 6
+      val numCode = lit(1) + (oid + col("pos") * 7) % 8
+      val raw = when(r === 3, lit("human_situations:language:hebrew_speaking"))
+        .when(r === 4, lit(""))
+        .when(r === 5, lit("human_situations:language:9_speaking"))
+        .otherwise(concat(lit("human_situations:language:"),
+          numCode.cast("string"), lit("_speaking")))
+      val folded = named.zipWithIndex.foldLeft(col("raw_language")) {
+        case (acc, (name, i)) =>
+          when(col("raw_language") === s"human_situations:language:${i + 1}_speaking",
+            s"human_situations:language:${name}_speaking").otherwise(acc)
+      }
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("org_id"),
+          sequence(lit(0), (col("c_custkey") % 3).cast("int")).as("js"))
+        .select(oid, posexplode(col("js")))
+        .select(oid, col("pos").cast("long").as("pos"), raw.as("raw_language"))
+        .select(oid, col("pos"), col("raw_language"), folded.as("language"))
+    },
+
+    // q175: the Click-scraper DECODE + CLEAN + FILTER — the row half of
+    // the soproc click connector (reference:
+    // operators/soproc/click_scraper.py:55-79 decode_and_clean /
+    // filter_results): every string field optionally arrives
+    // base64-wrapped (decode when it parses, keep otherwise — modeled
+    // as a charset+padding gate both engines replay identically), then
+    // HTML-strips, folds &nbsp;/\xa0 to spaces, drops \r, trims, and
+    // maps the literal 'NULL' to null; rows keep only lang_code='he',
+    // integer-castable type = 1 (cast-failures DROP, the
+    // schema_validator.drop semantics → TRY_CAST), non-null group_id,
+    // and distribution_channel[0] = 1. Map-only: one scan, zero
+    // exchanges — the filter and every field transform are codegen'd
+    // scalar chains.
+    "q175_click_scraper_clean" -> QueryDef.of(
+      """WITH b AS (
+        |  SELECT c_custkey AS cid,
+        |    CASE cid % 3 WHEN 0 THEN 'he' WHEN 1 THEN 'en' ELSE 'ar' END AS lang_code,
+        |    CASE cid % 4 WHEN 1 THEN '2' WHEN 2 THEN 'x' ELSE '1' END AS type_raw,
+        |    CASE WHEN cid % 5 = 0 THEN NULL ELSE 'g' || CAST(cid % 50 AS VARCHAR) END AS group_id,
+        |    CASE WHEN cid % 7 = 0 THEN NULL
+        |         WHEN cid % 4 = 3 THEN [CAST(2 AS BIGINT), 1]
+        |         ELSE [CAST(1 AS BIGINT), cid % 5] END AS distribution_channel,
+        |    CASE WHEN cid % 2 = 0
+        |         THEN to_base64(encode('כותרת <b>' || CAST(cid % 40 AS VARCHAR) || '</b>'))
+        |         ELSE '  שירות ' || CAST(cid % 40 AS VARCHAR) || ' <i>x</i>&nbsp; ' END AS title_raw,
+        |    CASE cid % 6 WHEN 0 THEN 'NULL' WHEN 1 THEN 'a' || chr(13) || 'b'
+        |         ELSE 'note <p>' || CAST(cid % 9 AS VARCHAR) || '</p>' END AS notes_raw
+        |  FROM customer
+        |), d AS (
+        |  SELECT cid, lang_code, type_raw, group_id, distribution_channel,
+        |    CASE WHEN regexp_matches(title_raw, '^[A-Za-z0-9+/]+={0,2}$')
+        |              AND length(title_raw) % 4 = 0 AND length(title_raw) >= 8
+        |         THEN decode(from_base64(title_raw)) ELSE title_raw END AS title_dec,
+        |    CASE WHEN regexp_matches(notes_raw, '^[A-Za-z0-9+/]+={0,2}$')
+        |              AND length(notes_raw) % 4 = 0 AND length(notes_raw) >= 8
+        |         THEN decode(from_base64(notes_raw)) ELSE notes_raw END AS notes_dec
+        |  FROM b
+        |)
+        |SELECT cid,
+        |  NULLIF(trim(replace(replace(replace(regexp_replace(title_dec, '<[^>]*>', '', 'g'),
+        |    '&nbsp;', ' '), chr(160), ' '), chr(13), '')), 'NULL') AS title,
+        |  NULLIF(trim(replace(replace(replace(regexp_replace(notes_dec, '<[^>]*>', '', 'g'),
+        |    '&nbsp;', ' '), chr(160), ' '), chr(13), '')), 'NULL') AS notes,
+        |  CAST(TRY_CAST(type_raw AS INTEGER) AS BIGINT) AS type, group_id
+        |FROM d
+        |WHERE lang_code = 'he' AND TRY_CAST(type_raw AS INTEGER) = 1
+        |  AND group_id IS NOT NULL AND distribution_channel IS NOT NULL
+        |  AND distribution_channel[1] = 1
+        |""".stripMargin) { (s, dir) =>
+      val cid = col("cid")
+      // "decode when it parses" = charset + padding + MIN-LENGTH gate:
+      // the reference's try/except also keeps short ASCII markers
+      // ('NULL' is base64-shaped but utf8-undecodable - its decode
+      // attempt throws and the original survives); the length floor
+      // models that without a non-replayable utf8-validity probe
+      def cleanField(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val dec = when(c.rlike("^[A-Za-z0-9+/]+={0,2}$") &&
+            length(c) % 4 === 0 && length(c) >= 8,
+          decode(unbase64(c), "UTF-8")).otherwise(c)
+        nullif(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          dec, "<[^>]*>", ""), "&nbsp;", " "), "\u00A0", " "), "\r", "")), lit("NULL"))
+      }
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("cid"))
+        .select(cid,
+          when(cid % 3 === 0, "he").when(cid % 3 === 1, "en").otherwise("ar").as("lang_code"),
+          when(cid % 4 === 1, "2").when(cid % 4 === 2, "x").otherwise("1").as("type_raw"),
+          when(cid % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("g"), (cid % 50).cast("string"))).as("group_id"),
+          when(cid % 7 === 0, lit(null).cast("array<bigint>"))
+            .when(cid % 4 === 3, array(lit(2L), lit(1L)))
+            .otherwise(array(lit(1L), cid % 5)).as("distribution_channel"),
+          when(cid % 2 === 0,
+            base64(concat(lit("כותרת <b>"), (cid % 40).cast("string"), lit("</b>")).cast("binary")))
+            .otherwise(concat(lit("  שירות "), (cid % 40).cast("string"), lit(" <i>x</i>&nbsp; ")))
+            .as("title_raw"),
+          when(cid % 6 === 0, lit("NULL"))
+            .when(cid % 6 === 1, lit("a\rb"))
+            .otherwise(concat(lit("note <p>"), (cid % 9).cast("string"), lit("</p>")))
+            .as("notes_raw"))
+        .filter(col("lang_code") === "he" &&
+          expr("try_cast(type_raw AS int)") === 1 &&
+          col("group_id").isNotNull && col("distribution_channel").isNotNull &&
+          element_at(col("distribution_channel"), 1) === 1L)
+        .select(cid, cleanField(col("title_raw")).as("title"),
+          cleanField(col("notes_raw")).as("notes"),
+          expr("try_cast(type_raw AS int)").cast("long").as("type"),
+          col("group_id"))
     }
   )
 

@@ -565,6 +565,39 @@ object LlmQueries {
           expr("array_join(transform(smp, x -> x.id), ',')").as("kept_ids"))
     },
 
+    // q176: the q119 DRAW kernel under the DuckDB oracle — cluster-capped
+    // balanced sampling over FIXED cluster labels (the embeddings
+    // table's own `label` column, q161's "given labels" posture). q119
+    // stays rows-only because its cells come from float-iterative
+    // k-means (not replayable); everything ELSE q119 does — counts,
+    // caps, the salted-hash bottom-k draw — triple-matches here: the
+    // md5-32 key and the (hash, id) total order replay in SQL, so the
+    // winner SET and its ORDER both gate. Same mergeable BottomKSample
+    // aggregate: ≤ cap ids per cluster per input partition reach the
+    // exchange, at any skew.
+    "q176_cluster_balance_draw" -> QueryDef.of(
+      """WITH h AS (
+        |  SELECT CAST(label AS BIGINT) AS cluster, vec_id,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':balance'), 1, 8)) AS BIGINT) AS hk
+        |  FROM embeddings
+        |)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  least(CAST(COUNT(*) AS BIGINT), 16) AS n_kept,
+        |  array_to_string(list_slice(list(CAST(vec_id AS VARCHAR) ORDER BY hk, vec_id), 1, 16), ',') AS kept_ids
+        |FROM h GROUP BY cluster
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.expressions.BottomKSample
+      val cap = 16
+      Tables.embeddings(s, dir)
+        .groupBy(col("label").cast("long").as("cluster"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          BottomKSample(Sampling.saltedHash32(col("vec_id"), "balance"),
+            col("vec_id"), cap).as("smp"))
+        .select(col("cluster"), col("n_members"),
+          least(col("n_members"), lit(cap.toLong)).as("n_kept"),
+          expr("array_join(transform(smp, x -> x.id), ',')").as("kept_ids"))
+    },
+
     // q59: embedding-cosine near-dup PAIRS — the threshold-dedup shape
     // (q26/q27/q40 are top-k). Hyperplane-sign blocking bounds the join
     // (never an unblocked cross product); pairs within a bucket score
@@ -809,13 +842,36 @@ object LlmQueries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("poly_fp"))
     },
 
-    // q48: min-shingle ("winnowing") fingerprint via the relational
-    // explode/groupBy path. Rows-only (xxhash64-seeded); exact values
-    // pinned against the column form in TextAnalysisSpec.
-    "q48_winnow_fingerprint" -> QueryDef.rowsOnly { (s, dir) =>
-      TextAnalysis.minShingleFingerprints(Tables.documents(s, dir), "doc_id", "text",
-        repartitionTo = Some(s.sparkContext.defaultParallelism)) // local small-split regime
-        .withColumnRenamed("id", "doc_id")
+    // q48: min-shingle ("winnowing") fingerprint — r11 PROMOTED to the
+    // DuckDB oracle: the fingerprint hash swaps to the portable 32-bit
+    // md5 prefix (the Sampling.docHash32 twin the sampling family
+    // already replays in SQL), min over all 8-token shingles with the
+    // same short-doc whole-text fallback as Shingles. The xxhash64
+    // native-Expression form (TextAnalysis.minShingleFingerprints —
+    // map-only, ZERO shuffle via XxHash64ArrayMin) stays the
+    // production/scale variant, value-pinned in TextAnalysisSpec; this
+    // oracle arm runs the lesson-47 relational path: posexplode the
+    // native Shingles, md5 as a codegen'd scalar on the exploded rows,
+    // partial-combined min — one exchange carrying (id, 8-byte) partials.
+    "q48_winnow_fingerprint" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 6),
+        |                i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+        |    END) AS sh
+        |  FROM t
+        |)
+        |SELECT doc_id, min(CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)) AS min_shingle_fp
+        |FROM sh GROUP BY doc_id
+        |""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Dedup.shingles(F.tokens(col("text")), 8)).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(min(Sampling.docHash32(col("sh"))).as("min_shingle_fp"))
     },
 
     // q32: multimodal plumbing — binary payload + metadata struct, stubbed

@@ -87,6 +87,51 @@ class AttributeStoreSpec extends SpecBase {
     assert(strictIds.subsetOf(inline))
   }
 
+  test("combined re-policy (quality × dup × domain blocklist) reads ONLY the store") {
+    stored
+    // the r11 breadth case: q171's domain keys join the store beside the
+    // classifier verdicts and passage-dup numbers, and a three-signal policy —
+    // the real corpus-curation gate (quality rules ∧ duplication cap ∧
+    // domain blocklist) — composes exchange-free without re-running any
+    // tagger: no URL regexes, no window hashing, no text
+    AttributeStore.writeAttributeTable(
+      q("q166_passage_dedup").select(col("doc_id"),
+        col("dup_windows"), col("dup_frac_1e4")),
+      "as_passage", nBuckets = 8)
+    val d = col("doc_id")
+    val url = concat(lit("HTTPS://WWW.Site-"), (d % 37).cast("string"), lit(".COM"),
+      lit("/Dir/Page-"), (d % 7).cast("string"))
+    AttributeStore.writeAttributeTable(
+      Tables.documents(spark, SfDir)
+        .select(d, graft.operators.Urls.urlDomain(url).as("domain")),
+      "as_domain", nBuckets = 8)
+    val blocked = Seq("site-0.com", "site-7.com", "site-13.com")
+    val composed = AttributeStore.compose(spark, "as_corpus",
+      Seq("as_clf", "as_passage", "as_domain"))
+    val policy = composed
+      .filter(col("kept") && col("dup_frac_1e4") < 5000 && !col("domain").isin(blocked: _*))
+      .select(col("doc_id"))
+    val plan = policy.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"tri-signal policy must compose with zero shuffles:\n${plan.take(800)}")
+    assert(!plan.contains("regexp") && !plan.contains("md5"),
+      "re-policy must not re-run canonicalization or passage marking")
+    val inline = q("q166_passage_dedup").select(col("doc_id"), col("dup_frac_1e4"))
+      .join(q("q164_classifier_filter").select(col("doc_id"), col("kept")), "doc_id")
+      .join(Tables.documents(spark, SfDir)
+        .select(d, graft.operators.Urls.urlDomain(url).as("domain")), "doc_id")
+      .filter(col("kept") && col("dup_frac_1e4") < 5000 && !col("domain").isin(blocked: _*))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(policy.collect().map(_.getLong(0)).toSet == inline,
+      "the tri-signal attribute policy must keep exactly the inline-computed set")
+    // flipping the blocklist is a pure store re-filter with disjoint complement
+    val flipped = composed
+      .filter(col("kept") && col("dup_frac_1e4") < 5000 && col("domain").isin(blocked: _*))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(inline.nonEmpty && flipped.nonEmpty, "fixture must exercise both sides of the blocklist")
+    assert(flipped.intersect(inline).isEmpty)
+  }
+
   test("compose left-joins (coverage gaps visible as nulls); assertCoverage fails loud") {
     stored
     AttributeStore.writeAttributeTable(
@@ -103,6 +148,13 @@ class AttributeStoreSpec extends SpecBase {
       AttributeStore.compose(spark, "as_corpus", Seq("as_partial"),
         assertCoverage = true)
     }
+    // the explicit inner opt-out (r10 ADVICE): policies relying on
+    // uncovered-doc EXCLUSION (negated predicates over nullable attrs)
+    // get the pre-r10 semantics back without hand-writing null gates
+    val inner = AttributeStore.compose(spark, "as_corpus", Seq("as_partial"),
+      joinType = "inner")
+    assert(inner.count() < n && inner.filter(col("en_ratio").isNull).count() == 0,
+      "inner mode must drop uncovered docs")
   }
 
   test("re-policying reuses the stored attributes: different filter, no re-tagging, same store") {
