@@ -716,6 +716,22 @@ object Dedup {
     * results are engine-independent — a recursive-CTE oracle converges to
     * the same assignment. Returns (id, cluster).
     */
+  /** Attach per-cluster member counts to a label frame — the lesson-49
+    * form: `count(*) OVER (PARTITION BY cluster)` puts a mega cluster's
+    * ENTIRE membership into one window task's sort, and the mega cluster
+    * is dedup's reason to exist (web boilerplate connects millions of
+    * docs into one component; AQE splits skewed JOINS, never windows).
+    * Here the count partial-combines map-side (the exchange carries
+    * ≤ #clusters rows per input partition) and rides back as a join on
+    * the cluster key — the probe side is exactly the shape AQE
+    * skew-join splits when one cluster dominates. */
+  def withMemberCounts(labels: DataFrame, clusterCol: String = "cluster",
+                       outCol: String = "n_members"): DataFrame = {
+    val counts = labels.groupBy(col(clusterCol))
+      .agg(count(lit(1)).cast("long").as(outCol))
+    labels.join(counts, Seq(clusterCol))
+  }
+
   def connectedComponents(ids: DataFrame, links: DataFrame): DataFrame = {
     // Size the loop's layout to the LABEL table, not the session default:
     // labels are one row per id (tiny next to the edge list), and each

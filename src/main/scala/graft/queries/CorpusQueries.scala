@@ -467,8 +467,7 @@ object CorpusQueries {
       Dedup.incrementalMinhashLabels(docs, "doc_id", "text",
           isNew = col("doc_id") >= cutoff, labelsOld, threshold = 0.9)
         .withColumn("cluster", col("label")).drop("label")
-        .withColumn("n_members",
-          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+        .transform(Dedup.withMemberCounts(_))
     },
 
     "q81_incremental_dedup" -> QueryDef.of(

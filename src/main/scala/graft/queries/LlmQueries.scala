@@ -347,8 +347,7 @@ object LlmQueries {
         |""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       dedupClusters(s, dir)
-        .withColumn("n_members",
-          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+        .transform(Dedup.withMemberCounts(_))
     },
 
     // q135: dedup CLUSTER-SIZE statistics — the monitoring report a
@@ -464,8 +463,7 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), links)
         .withColumn("cluster", col("label")).drop("label")
-        .withColumn("n_members",
-          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+        .transform(Dedup.withMemberCounts(_))
     },
 
     // q26: brute-force cosine top-k ANN baseline (query side broadcast;
@@ -669,8 +667,7 @@ object LlmQueries {
       val links = sem.unionByName(exact).distinct()
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), links)
         .withColumn("cluster", col("label")).drop("label")
-        .withColumn("n_members",
-          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+        .transform(Dedup.withMemberCounts(_))
     },
 
     // q161: SemDeDup (Abbas et al. 2023) — semantic dedup: within-cluster

@@ -213,6 +213,22 @@ class PlanSpec extends SpecBase {
     assert(p.contains("TopKPerKey"), "q85 must trim through the TopKPerKey node")
   }
 
+  test("cluster member counts join back, never a cluster-partitioned count window") {
+    // The mega cluster is dedup's reason to exist (boilerplate connects
+    // millions of docs into one component) — `count(*) over (partition
+    // by cluster)` would sort its whole membership in one task. The
+    // count partial-combines and joins back on the cluster key, the
+    // one skewed shape AQE can split (q66/q67/q90/q130 all route
+    // through Dedup.withMemberCounts).
+    for (q <- Seq("q66_dedup_clusters", "q90_multisignal_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition"),
+        s"$q must not window anywhere — counts join back:\n${p.take(700)}")
+      assert(p.contains("partial_count"),
+        s"$q's member count must partial-combine map-side:\n${p.take(700)}")
+    }
+  }
+
   test("q84 stays shuffle-free; q82 shuffles raw rows once on (shard, hash prefix)") {
     // q84 is pure per-row vector arithmetic. q82's raw rows cross exactly
     // one exchange — on (shard, h div 2^20), which IS the training
