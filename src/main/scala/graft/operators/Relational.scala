@@ -79,13 +79,17 @@ object Relational {
   /** Per-key mode (most frequent value) with deterministic tie-breaking
     * (higher count wins, then smaller value).
     * Reference: helpers.py:306 (`most_common_category`). Two-phase: a
-    * partial-aggregated count then a window rank — both shuffle on the key
-    * only once thanks to matching partitioning.
-    */
+    * partial-aggregated count, then the top-1 through the bounded-heap
+    * TopKPerKey node (r11) — the former row_number window sorted a
+    * key's whole distinct-value set in one task, which a high-fanout
+    * key (a freeform category column) serializes at scale; the heap
+    * trim carries ≤ 1 row per key per input partition instead. (cnt,
+    * value) is unique per key after the count, so the order is total
+    * and the winner matches the window encoding exactly. */
   def modePerKey(df: DataFrame, key: Column, value: Column): DataFrame = {
     val counted = df.groupBy(key.as("key"), value.as("value")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("key")).orderBy(col("cnt").desc, col("value").asc)
-    counted.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    TopK.topKPerKey(counted, Seq(col("key")),
+        Seq(col("cnt").desc, col("value").asc), 1)
       .select(col("key"), col("value").as("mode"), col("cnt"))
   }
 

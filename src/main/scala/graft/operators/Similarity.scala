@@ -802,11 +802,20 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     val cc = Dedup.connectedComponents(scored.select(col("id")), pairs)
       .withColumnRenamed("label", "grp")
-    val w = Window.partitionBy(col("grp"))
-    scored.join(cc, "id")
-      .withColumn("n_dup", count(lit(1)).over(w).cast("long"))
-      .withColumn("keep", row_number().over(
-        w.orderBy(col("cos_c"), col("id"))) === 1)
+    // group stats as ONE partial-combined aggregate joined back (q78's
+    // min_by-struct pattern) — the former count/row_number windows
+    // partitioned by grp sorted a mega dup-group's whole membership in
+    // one task (lesson 49's class; boilerplate embeddings chain huge
+    // groups), and AQE splits skewed joins, never windows. keep = the
+    // (cos_c, id)-minimum member — farthest from the centroid, the
+    // paper's diversity rule — identical to the window's row 1 because
+    // (cos_c, id) is total within a group.
+    val withGrp = scored.join(cc, "id")
+    val stats = withGrp.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_dup"),
+        min_by(col("id"), struct(col("cos_c"), col("id"))).as("__keep_id"))
+    withGrp.join(stats, Seq("grp"))
+      .withColumn("keep", col("id") === col("__keep_id"))
       .select(col("id"), col("cluster"), col("grp"), col("n_dup"), col("keep"))
   }
 }
