@@ -313,13 +313,19 @@ object DocumentStreams {
           TextAnalysis.bpeTokenCount(col("text")).as("tokens"))
       // continue each language's cumulative offset: stored base (tiny,
       // one row per lang per prior batch) + within-batch cumsum ==
-      // q88's global doc_id-ordered window under monotone arrival
+      // q88's global doc_id-ordered window under monotone arrival.
+      // The within-batch cumsum runs the SAME two-level prefix sum as
+      // batch q70/q88 (r11): a steady-state micro-batch is small, but a
+      // backlog REPLAY delivers a corpus-sized batch, and a per-lang
+      // window would serialize its dominant language in one task at
+      // exactly the moment the pipeline is trying to catch up (the
+      // upstream `fresh` cache keeps the totals branch's re-read cheap).
       val bases = priorOnly(langRoot)
         .map(_.groupBy(col("lang")).agg(sum(col("delta")).as("base")))
         .getOrElse(Seq.empty[(String, Long)].toDF("lang", "base"))
-      val packed = counted
-        .withColumn("cum_in", sum(col("tokens"))
-          .over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      val packed = graft.operators.PrefixSum.runningSum(counted,
+          Seq("lang"), expr("doc_id div 65536"), Seq(col("doc_id")),
+          col("tokens"), "cum_in")
         .join(org.apache.spark.sql.functions.broadcast(bases), Seq("lang"), "left")
         .withColumn("start",
           coalesce(col("base"), lit(0L)) + col("cum_in") - col("tokens"))

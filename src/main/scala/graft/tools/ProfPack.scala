@@ -55,18 +55,23 @@ object ProfPack {
         s"straggler_share=${"%.2f".format(stats.maxMs.toDouble / math.max(1, stats.sumMs))}")
     }
 
-    // 90% en / 10% spread over 9 langs; token counts pre-derived (the
-    // profile isolates the cumsum stage, not tokenization)
-    val docs = spark.range(nDocs)
-      .select($"id".as("doc_id"),
-        when(pmod($"id", lit(10)) < 9, "en")
-          .otherwise(concat(lit("l"), pmod($"id", lit(10)))).as("lang"),
-        (pmod($"id" * 2654435761L, lit(900)) + 100).as("tokens"))
-
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
-    time("window")(docs.withColumn("cum", sum($"tokens").over(w)))
-    time("prefix_sum")(PrefixSum.runningSum(docs, Seq("lang"),
-      expr("doc_id div 65536"), Seq($"doc_id"), $"tokens", "cum"))
+    // dominant-language share swept 50→99%: the window's straggler is
+    // the dominant language's own sort, so its max task grows linearly
+    // with the share while the prefix sum's stays bucket-width-bounded.
+    // Token counts pre-derived (the profile isolates the cumsum stage,
+    // not tokenization).
+    val shares = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(50, 90, 99)
+    for (share <- shares) {
+      val docs = spark.range(nDocs)
+        .select($"id".as("doc_id"),
+          when(pmod($"id", lit(100)) < share, "en")
+            .otherwise(concat(lit("l"), pmod($"id", lit(10)))).as("lang"),
+          (pmod($"id" * 2654435761L, lit(900)) + 100).as("tokens"))
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      time(s"window_share$share")(docs.withColumn("cum", sum($"tokens").over(w)))
+      time(s"prefix_sum_share$share")(PrefixSum.runningSum(docs, Seq("lang"),
+        expr("doc_id div 65536"), Seq($"doc_id"), $"tokens", "cum"))
+    }
 
     spark.stop()
   }
