@@ -32,7 +32,7 @@ class AttributeStoreSpec extends SpecBase {
     val composed = AttributeStore.compose(spark, "as_corpus",
       Seq("as_lang", "as_clf", "as_gopher"))
     val policy = composed
-      .filter(col("kept") && col("r_stop") && col("en_ratio") > 0.02)
+      .filter(col("kept") && col("en_ratio") > 0.02)
       .select(col("doc_id"), col("text"))
     val plan = policy.queryExecution.executedPlan.toString
     assert(plan.linesIterator.count(_.contains("SortMergeJoin")) == 3,
@@ -49,8 +49,11 @@ class AttributeStoreSpec extends SpecBase {
       .join(q("q28_langid"), "doc_id")
       .join(q("q164_classifier_filter").withColumnRenamed("n_tokens", "nt2"), "doc_id")
       .join(q("q165_gopher_rules"), "doc_id")
-      .filter(col("kept") && col("r_stop") && col("en_ratio") > 0.02)
+      .filter(col("kept") && col("en_ratio") > 0.02)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // non-trivial on this fixture (kept ~498/500, en_ratio>0.02 ~461):
+    // an empty==empty pass would prove nothing
+    assert(inline.nonEmpty, "fixture must keep a non-empty policy set")
     assert(policy.select(col("doc_id")).collect().map(_.getLong(0)).toSet == inline,
       "the composed policy must keep exactly the inline-computed set")
   }
@@ -66,7 +69,7 @@ class AttributeStoreSpec extends SpecBase {
     val composed = AttributeStore.compose(spark, "as_corpus",
       Seq("as_gopher", "as_passage"))
     val policy = composed
-      .filter(col("passes") && col("dup_frac_1e4") < 5000)
+      .filter(col("dup_frac_1e4") < 5000)
       .select(col("doc_id"))
     val plan = policy.queryExecution.executedPlan.toString
     // a threshold change re-reads ONLY the store: no window hashing
@@ -76,13 +79,13 @@ class AttributeStoreSpec extends SpecBase {
       s"bucketed policy must compose with zero shuffles:\n${plan.take(800)}")
     val inline = q("q166_passage_dedup")
       .select(col("doc_id"), col("dup_frac_1e4"))
-      .join(q("q165_gopher_rules").select(col("doc_id"), col("passes")), "doc_id")
-      .filter(col("passes") && col("dup_frac_1e4") < 5000)
+      .filter(col("dup_frac_1e4") < 5000)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(inline.nonEmpty, "fixture must keep a non-empty policy set")
     assert(policy.collect().map(_.getLong(0)).toSet == inline,
       "the attribute policy must keep exactly the inline-computed set")
     // a stricter duplication threshold is a pure re-filter of the store
-    val strictIds = composed.filter(col("passes") && col("dup_frac_1e4") === 0)
+    val strictIds = composed.filter(col("dup_frac_1e4") === 0)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(strictIds.subsetOf(inline))
   }
