@@ -35,25 +35,37 @@ object Kmv {
     * here would shuffle EVERY distinct hash of the corpus first,
     * exactly the cost the sketch exists to avoid). */
   def sketch(df: DataFrame, h: Column, k: Int, out: String): DataFrame =
-    df.select(xxhash64(h).as("__h"))
+    sketchHashed(df, xxhash64(h), k, out)
+
+  /** [[sketch]] over an ALREADY-HASHED long column — the caller picks
+    * the hash space. Production uses xxhash64 (64-bit, saturation-free
+    * to billions of distinct values); the q177 oracle gate feeds the
+    * portable md5-32 prefix instead, whose bottom-k and estimator the
+    * DuckDB oracle replays value-for-value (32 bits saturate a KMV at
+    * billions of distinct keys — the md5 form is the GATE, not the
+    * production posture). */
+  def sketchHashed(df: DataFrame, hashed: Column, k: Int, out: String): DataFrame =
+    df.select(hashed.as("__h"))
       .agg(BottomKSample(col("__h"), col("__h"), k).as("s"))
       .select(transform(col("s"), x => x.getField("h")).as(out))
 
   /** Estimate |A∪B|, Jaccard and |A∩B| from two sketch frames (each one
     * row, built with the same k). Output: one row
     * (union_est, jaccard_1e6, inter_est) — all BIGINT: the estimator is
-    * hash-deterministic, and integer outputs keep it rerun-stable. */
-  def overlapEstimate(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
-    // 2^64 as double; hash u ∈ [Long.Min, Long.Max] normalizes to
-    // (u − Long.Min) / 2^64 ∈ [0, 1).
-    val two64 = 1.8446744073709552e19
+    * hash-deterministic, and integer outputs keep it rerun-stable.
+    * `hashOffset`/`hashSpace` normalize the hash to [0, 1): the signed
+    * xxhash64 default shifts by 2^63 over 2^64; the md5-32 gate passes
+    * (0, 2^32). */
+  def overlapEstimate(a: DataFrame, b: DataFrame, k: Int,
+                      hashOffset: Double = 9.223372036854776e18,
+                      hashSpace: Double = 1.8446744073709552e19): DataFrame = {
     a.crossJoin(b) // 1×1 — the broadcast-scalar pattern (PlanSpec-pinned elsewhere)
       .select(slice(array_sort(array_union(col("ka"), col("kb"))), 1, k).as("u"),
         col("ka"), col("kb"))
       .select(
         size(col("u")).as("nu"),
         size(array_intersect(array_intersect(col("u"), col("ka")), col("kb"))).as("ni"),
-        ((element_at(col("u"), size(col("u"))).cast("double") + two64 / 2) / two64).as("uk"))
+        ((element_at(col("u"), size(col("u"))).cast("double") + hashOffset) / hashSpace).as("uk"))
       .select(
         when(col("nu") < k, col("nu").cast("double"))
           .otherwise((lit(k - 1).cast("double")) / col("uk")).as("union_d"),

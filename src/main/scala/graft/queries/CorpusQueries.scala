@@ -1003,6 +1003,69 @@ object CorpusQueries {
         Kmv.sketch(v2, col("h"), k, "kb"), k)
     },
 
+    // q177: the KMV estimator under the DuckDB oracle — q127's exact
+    // twin with the portable md5-32 hash in place of xxhash64, so the
+    // whole sketch-and-estimate chain triple-matches: the bottom-k of
+    // distinct hashes replays as DISTINCT/ORDER BY/LIMIT, and the
+    // estimator arithmetic ((k-1)/u_k over [0,1)-normalized hashes,
+    // Jaccard from the merged sketch) is an identical double-expression
+    // tree on both engines (mul/div/round are correctly rounded). k=64
+    // so BOTH regimes gate: the sides exceed k (estimation branch) and
+    // the spec's degenerate regime stays covered by KmvSpec. 32-bit
+    // hashes saturate a KMV at billions of distinct keys — q177 is the
+    // ORACLE GATE; q127's 64-bit form is the production posture.
+    "q177_kmv_overlap_md5" -> QueryDef.of(
+      """WITH base AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v'), 1, 8)) AS BIGINT) % 10 AS slot
+        |  FROM documents
+        |), v1h AS (
+        |  SELECT CAST(('0x' || substr(md5(h), 1, 8)) AS BIGINT) AS h32
+        |  FROM base WHERE slot <> 0
+        |), v2h AS (
+        |  SELECT CAST(('0x' || substr(md5(CASE WHEN slot = 2 THEN md5(h || ':edited') ELSE h END), 1, 8)) AS BIGINT) AS h32
+        |  FROM base WHERE slot <> 1
+        |), ka AS (
+        |  SELECT list(h32 ORDER BY h32) AS ka FROM (
+        |    SELECT DISTINCT h32 FROM v1h ORDER BY h32 LIMIT 64)
+        |), kb AS (
+        |  SELECT list(h32 ORDER BY h32) AS kb FROM (
+        |    SELECT DISTINCT h32 FROM v2h ORDER BY h32 LIMIT 64)
+        |), m AS (
+        |  SELECT ka, kb, list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, 64) AS u
+        |  FROM ka, kb
+        |), s AS (
+        |  SELECT len(u) AS nu,
+        |    len(list_intersect(list_intersect(u, ka), kb)) AS ni,
+        |    (CAST(u[len(u)] AS DOUBLE) + 0.0) / 4294967296.0 AS uk
+        |  FROM m
+        |), e AS (
+        |  SELECT nu, ni,
+        |    CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |         ELSE CAST(63 AS DOUBLE) / uk END AS union_d,
+        |    CAST(ni AS DOUBLE) / nu AS j
+        |  FROM s
+        |)
+        |SELECT CAST(round(union_d) AS BIGINT) AS union_est,
+        |  CAST(round(j * 1000000) AS BIGINT) AS jaccard_1e6,
+        |  CAST(round(j * union_d) AS BIGINT) AS inter_est
+        |FROM e
+        |""".stripMargin) { (s, dir) =>
+      import graft.operators.Kmv
+      val k = 64
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("h"),
+          (Sampling.docHash32(concat(col("doc_id").cast("string"), lit(":v"))) % 10).as("slot"))
+      val v1 = base.filter(col("slot") =!= 0).select(col("h"))
+      val v2 = base.filter(col("slot") =!= 1)
+        .select(when(col("slot") === 2, md5(concat(col("h"), lit(":edited")))).otherwise(col("h")).as("h"))
+      Kmv.overlapEstimate(
+        Kmv.sketchHashed(v1, Sampling.docHash32(col("h")), k, "ka"),
+        Kmv.sketchHashed(v2, Sampling.docHash32(col("h")), k, "kb"), k,
+        hashOffset = 0.0, hashSpace = 4294967296.0)
+    },
+
     // q84: int8 embedding quantization — the storage/ANN-serving layout
     // (×4 smaller than float32, SIMD-friendly dot products). Per-vector
     // symmetric scale 127/max|x|; codes serialize comma-joined because
