@@ -246,6 +246,39 @@ object EventQueries {
           col("wau_est").cast("long").as("wau_est"))
     },
 
+    // q178: q136's ORACLE-GATE twin — exact DAU/WAU (the q66/q67
+    // pattern: the exact form gates the day arithmetic, the 7-day
+    // contribution explode, and the phantom-trailing-day join; the
+    // HLL-sketch form stays the scale path, since the exact WAU's
+    // per-(window-day, user) distinct carries 7× the day-user pairs
+    // where the sketch union carries 7 × a-few-KB per day). Plan:
+    // per-(day, user) distinct partial-combines, then ONE distinct
+    // aggregate per window day; trailing days past a gap or the corpus
+    // end die on the same inner dau join as q136.
+    "q178_active_users_exact" -> QueryDef.of(
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+        |), contrib AS (
+        |  SELECT user_id, unnest(range(day, day + 7)) AS day FROM du
+        |), wau AS (
+        |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM contrib GROUP BY day
+        |)
+        |SELECT w.day AS day, dau, wau FROM wau w JOIN dau USING (day)
+        |""".stripMargin) { (s, dir) =>
+      val day = expr("unix_micros(ts) div 86400000000")
+      val du = Tables.events(s, dir)
+        .select(day.as("day"), col("user_id")).distinct()
+      val dau = du.groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("dau"))
+      val wau = du
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).cast("long").as("wau"))
+      wau.join(dau, "day").select(col("day"), col("dau"), col("wau"))
+    },
+
     // q107: FUNNEL analysis — earliest greedy progression through
     // view → click → purchase per user (the event-analytics report
     // sessionization doesn't answer: how far did each user get, and

@@ -191,24 +191,22 @@ class CorpusSpec extends SpecBase {
     val got = SparkEntry.queries("q136_active_users")(spark, SfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.nonEmpty)
-    // exact twin: re-touches events once per window day (the cost the
-    // mergeable-sketch form exists to avoid)
-    val day = expr("unix_micros(ts) div 86400000000")
-    val ud = Tables.events(spark, SfDir)
-      .select(day.as("day"), col("user_id")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val days = ud.map(_._1).distinct
-    val exactDau = ud.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).distinct.size }
-    val exactWau = days.map { d =>
-      d -> ud.filter(t => t._1 >= d - 6 && t._1 <= d).map(_._2).distinct.size
-    }.toMap
-    assert(got.keySet == days.toSet)
+    // exact twin = registered q178 (itself DuckDB-oracled), so this pin
+    // chains the sketch to a triple-matched reference instead of a
+    // hand-rolled driver recompute.
+    // Both sides share the same window convention: a user active on day
+    // X contributes to days X..X+6, so WAU(d) counts users active in
+    // [d-6, d] — the trailing 7-day window — in q136 and q178 alike.
+    val exact = SparkEntry.queries("q178_active_users_exact")(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet)
     got.foreach { case (d, (dau, wau)) =>
       assert(wau >= dau, s"day $d: wau $wau < dau $dau")
-      assert(math.abs(dau - exactDau(d)) <= math.max(1, exactDau(d) / 20),
-        s"day $d dau_est=$dau exact=${exactDau(d)}")
-      assert(math.abs(wau - exactWau(d)) <= math.max(1, exactWau(d) / 20),
-        s"day $d wau_est=$wau exact=${exactWau(d)}")
+      val (eDau, eWau) = exact(d)
+      assert(math.abs(dau - eDau) <= math.max(1, eDau / 20),
+        s"day $d dau_est=$dau exact=$eDau")
+      assert(math.abs(wau - eWau) <= math.max(1, eWau / 20),
+        s"day $d wau_est=$wau exact=$eWau")
     }
   }
 }
