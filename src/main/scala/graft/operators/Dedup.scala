@@ -458,9 +458,16 @@ object Dedup {
       col("id"),
       explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
       .select(col("id"), col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
-    val bucketMin = Window.partitionBy(col("band_idx"), col("band_hash"))
+    // bucket rep as a partial-combined agg joined back (r11): a
+    // min().over(partition by bucket) window sorts a boilerplate
+    // mega-bucket's whole membership in one task (lesson 49's class —
+    // AQE splits skewed joins, never windows); the join probe is the
+    // splittable shape, and the agg exchange carries ≤ 1 row per bucket
+    // per input split
+    val reps = banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col("id")).as("rep"))
     val links = banded
-      .withColumn("rep", min(col("id")).over(bucketMin))
+      .join(reps, Seq("band_idx", "band_hash"))
       .filter(col("rep") < col("id"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
       .distinct()
@@ -510,9 +517,12 @@ object Dedup {
         explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
       .select(col("id"), col("is_new"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
-    val bucketMin = Window.partitionBy(col("band_idx"), col("band_hash"))
+    // same agg-join-back rep delivery as minhashDedupLinks (r11 —
+    // lesson 49: never a min window over a mega-bucket)
+    val reps = banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col("id")).as("rep"))
     val candNew = banded
-      .withColumn("rep", min(col("id")).over(bucketMin))
+      .join(reps, Seq("band_idx", "band_hash"))
       // monotone ids: id_b > id_a, so any pair with a new endpoint has a
       // new id_b — old-old candidates never leave the map side
       .filter(col("rep") < col("id") && col("is_new"))
@@ -684,11 +694,16 @@ object Dedup {
     }
     val blocked = sims.select(col("id"), col("sim"), explode(array(blockStructs: _*)).as("blk"))
       .select(col("id"), col("sim"), col("blk.block_idx").as("block_idx"), col("blk.block_val").as("block_val"))
-    val bucketMin = Window.partitionBy(col("block_idx"), col("block_val"))
+    // rep + the rep's signature from ONE partial-combined aggregate
+    // joined back (r11 — lesson 49: the former min/first windows
+    // partitioned by block sorted a mega-block in one task); min_by on
+    // the unique id is deterministic and carries rep_sim in the same
+    // pass
+    val reps = blocked.groupBy(col("block_idx"), col("block_val"))
+      .agg(min(col("id")).as("rep"),
+        min_by(col("sim"), col("id")).as("rep_sim"))
     blocked
-      .withColumn("rep", min(col("id")).over(bucketMin))
-      .withColumn("rep_sim", first(col("sim")).over(
-        bucketMin.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .join(reps, Seq("block_idx", "block_val"))
       .filter(col("rep") < col("id"))
       .select(col("rep").as("id_a"), col("id").as("id_b"),
         bit_count(col("rep_sim").bitwiseXOR(col("sim"))).cast("long").as("hamming"))

@@ -308,6 +308,82 @@ object LlmQueries {
       Dedup.simhashDedupLinks(Tables.documents(s, dir), "doc_id", "text", maxDist = 16)
     },
 
+    // q179: the MinHash-LSH banding MECHANISM under the DuckDB oracle —
+    // q23's chain (shingle → minhash signature → band → bucket star
+    // links → jaccard verify) with the portable md5-32 hash in place of
+    // the seeded xxhash64, so every stage triple-matches: 8 salted
+    // min-hashes fold in ONE partial-combined aggregate over the
+    // exploded shingles (lesson 47 — hash as a codegen'd scalar after
+    // the generator, never a per-row HOF), 4 two-row bands key on the
+    // md5 of the concatenated minima, bucket reps deliver via the
+    // agg-join-back (lesson 49 — never a min window over a mega-bucket),
+    // and the candidate pairs verify jaccard ≥ 0.7 over the distinct
+    // shingle sets exactly like q25. q23's 64-hash/16-band xxhash64
+    // form stays the production posture (wider signature, cheaper
+    // hash); this gate pins the banding algebra itself.
+    "q179_minhash_band_md5" -> QueryDef.of(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS shs
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents)
+        |), sig AS (
+        |  SELECT doc_id, shs,
+        |    list_min(list_transform(shs, s -> CAST(('0x' || substr(md5('0:' || s), 1, 8)) AS BIGINT))) AS h0,
+        |    list_min(list_transform(shs, s -> CAST(('0x' || substr(md5('1:' || s), 1, 8)) AS BIGINT))) AS h1,
+        |    list_min(list_transform(shs, s -> CAST(('0x' || substr(md5('2:' || s), 1, 8)) AS BIGINT))) AS h2,
+        |    list_min(list_transform(shs, s -> CAST(('0x' || substr(md5('3:' || s), 1, 8)) AS BIGINT))) AS h3,
+        |    list_min(list_transform(shs, s -> CAST(('0x' || substr(md5('4:' || s), 1, 8)) AS BIGINT))) AS h4,
+        |    list_min(list_transform(shs, s -> CAST(('0x' || substr(md5('5:' || s), 1, 8)) AS BIGINT))) AS h5,
+        |    list_min(list_transform(shs, s -> CAST(('0x' || substr(md5('6:' || s), 1, 8)) AS BIGINT))) AS h6,
+        |    list_min(list_transform(shs, s -> CAST(('0x' || substr(md5('7:' || s), 1, 8)) AS BIGINT))) AS h7
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, 0 AS bi, md5(CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)) AS bk FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR)) FROM sig
+        |), reps AS (
+        |  SELECT bi, bk, min(doc_id) AS rep FROM bands GROUP BY bi, bk
+        |), cand AS (
+        |  SELECT DISTINCT rep AS id_a, doc_id AS id_b
+        |  FROM bands JOIN reps USING (bi, bk) WHERE rep < doc_id
+        |), ver AS (
+        |  SELECT id_a, id_b,
+        |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.shs, b.shs))), 4) AS j
+        |  FROM cand JOIN t a ON a.doc_id = cand.id_a JOIN t b ON b.doc_id = cand.id_b
+        |)
+        |SELECT id_a, id_b, CAST(round(j * 10000) AS BIGINT) AS j_1e4 FROM ver WHERE j >= 0.7
+        |""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(F.tokens(col("text")), 3)).as("shs"))
+      val ex = t.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val mins = (0 until 8).map(i =>
+        min(Sampling.docHash32(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+      val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b).as("bi"),
+          md5(concat_ws(":", col(s"h${2 * b}").cast("string"),
+            col(s"h${2 * b + 1}").cast("string"))).as("bk"))
+      }
+      val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.bi").as("bi"), col("b.bk").as("bk"))
+      val reps = banded.groupBy(col("bi"), col("bk")).agg(min(col("doc_id")).as("rep"))
+      banded.join(reps, Seq("bi", "bk"))
+        .filter(col("rep") < col("doc_id"))
+        .select(col("rep").as("id_a"), col("doc_id").as("id_b")).distinct()
+        .join(t.select(col("doc_id").as("id_a"), col("shs").as("sa")), "id_a")
+        .join(t.select(col("doc_id").as("id_b"), col("shs").as("sb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))), 4).as("j"))
+        .filter(col("j") >= 0.7)
+        .select(col("id_a"), col("id_b"),
+          round(col("j") * 10000).cast("long").as("j_1e4"))
+    },
+
     // q25: token-set Jaccard similarity pairs, blocked on lang (the
     // blocking key bounds each comparison group at scale) with an exact
     // size prune in the join condition: jaccard >= 0.6 forces
