@@ -369,7 +369,7 @@ class PlanSpec extends SpecBase {
     // totals there fold from the committed stat deltas).
     val intentional = Set("q26_cosine_topk", "q38_autotag", "q80_unigram_logprob",
       "q93_range_join", "q106_bigram_logprob", "q118_cooccurrence",
-      "q127_corpus_overlap", "q133_session_incidents",
+      "q127_corpus_overlap", "q177_kmv_overlap_md5", "q133_session_incidents",
       "q151_fuzzy_distinct", "q152_pq_ann", "q162_ce_select", "q163_dsir",
       "q167_bm25", "q172_bm25_saved")
     val offenders = SparkEntry.queries.keys.filter { name =>
