@@ -747,7 +747,10 @@ object Dedup {
     labels.join(counts, Seq(clusterCol))
   }
 
-  def connectedComponents(ids: DataFrame, links: DataFrame): DataFrame = {
+  def connectedComponents(ids: DataFrame, links: DataFrame): DataFrame =
+    connectedComponents(ids, links, jumpEvery = 4)
+
+  def connectedComponents(ids: DataFrame, links: DataFrame, jumpEvery: Int): DataFrame = {
     // Size the loop's layout to the LABEL table, not the session default:
     // labels are one row per id (tiny next to the edge list), and each
     // round runs several jobs — oversized partition counts turn the loop
@@ -797,9 +800,113 @@ object Dedup {
       .repartition(nPart, col("v"))
       .localCheckpoint(true)
     edges.unpersist()
-    // Solve the contracted graph with the same smart init + BSP loop.
-    // Its node set is exactly cEdges' v-side (edges are bidirectional);
-    // contracted nodes with no surviving edge are already final.
+    // r11 OPTIMIZATION (guide §1.2 "the distributed algorithm" + §2.6
+    // barriers): the contraction collapses near-clique duplicate mass to
+    // self-loops, so the RESIDUE is the thin inter-clique chain structure
+    // — measured at sf0.1 it is a few hundred edges while the BSP loop
+    // still ran 9 checkpointed rounds (~2.5-3 s of sequential tiny jobs;
+    // pointer-jump cadence 1 vs 4 barely moved it, because a single
+    // label(label) composition shortens paths by one hop, not half).
+    // When the residue fits a bounded driver budget, finish it with an
+    // in-memory union-find instead: the fixpoint (min id per component)
+    // is identical, the collect is gated by an EXACT count of the already
+    // materialized checkpoint, and the BSP loop remains the fallback for
+    // residues above the bound — at 100 TB a pathological chain graph
+    // still converges distributed. This is the standard hybrid finishing
+    // move: rounds (global barriers) drop to zero whenever contraction
+    // has done its job, which is also the common case on real corpora.
+    val maxDriverResidue = ids.sparkSession.conf
+      .getOption("spark.graft.cc.maxDriverResidueEdges").map(_.toLong)
+      .getOrElse(1000000L)
+    val idType = cEdges.schema("u").dataType
+    val driverOrd: Option[Ordering[Any]] = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+      case _ => None
+    }
+    // one ~nPart-task scan of the materialized checkpoint; counts BOTH
+    // directions of each undirected residue edge
+    val nResidue = cEdges.count()
+    val labels: DataFrame =
+      if (nResidue == 0L) {
+        // all edge mass contracted to self-loops — nothing to solve; the
+        // compose step's left join + coalesce keeps every init label
+        ids.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idType),
+            org.apache.spark.sql.types.StructField("label", idType))))
+      } else if (driverOrd.isDefined && nResidue <= maxDriverResidue) {
+        solveResidueOnDriver(cEdges, idType, driverOrd.get, nResidue)
+      } else {
+        solveResidueBsp(cEdges, nPart, jumpEvery)
+      }
+    // the loop/driver-solve is done with the contracted edge list; only
+    // labels0 and the final `labels` stay live — the RETURNED frame's
+    // (lazy) lineage reads both, so those checkpoints are the caller's
+    // to consume and fall to GC after its action
+    org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(cEdges)
+    // Compose: each id's final label is its contracted node's component
+    // label; ids whose contracted node lost every edge to self-loops are
+    // already final at their init label.
+    labels0
+      .join(labels.select(col("id").as("label"), col("label").as("clabel")),
+        Seq("label"), "left")
+      .select(col("id"), coalesce(col("clabel"), col("label")).as("label"))
+  }
+
+  /** Bounded in-memory union-find over the contracted residue — exact
+    * same fixpoint as the BSP loop (component-min labels), zero further
+    * Spark rounds. The caller gates the collect on an exact edge count
+    * (`spark.graft.cc.maxDriverResidueEdges`, default 1e6 ≈ 16 MB of
+    * boxed longs), so this is a BOUNDED driver step with a distributed
+    * fallback, not an unbounded collect. */
+  private def solveResidueOnDriver(cEdges: DataFrame,
+                                   idType: org.apache.spark.sql.types.DataType,
+                                   ord: Ordering[Any], nResidue: Long): DataFrame = {
+    // one direction suffices for union-find; halves the collected rows
+    val rows = cEdges.filter(col("u") < col("v")).collect()
+    val parent = new java.util.HashMap[Any, Any](rows.length * 2)
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != null && p != x) { x = p; p = parent.get(x) }
+      // path compression
+      var c = x0
+      while (parent.get(c) != null && parent.get(c) != x) {
+        val n = parent.get(c); parent.put(c, x); c = n
+      }
+      x
+    }
+    rows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    logger.info(s"[graft.cc] residue solved on driver: $nResidue directed edges, " +
+      s"${parent.size()} nodes")
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val k = it.next(); out.add(org.apache.spark.sql.Row(k, find(k))) }
+    cEdges.sparkSession.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("label", idType))))
+  }
+
+  /** The distributed BSP min-label loop over the contracted residue —
+    * the fallback when the residue exceeds the driver budget. */
+  private def solveResidueBsp(cEdges: DataFrame, nPart: Int, jumpEvery: Int): DataFrame = {
+    // Smart init over the residue: its node set is exactly cEdges'
+    // v-side (edges are bidirectional); contracted nodes with no
+    // surviving edge are already final.
     val cInit = cEdges.groupBy(col("v").as("id")).agg(min(col("u")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .repartition(nPart, col("id"))
@@ -858,7 +965,7 @@ object Dedup {
       // (labels are monotone non-increasing either way). Both join sides
       // are the freshly materialized checkpoint, so the jump costs one
       // extra job per 4 rounds, nothing on shallow graphs.
-      if (changed && rounds % 4 == 0) {
+      if (changed && rounds % jumpEvery == 0) {
         val beforeJump = labels
         labels = labels
           .join(labels.select(col("id").as("label"), col("label").as("ll")),
@@ -874,17 +981,6 @@ object Dedup {
         s"[graft.cc] NOT converged after $maxRounds rounds — component diameter " +
           "exceeds the cap even with pointer jumping; labels would be wrong")
     logger.info(s"[graft.cc] converged after $rounds rounds over the contracted graph")
-    // the loop is done with the contracted edge list; only labels0 and
-    // the final `labels` stay live — the RETURNED frame's (lazy) lineage
-    // reads both, so those two checkpoints are the caller's to consume
-    // and fall to GC after its action
-    org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(cEdges)
-    // Compose: each id's final label is its contracted node's component
-    // label; ids whose contracted node lost every edge to self-loops are
-    // already final at their init label.
-    labels0
-      .join(labels.select(col("id").as("label"), col("label").as("clabel")),
-        Seq("label"), "left")
-      .select(col("id"), coalesce(col("clabel"), col("label")).as("label"))
+    labels
   }
 }

@@ -786,6 +786,11 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("centroid"))
       .withColumn("c2", F.dot(col("centroid"), col("centroid")))
+    // NOTE (r11 optimization round, measured): do NOT materialize `scored`
+    // here. A lazy localCheckpoint of this frame (embedding payload
+    // included) measured 4.3 s -> 6.7 s on q161: the multi-arm recompute
+    // it would save is already mostly deduplicated by AQE exchange reuse,
+    // and storing the array column costs more than the re-runs.
     val scored = base.join(broadcast(cent), "cluster")
       .withColumn("cos_c", round(F.dot(col("embedding"), col("centroid")) /
         (sqrt(col("n2")) * sqrt(col("c2"))), 4))
