@@ -171,6 +171,30 @@ object GeoProjection {
     val coords = df.select(col(eastingCol).as("__graft_e"), col(northingCol).as("__graft_n"))
       .filter(col("__graft_e").isNotNull && col("__graft_n").isNotNull)
       .distinct()
+    joinProjected(df, eastingCol, northingCol, outCol, coords)
+  }
+
+  /** [[withWgs84]] with a caller-supplied coordinate DOMAIN (r11
+    * optimization round, measured): the default form derives the distinct
+    * coordinate pairs from `df` itself, which re-runs df's WHOLE upstream
+    * lineage as a second plan arm just to enumerate a coordinate set the
+    * caller often knows in closed form (q64/q65: the full branch pipeline
+    * ran twice — half the queries' ~115-145 MB shuffle; guide §2.4
+    * "remove shuffles outright"). `domain` must contain every non-null
+    * (easting, northing) pair occurring in `df` — extra pairs are
+    * harmless (unmatched left-join rows on the broadcast side). Same
+    * join, same math, bit-identical output. */
+  def withWgs84(spark: SparkSession, df: DataFrame, eastingCol: String, northingCol: String,
+                outCol: String, domain: DataFrame): DataFrame = {
+    val coords = domain
+      .select(col(eastingCol).as("__graft_e"), col(northingCol).as("__graft_n"))
+      .filter(col("__graft_e").isNotNull && col("__graft_n").isNotNull)
+      .distinct()
+    joinProjected(df, eastingCol, northingCol, outCol, coords)
+  }
+
+  private def joinProjected(df: DataFrame, eastingCol: String, northingCol: String,
+                            outCol: String, coords: DataFrame): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(coords.schema.fields :+
       org.apache.spark.sql.types.StructField(
         outCol, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))

@@ -12,6 +12,34 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Layout-adaptive lesson-4 compute spread (r11 optimization round).
+    *
+    * A CPU-heavy map chain downstream of a scan is bounded by the scan's
+    * split count, and parquet cannot split below a row group — locally
+    * every test table is ONE row group, so such chains ran single-task
+    * regardless of `maxPartitionBytes`/`openCostInBytes` (measured; guide
+    * §2.5 "input skew: one huge unsplittable file … repartition
+    * immediately after the read"). But an UNCONDITIONAL repartition is a
+    * 100 TB anti-pattern: where the scan already has thousands of splits
+    * the exchange buys nothing and ships the whole payload once (guide
+    * §8's rule — don't move heavy bytes without a reason). So the spread
+    * fires only when the source's actual partition count is below the
+    * session's parallelism: locally (1-3 splits) it spreads; on a real
+    * corpus it is a planner-time no-op. Hash-partitioned on a
+    * deterministic high-cardinality key, NOT round-robin: keyless
+    * repartition(n) locally sorts its whole input first
+    * (sortBeforeRepartition, for retry determinism) — measured 0.8 s
+    * single-task on a 600k-row spread; hashing is map-side free and
+    * deterministic under retries.
+    */
+  def spreadForCompute(df: DataFrame, keys: Column*): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    // metadata-only: resolves the scan's planned splits, runs no job
+    val planned = df.rdd.getNumPartitions
+    if (planned < target) df.repartition(target, keys: _*) else df
+  }
+
   /** Explode one array column into a row per element.
     *
     * Reference: srm_tools/unwind.py:4. Non-array columns pass through; with

@@ -112,7 +112,19 @@ object CardPipeline {
         lit(150000.0) + (col("organization_id") % 20).cast("double") * 5000.0)
       .withColumn("northing",
         lit(450000.0) + (col("branch_id") % 25).cast("double") * 10000.0)
-    val withGeo = GeoProjection.withWgs84(spark, withCoords, "easting", "northing", "branch_geometry")
+    // r11 optimization (measured): pass the CLOSED-FORM coordinate domain
+    // — easting/northing derive from (organization_id % 20, branch_id % 25),
+    // so the 500-cell grid enumerates every pair that can occur. The
+    // default withWgs84 derived the distinct pairs from the card frame
+    // itself, re-running the whole branch pipeline as a second plan arm
+    // (q64/q65 plans carried the orders⋈customer join + both dedup
+    // exchanges TWICE — about half their shuffle volume). Same left join
+    // against the same projected pairs, bit-identical geometry.
+    val coordDomain = spark.range(20L * 25L).select(
+      (lit(150000.0) + (col("id") % 20).cast("double") * 5000.0).as("easting"),
+      (lit(450000.0) + expr("id div 20").cast("double") * 10000.0).as("northing"))
+    val withGeo = GeoProjection.withWgs84(spark, withCoords, "easting", "northing",
+      "branch_geometry", coordDomain)
     val pointId = concat(
       translate(format_string("%08.5f", element_at(col("branch_geometry"), 1)), ".", ""),
       translate(format_string("%08.5f", element_at(col("branch_geometry"), 2)), ".", ""))

@@ -88,7 +88,13 @@ object CleaningQueries {
         |""".stripMargin) { (s, dir) =>
       import graft.functions.F
       import graft.operators.Dedup
+      // lesson-4 hash compute spread (r11, measured): tokenize+shingle ran
+      // as single tasks per plan arm on the single-row-group scan; the
+      // spread sits below the shingling so both arms share the parallel
+      // pass (see q144's note). Same spread in q125.
       val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"),
           array_distinct(Dedup.shingles(F.tokens(col("text")), 8)).as("shs"))
       val eval8 = docs.filter(col("doc_id") % 10 === 7)
@@ -139,6 +145,8 @@ object CleaningQueries {
       import graft.functions.F
       import graft.operators.{Bloom, Dedup}
       val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"),
           array_distinct(Dedup.shingles(F.tokens(col("text")), 8)).as("shs"))
       val eval8 = docs.filter(col("doc_id") % 10 === 7)

@@ -674,7 +674,12 @@ object ConnectorQueries {
       val ord = col("o_orderkey")
       val g = ord % 557
       val city = concat(lit("City "), (g % 30).cast("string"))
-      val base = Tables.orders(s, dir).select(
+      // lesson-4 hash compute spread (r11, measured): single ~0.9 s task
+      // otherwise; one raw key column rides the exchange (q144's note).
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("o_orderkey")))
+        .select(
         ord.as("ord"),
         trim(concat(lit(" Service "), (g % 400).cast("string"), lit(" "))).as("service_name"),
         city.as("city_name"),
@@ -931,16 +936,32 @@ object ConnectorQueries {
       // (l_orderkey, l_linenumber) alone is NOT unique in the generated
       // lineitem; the 5-tuple below is, at every scale — a sheet row id
       // must be collision-free or the min-row-id pick ties arbitrarily.
-      val base = Tables.lineitem(s, dir).select(
-        concat(col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string"), lit("-"),
-          col("l_partkey").cast("string"), lit("-"),
-          col("l_suppkey").cast("string"), lit("-"),
-          col("l_quantity").cast("int").cast("string")).as("row_key"),
-        g, col("l_partkey").as("pk"))
+      // lesson-4 compute spread (r11, measured): the sheet arrives as ONE
+      // parquet row group locally, so the row_key string build + the
+      // md5/regex/keying chain below ran nearly single-task (~2.3 s; the
+      // spread-after-row_key first cut still left a 3t/1s stage). HASH
+      // spread on the high-cardinality entity key, NOT round-robin: a
+      // keyless repartition(n) locally sorts its whole input first
+      // (sortBeforeRepartition, for retry determinism — guide §2.5),
+      // which measured 0.8 s single-task here; hashing is map-side free
+      // and just as deterministic. The exchange carries the 5 raw numeric
+      // columns only; at real scale the scan has many splits and this
+      // exchange is batch-sized noise next to the compute it spreads.
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("l_orderkey"), col("l_linenumber")))
+        .select(
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string"), lit("-"),
+            col("l_partkey").cast("string"), lit("-"),
+            col("l_suppkey").cast("string"), lit("-"),
+            col("l_quantity").cast("int").cast("string")).as("row_key"),
+          g, col("l_partkey").as("pk"))
       def gs(m: Int) = (col("g") % m).cast("string")
       def ps(m: Int) = (col("pk") % m).cast("string")
-      val b1 = base.select(col("row_key"), col("g"), col("pk"),
+      val b1 = base
+        .select(col("row_key"), col("g"), col("pk"),
         when(col("g") % 4 === 0, (col("g") + 500000000L).cast("string"))
           .when(col("g") % 4 === 1, concat(lit("SRM"), col("g").cast("string")))
           .when(col("g") % 4 === 2, lit(null).cast("string"))
@@ -1093,7 +1114,13 @@ object ConnectorQueries {
         |FROM ranked WHERE rn = 1
         |""".stripMargin) { (s, dir) =>
       val o = col("o_orderkey")
-      val src = Tables.orders(s, dir).select(
+      // lesson-4 hash compute spread (r11, measured): single-row-group
+      // scan ran the whole staging chain as one ~1.4 s task; only the two
+      // raw key columns ride the exchange (see q144's note).
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("o_orderkey")))
+        .select(
         o.as("ord"), (o % 3000).as("sym"),
         concat(lit("5"), lpad((col("o_custkey") % 700).cast("string"), 8, "0")).as("regno"),
         concat(lit("City "), (o % 40).cast("string")).as("city"),
@@ -2012,7 +2039,13 @@ object ConnectorQueries {
           concat(lit("resp:"), ((n + 3) % 7).cast("string")))).as("resp"),
         when(n % 5 =!= 4, array(concat(lit("sit:"), (n % 6).cast("string")))).as("sit"))
       val o = col("o_orderkey")
-      val svc = Tables.orders(s, dir).select(
+      // lesson-4 hash compute spread (r11, measured): the svc string-build
+      // chain ran as one ~1.2 s task on the single-row-group scan; only
+      // the two raw key columns ride the exchange (see q144's note).
+      val svc = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("o_orderkey")))
+        .select(
         o.as("ord"), col("o_custkey").as("ck"),
         when(o % 19 === 0, lit(null).cast("string")).when(o % 19 === 1, lit(""))
           .otherwise(concat(lit("שירות "), (o % 400).cast("string"))).as("svc_name"),

@@ -295,6 +295,12 @@ object CorpusQueries {
       // and the seed is dropped on an AGGREGATED flag, which no
       // pushdown can move below the join.
       val docBuckets = Tables.documents(s, dir)
+        // lesson-4 hash compute spread (r11, measured): tokenize+bigram+
+        // explode ran as one ~1.7 s task on the single-row-group scan;
+        // the (doc_id, source, text) exchange stays shared by all three
+        // consumers (same subtree), so still ONE tokenize pass.
+        .select(col("doc_id"), col("source"), col("text"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"), col("source"),
           explode(concat(toks, bigrams)).as("gram"))
         .select(col("doc_id"), col("source"),
@@ -382,7 +388,13 @@ object CorpusQueries {
         |  CAST(SUM(CASE WHEN lp_pair IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_backoff
         |FROM sc GROUP BY doc_id
         |""".stripMargin) { (s, dir) =>
+      // lesson-4 hash compute spread (r11, measured): tokenize + bigram
+      // explode ran as ~0.4 s + ~0.9 s single tasks on the single-row-
+      // group scan; the spread exchange sits BELOW the tokenize so both
+      // the bigram and unigram consumers still share one pass.
       val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"), F.tokens(col("text")).as("toks"))
       val isTrain = Sampling.saltedHash32(col("doc_id"), "lm") % 10 < 9
       // stage-reuse alignment (the q163/q80/q162 pattern): the explicit
@@ -578,7 +590,13 @@ object CorpusQueries {
         |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles
         |FROM e JOIN f USING (sh) GROUP BY doc_id
         |""".stripMargin) { (s, dir) =>
+      // lesson-4 compute spread (r11, measured): documents is ONE parquet
+      // row group locally, so tokenize+shingle+md5 ran as single ~0.5 s
+      // tasks (twice: the e and f arms). Spreading the (doc_id, text)
+      // scan parallelizes the chain; one exchange, reused by both arms.
       val e = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"),
           explode(array_distinct(Dedup.shingles(F.tokens(col("text")), 13))).as("sh"))
         .select(col("doc_id"), md5(col("sh")).as("sh"))
@@ -1178,7 +1196,12 @@ object CorpusQueries {
         |  FROM t LEFT JOIN covl USING (doc_id)
         |) t
         |""".stripMargin) { (s, dir) =>
+      // lesson-4 hash compute spread (r11, measured): tokenize ran as
+      // ~0.4 s single tasks per plan arm; spread below the tokenize so
+      // all arms share the parallel pass (see q144's note).
       val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"), F.tokens(col("text")).as("toks"))
       val e = t
         .select(col("doc_id"), posexplode(Dedup.shingles(col("toks"), 13)))

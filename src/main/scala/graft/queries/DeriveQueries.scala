@@ -67,8 +67,17 @@ object DeriveQueries {
         .when(col("o_orderkey") % 3 === 0,
           concat(col("o_orderdate").cast("string"), lit(" 12:30:45")))
         .otherwise(col("o_orderdate").cast("string"))
+      // lesson-4 hash compute spread (r11, measured): the orders scan is
+      // one row group locally, so scan + timestamp parse + partial
+      // ObjectHashAggregate ran as one task (~1 s, with multi-second GC
+      // spikes); only the four raw columns ride the exchange.
       Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(
+          graft.operators.Relational.spreadForCompute(
+            Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderstatus"), col("o_orderdate")),
+            col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"))
         // parse BEFORE the groupBy (collect_list makes the agg an
         // ObjectHashAggregate with interpreted input expressions), and
         // DISPATCH ON LENGTH so each row attempts exactly one format:

@@ -210,7 +210,12 @@ object EtlQueries {
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       val k = get_json_object(col("props"), "$.k").cast("int")
-      Tables.events(s, dir)
+      // lesson-4 compute spread (r11, measured): events is ONE parquet row
+      // group locally, so the JSON parse + partial agg ran as a single
+      // ~0.4 s task. Only `props` rides the exchange; many-split scans at
+      // real scale make this a no-op cost.
+      Tables.events(s, dir).select(col("props"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("props")))
         .groupBy((k % 10).cast("long").as("k_bucket"))
         .agg(count(lit(1)).as("n"), sum(k).cast("long").as("k_sum"))
     },

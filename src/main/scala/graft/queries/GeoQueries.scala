@@ -116,7 +116,13 @@ object GeoQueries {
       val withCoords = Tables.customer(s, dir)
         .withColumn("easting", lit(150000.0) + (col("c_custkey") % 20).cast("double") * 5000.0)
         .withColumn("northing", lit(450000.0) + (col("c_nationkey") % 25).cast("double") * 10000.0)
-      val projected = GeoProjection.withWgs84(s, withCoords, "easting", "northing", "geometry")
+      // r11: closed-form 20×25 coordinate domain — see CardPipeline's
+      // coordDomain note (kills the second customer-scan plan arm).
+      val coordDomain = s.range(20L * 25L).select(
+        (lit(150000.0) + (col("id") % 20).cast("double") * 5000.0).as("easting"),
+        (lit(450000.0) + expr("id div 20").cast("double") * 10000.0).as("northing"))
+      val projected = GeoProjection.withWgs84(s, withCoords, "easting", "northing",
+        "geometry", coordDomain)
       val pointId = concat(
         translate(format_string("%08.5f", element_at(col("geometry"), 1)), ".", ""),
         translate(format_string("%08.5f", element_at(col("geometry"), 2)), ".", ""))

@@ -42,7 +42,13 @@ object MediaQueries {
         |  CAST(sum(v) AS DOUBLE) / 16 AS mean_lum
         |FROM px GROUP BY doc_id, cell
         |""".stripMargin) { (s, dir) =>
+      // lesson-4 compute spread (r11, measured): documents is ONE parquet
+      // row group locally, so render+decode+featurize ran as a single
+      // ~1.1 s task (zero-shuffle plan). The exchange carries ONLY the
+      // 8-byte ids; the codec work dominates at any scale, and on a real
+      // corpus the blob scan has many splits so this spread is free.
       val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("id")))
       val media = MediaCodec.renderPng(s, ids, w = 16, h = 16)
       MediaCodec.imageGridFeatures(s, media, grid = 4).toDF()
     },
@@ -68,6 +74,7 @@ object MediaQueries {
         |FROM p GROUP BY doc_id, frame
         |""".stripMargin) { (s, dir) =>
       val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("id"))) // q101's spread note
       val media = MediaCodec.renderWav(s, ids, n = 1024, sampleRate = 8000)
       MediaCodec.audioFrameFeatures(s, media, window = 256).toDF()
     },
@@ -93,6 +100,7 @@ object MediaQueries {
         |FROM px GROUP BY doc_id, f
         |""".stripMargin) { (s, dir) =>
       val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("id"))) // q101's spread note
       val media = MediaCodec.renderGif(s, ids, w = 16, h = 16, nFrames = 8)
       MediaCodec.videoFrameFeatures(s, media, stride = 2).toDF()
     }

@@ -67,7 +67,10 @@ object PreprocessQueries {
       // rows never shuffle; column pruning keeps the wire to the raw
       // input columns. At real scale the scan has many splits and this
       // exchange is batch-sized noise next to the compute it spreads.
-      .repartition(s.sparkContext.defaultParallelism)
+      // (r11: hash spread on the entity key, not round-robin — keyless
+      // repartition pays a local sort-before-repartition; and made
+      // layout-adaptive via spreadForCompute, a no-op on many-split scans.)
+      .transform(graft.operators.Relational.spreadForCompute(_, col("c_custkey")))
       .select(
         lit("organizations").as("entity"),
         F.hashKey(lit("organizations"), col("c_custkey")).as("key"),
@@ -101,7 +104,7 @@ object PreprocessQueries {
       .filter(col("name_raw") =!= "dummy")
       .filter(upper(trim(status)) === "ACTIVE")
       // lesson-4 compute spread — see orgs()
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Relational.spreadForCompute(_, col("p_partkey")))
       .select(
         lit("services").as("entity"),
         F.hashKey(lit("services"), col("p_partkey")).as("key"),
@@ -137,7 +140,7 @@ object PreprocessQueries {
       .filter(col("name_raw") =!= "dummy")
       .filter(upper(trim(status)) === "ACTIVE")
       // lesson-4 compute spread — see orgs()
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.operators.Relational.spreadForCompute(_, col("o_orderkey")))
       .select(
         lit("branches").as("entity"),
         F.hashKey(lit("branches"), col("o_orderkey")).as("key"),

@@ -213,7 +213,7 @@ object RelationalQueries {
       // O(n^2/brand) Levenshtein work — spread it across all cores (the
       // same fix a 100 TB run needs when compute, not input bytes, is the
       // bottleneck).
-      val a = p.repartition(s.sparkContext.defaultParallelism)
+      val a = graft.operators.Relational.spreadForCompute(p, col("p_partkey"))
         .select(col("p_partkey").as("key_a"), col("p_brand").as("brand_a"), col("p_name").as("name_a"))
       val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand_b"), col("p_name").as("name_b"))
       // Banded levenshtein with early exit, banded PER PAIR: ratio>=80

@@ -138,11 +138,12 @@ class ConnectorSpec extends SpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"org-map lookup must broadcast:\n${p.take(800)}")
     assert(p.contains("TopKPerKey"), "keep-last dedup must route through the plan node")
-    // 2 = the keep-last exchange + the org-dim build's distinct INSIDE
-    // its broadcast subtree (≤700 rows — same allowance as q140's dims);
-    // the probe-side row stream itself shuffles exactly once.
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-      s"only the keep-last + dim-build exchanges may shuffle:\n${p.take(800)}")
+    // 3 = the keep-last exchange + the org-dim build's distinct INSIDE
+    // its broadcast subtree (≤700 rows — same allowance as q140's dims)
+    // + the r11 lesson-4 compute spread on the orders scan; the
+    // probe-side row stream itself shuffles exactly once past the spread.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"only the keep-last + dim-build + spread exchanges may shuffle:\n${p.take(800)}")
   }
 
   test("q147 probe side is map-only: broadcast joins, zero probe shuffles") {
@@ -423,11 +424,12 @@ class ConnectorSpec extends SpecBase {
   }
 
   test("q158 external MDE: one exchange, row-id gaps from the skip, sentinel, fallbacks, sorted links") {
-    // one row-proportional exchange only — the per-sheet row_number
-    // window; every dim join (sheets + 7 taxonomy slots) broadcasts
+    // two row-proportional exchanges — the per-sheet row_number window
+    // + the r11 lesson-4 compute spread on the orders scan; every dim
+    // join (sheets + 7 taxonomy slots) broadcasts
     val p = planOf("q158_external_mde")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges == 1, s"expected exactly the window exchange, got $exchanges:\n${p.take(900)}")
+    assert(exchanges == 2, s"expected the window + spread exchanges, got $exchanges:\n${p.take(900)}")
     val out = SparkEntry.queries("q158_external_mde")(spark, SfDir).cache()
     try {
       // the org-id skip fires AFTER enumerate assigns i, so a skipped

@@ -141,10 +141,16 @@ class PlanSpec extends SpecBase {
     // hash-filtered scan — no exchange at all. The packing window
     // shuffles exactly once (shard key).
     val p68 = plan("q68_preprocess")
-    assert(!p68.contains("Exchange hashpartitioning"),
-      s"q68 must carry no hash exchange:\n${p68.take(600)}")
+    // r11: the spreads are HASH exchanges on the entity keys now (keyless
+    // round-robin pays a sort-before-repartition; spreadForCompute) — so
+    // the pin flips: exactly the 3 spread exchanges, nothing round-robin,
+    // and still nothing that groups or joins (no aggregate/join operators).
     val rr = p68.linesIterator.count(_.contains("Exchange RoundRobinPartitioning"))
-    assert(rr == 3, s"q68 expected 3 round-robin compute spreads, got $rr")
+    assert(rr == 0, s"q68 spreads must be hash, not round-robin, got $rr round-robin")
+    val hash = p68.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 3, s"q68 expected exactly the 3 compute-spread exchanges, got $hash")
+    assert(!p68.contains("SortMergeJoin") && !p68.contains("HashAggregate"),
+      s"q68 must not group or join:\n${p68.take(600)}")
     val p69 = plan("q69_stratified_sample")
     assert(!p69.contains("Exchange"), s"q69 must be exchange-free:\n${p69.take(600)}")
   }
