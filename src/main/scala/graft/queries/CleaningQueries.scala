@@ -144,13 +144,21 @@ object CleaningQueries {
         |""".stripMargin) { (s, dir) =>
       import graft.functions.F
       import graft.operators.{Bloom, Dedup}
+      // r11: NO compute spread here — measured strictly worse (solo bench
+      // 1.69 s -> 3.2 s): the 32-way shingle stages run into allocation/GC
+      // contention that eats the parallel win, while the spread exchange
+      // ships the text payload once more per arm. The single-task shingle
+      // pass is ~0.4 s locally; at 100 TB the scan has real splits.
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
-        .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"),
           array_distinct(Dedup.shingles(F.tokens(col("text")), 8)).as("shs"))
       val eval8 = docs.filter(col("doc_id") % 10 === 7)
         .select(explode(col("shs")).as("sh")).distinct()
+        // r11: the eval shingle set is consumed TWICE per run — the eager
+        // Bloom.build aggregate below and the exact join's build side.
+        // Unmaterialized, each consumer re-ran the tokenize+shingle chain.
+        // One lazy checkpoint = one shingle pass over the eval split.
+        .localCheckpoint(false)
       // Sized from corpus stats (generous static bound, not a count()
       // pass); 2^20 items at 1% fpp is a ~1.2 MB artifact.
       val bloom = Bloom.build(eval8, col("sh"), expectedItems = 1L << 20)

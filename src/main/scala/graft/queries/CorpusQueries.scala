@@ -296,23 +296,25 @@ object CorpusQueries {
       // pushdown can move below the join.
       val docBuckets = Tables.documents(s, dir)
         // lesson-4 hash compute spread (r11, measured): tokenize+bigram+
-        // explode ran as one ~1.7 s task on the single-row-group scan;
-        // the (doc_id, source, text) exchange stays shared by all three
-        // consumers (same subtree), so still ONE tokenize pass.
+        // explode ran as one ~1.7 s task on the single-row-group scan.
+        // r11 FIX: the spread exchange (hash on doc_id) SATISFIES the
+        // groupBy's clustering requirement, so the aggregate loses its own
+        // Exchange — the very node ReuseExchange shared across the three
+        // consumers — and the whole tokenize+explode+count chain re-ran
+        // once PER consumer (measured: taskMs 9.0k -> 200k, 3 full scan
+        // chains in the plan). Materialize the per-(doc, source, bucket)
+        // counts ONCE with a lazy localCheckpoint instead of leaning on
+        // exchange reuse: same bytes a reused exchange would have written,
+        // explicit instead of optimizer-dependent (guide §3.3).
         .select(col("doc_id"), col("source"), col("text"))
         .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"), col("source"),
           explode(concat(toks, bigrams)).as("gram"))
         .select(col("doc_id"), col("source"),
           (Sampling.docHash32(col("gram")) % m).as("b"))
-        // semantically a no-op (the hash is never null) — but the join
-        // branches acquire exactly this filter from their isnotnull join
-        // requirement, and WITHOUT it on the totals branch the three
-        // subtrees stop being canonically identical, which is what AQE
-        // stage reuse keys on
-        .where(col("b").isNotNull)
         .groupBy(col("doc_id"), col("source"), col("b"))
         .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
       val vocab = docBuckets.groupBy(col("b")).agg(
         sum(when(inDom, col("cnt")).otherwise(0L)).as("f_in"),
         sum(when(inDom, 0L).otherwise(col("cnt"))).as("f_gen"))
@@ -392,9 +394,11 @@ object CorpusQueries {
       // explode ran as ~0.4 s + ~0.9 s single tasks on the single-row-
       // group scan; the spread exchange sits BELOW the tokenize so both
       // the bigram and unigram consumers still share one pass.
+      // r11: NO compute spread here — with the spread the doc_id-partitioned
+      // layout swallowed docPairs' aggregate Exchange (killing its reuse, see
+      // the checkpoint note below) and the 32-way tokenize stages hit GC
+      // contention; measured solo 1.54 s (no spread) vs 2.6 s (spread).
       val base = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
-        .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"), F.tokens(col("text")).as("toks"))
       val isTrain = Sampling.saltedHash32(col("doc_id"), "lm") % 10 < 9
       // stage-reuse alignment (the q163/q80/q162 pattern): the explicit

@@ -73,8 +73,11 @@ object MediaQueries {
         |  CAST(count(*) FILTER (WHERE t % 256 <> 0 AND pv * v < 0) AS BIGINT) AS zero_cross
         |FROM p GROUP BY doc_id, frame
         |""".stripMargin) { (s, dir) =>
+      // r11: NO spread here — measured 0.32 s single-task vs 0.87-1.03 s
+      // spread: the WAV decode is cheap per row and javax.sound's
+      // service-provider lookup serializes 32 concurrent tasks on shared
+      // locks, so the spread only added contention + an exchange.
       val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
-        .transform(graft.operators.Relational.spreadForCompute(_, col("id"))) // q101's spread note
       val media = MediaCodec.renderWav(s, ids, n = 1024, sampleRate = 8000)
       MediaCodec.audioFrameFeatures(s, media, window = 256).toDF()
     },
