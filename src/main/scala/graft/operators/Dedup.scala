@@ -450,10 +450,21 @@ object Dedup {
   def minhashDedupLinks(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                         threshold: Double = 0.7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rowsPerBand = bandRows(k, bands)
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
       .localCheckpoint(false) // referenced by banding AND twice by verify
+    starLinksFromSigs(sigs, k, bands, threshold)
+  }
+
+  /** The star-link stage of [[minhashDedupLinks]] over PRECOMPUTED
+    * signatures (id, sh_set, sig) — callers that already hold a
+    * materialized signature table (q130 shares ONE pass between the
+    * previous-sync recompute and the incremental probe; a production sync
+    * reads the persisted signature artifact) skip the per-call signature
+    * pass. `sigs` must be materialized (checkpoint/persisted artifact):
+    * it is referenced by banding AND twice by verify. */
+  def starLinksFromSigs(sigs: DataFrame, k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = bandRows(k, bands)
     val banded = sigs.select(
       col("id"),
       explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
@@ -506,12 +517,34 @@ object Dedup {
                                isNew: Column, labelsOld: DataFrame,
                                k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                                threshold: Double = 0.7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rowsPerBand = bandRows(k, bands)
     val flagged = df.withColumn("__new", isNew)
     val sigs = minhashSignatures(flagged, idCol, textCol, k, shingleWidth)
       .localCheckpoint(false) // referenced by banding AND twice by verify
     val newIds = flagged.select(col(idCol).as("id"), col("__new").as("is_new"))
+    incrementalMinhashLabelsFromSigs(df.select(col(idCol).as("id")), sigs, newIds,
+      labelsOld, k, bands, threshold)
+  }
+
+  /** [[incrementalMinhashLabels]] over PRECOMPUTED signatures — same
+    * contract (monotone arrival; see above), but `sigs` (id, sh_set, sig)
+    * comes from the caller so one materialized signature pass can serve
+    * both the previous-sync chain and the incremental probe (q130), or a
+    * persisted signature artifact at scale. `newIds` is (id, is_new). */
+  def incrementalMinhashLabelsFromSigs(ids: DataFrame, sigs: DataFrame,
+                                       newIds: DataFrame, labelsOld: DataFrame,
+                                       k: Int = 64, bands: Int = 16,
+                                       threshold: Double = 0.7): DataFrame =
+    incrementalCompose(ids,
+      incrementalStarLinksFromSigs(sigs, newIds, k, bands, threshold), labelsOld)
+
+  /** The new-endpoint star links of the incremental flow (verified pairs
+    * with `id_b` new), exposed so a caller can materialize them CONCURRENTLY
+    * with the previous-sync chain (guide §2.6 — the two are independent
+    * until [[incrementalCompose]]'s final CC). */
+  def incrementalStarLinksFromSigs(sigs: DataFrame, newIds: DataFrame,
+                                   k: Int = 64, bands: Int = 16,
+                                   threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = bandRows(k, bands)
     val banded = sigs.join(newIds, "id")
       .select(col("id"), col("is_new"),
         explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
@@ -528,13 +561,22 @@ object Dedup {
       .filter(col("rep") < col("id") && col("is_new"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
       .distinct()
-    val linksNew = verifyJaccard(candNew, sigs.select(col("id"), col("sh_set")), threshold)
+    verifyJaccard(candNew, sigs.select(col("id"), col("sh_set")), threshold)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** Pointer-edge composition: previous labels enter as (label → id)
+    * edges, so CC's first contraction collapses every old component to
+    * its label and the iterative work is proportional to the NEW links
+    * (see [[incrementalMinhashLabels]] for the monotone-arrival contract
+    * that makes the result label-for-label equal to a full recompute). */
+  def incrementalCompose(ids: DataFrame, linksNew: DataFrame,
+                         labelsOld: DataFrame): DataFrame = {
     val pointer = labelsOld
       .filter(col("label") =!= col("id"))
       .select(col("label").as("id_a"), col("id").as("id_b"))
-    connectedComponents(df.select(col(idCol).as("id")),
-      linksNew.unionByName(pointer))
+    connectedComponents(ids,
+      linksNew.select(col("id_a"), col("id_b")).unionByName(pointer))
   }
 
   /** Exact token-set Jaccard pairs within a blocking key, computed over
@@ -581,6 +623,12 @@ object Dedup {
         map_from_entries(sort_array(collect_list(
           when(col("w") =!= 0, struct(col("w"), col("bits")))))).as("rest"),
         sum(bit_count(col("bits"))).cast("int").as("sz"))
+      // r11 (guide §3.3): `masks` feeds BOTH join sides below; left
+      // unmaterialized, the whole chain — tokenize, the dictionary
+      // distinct+window, the broadcast join and both aggregates — ran
+      // twice per call (q25's plan carried 4 documents scans). One row
+      // per (id, blk): always small next to its own build cost.
+      .localCheckpoint(false)
     // the integer prune is exact ONLY for one-decimal thresholds; for
     // anything finer round() would TIGHTEN the bound and silently drop
     // valid pairs (e.g. t=0.75 -> num=8 prunes a legal 31/40 pair)

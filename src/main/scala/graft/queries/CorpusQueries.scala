@@ -475,13 +475,37 @@ object CorpusQueries {
       val cutoff = s.conf.getOption("spark.graft.incrementalCutoff").map(_.toLong)
         .getOrElse(
           docs.agg((floor(max(col("doc_id")) * 3L / 4L) + 1L).cast("long")).head().getLong(0))
-      val oldDocs = docs.filter(col("doc_id") < cutoff)
+      // r11: ONE signature pass for the whole query. The old-sync chain
+      // (star links over old docs) and the incremental probe previously
+      // each ran their own minhashSignatures pass (ProfWall: the two
+      // heaviest job groups in the run); a signature is a pure per-doc
+      // function, so the old side is exactly the full table filtered to
+      // id < cutoff — share the materialized pass (at scale this frame is
+      // the persisted signature artifact the sync already keeps).
+      val sigsAll = Dedup.minhashSignatures(docs, "doc_id", "text", k = 64, shingleWidth = 3)
+        .localCheckpoint() // EAGER: both concurrent chains below read it
+      // Overlap the two independent chains (guide §2.6): the previous-sync
+      // recompute (star links over old ids → CC) and the incremental
+      // new-endpoint link discovery (banding + jaccard verify over the
+      // full signature table) share no dependency until the final
+      // pointer-edge CC — but both are EAGER internally (CC rounds,
+      // checkpoint materializations), so run sequentially they serialize
+      // ~50 small jobs. A background thread materializes the new links
+      // while the main thread computes labelsOld; FIFO scheduling
+      // back-fills the old chain's stragglers with link-verify tasks.
+      val linksNewF = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        Dedup.incrementalStarLinksFromSigs(sigsAll,
+            sigsAll.select(col("id"), (col("id") >= cutoff).as("is_new")),
+            threshold = 0.9)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint() // eager — this IS the background materialization
+      }
       val labelsOld = Dedup.connectedComponents(
-        oldDocs.select(col("doc_id").as("id")),
-        Dedup.minhashDedupLinks(oldDocs, "doc_id", "text", threshold = 0.9)
+        docs.filter(col("doc_id") < cutoff).select(col("doc_id").as("id")),
+        Dedup.starLinksFromSigs(sigsAll.filter(col("id") < cutoff), threshold = 0.9)
           .select(col("id_a"), col("id_b")))
-      Dedup.incrementalMinhashLabels(docs, "doc_id", "text",
-          isNew = col("doc_id") >= cutoff, labelsOld, threshold = 0.9)
+      Dedup.incrementalCompose(
+          docs.select(col("doc_id").as("id")), linksNewF.join(), labelsOld)
         .withColumn("cluster", col("label")).drop("label")
         .transform(Dedup.withMemberCounts(_))
     },

@@ -356,13 +356,25 @@ object LlmQueries {
         |)
         |SELECT id_a, id_b, CAST(round(j * 10000) AS BIGINT) AS j_1e4 FROM ver WHERE j >= 0.7
         |""".stripMargin) { (s, dir) =>
+      // r11: ONE materialized shingle pass and ONE salted-md5 signature
+      // pass. Unmaterialized, `t` fed three plan arms (banding + both
+      // verify joins) and the md5 aggregate fed two (reps + probe) —
+      // ProfWall showed the 1.5 s single-task signature stage TWICE per
+      // run. The spread fires before the shingle projection (so the
+      // checkpoint stage itself is 32-way), and checkpointing `t` keeps
+      // the generate-inferred size/isnotnull filter from re-deriving the
+      // shingle chain below the exchange (the q75 pushdown trap).
       val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"),
           array_distinct(Dedup.shingles(F.tokens(col("text")), 3)).as("shs"))
+        .localCheckpoint(false)
       val ex = t.select(col("doc_id"), explode(col("shs")).as("sh"))
       val mins = (0 until 8).map(i =>
         min(Sampling.docHash32(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
       val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        .localCheckpoint(false)
       val bandStructs = (0 until 4).map { b =>
         struct(lit(b).as("bi"),
           md5(concat_ws(":", col(s"h${2 * b}").cast("string"),
