@@ -15,6 +15,10 @@ object Dedup {
 
   private val logger = org.apache.logging.log4j.LogManager.getLogger(getClass)
 
+  // Observation names must be unique per SparkSession; CC runs many times
+  // per process (bench/verify iterate every query)
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Exact dedup: hash the normalized text, keep the lowest id per hash.
     * One map-side-combined aggregation; the hash (not the full text) is the
     * shuffle key, so wide documents don't inflate the exchange. */
@@ -841,11 +845,19 @@ object Dedup {
     // ARE init labels, and the component's min id m keeps label m.
     val lu = labels0.select(col("id").as("u"), col("label").as("lu"))
     val lv = labels0.select(col("id").as("v"), col("label").as("lv"))
+    // the residue count rides the checkpoint materialization as an
+    // in-flight metric (r11 — the BSP loop's observe trick applied to the
+    // gate): a separate cEdges.count() was one more blocking driver action
+    // per CC call, and this operator runs once per query in a 9-query
+    // family
+    val resObs = org.apache.spark.sql.Observation(
+      s"graft_cc_residue_${ccObsId.incrementAndGet()}")
     val cEdges = edges.join(lu, "u").join(lv, "v")
       .select(col("lu").as("u"), col("lv").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .repartition(nPart, col("v"))
+      .observe(resObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
     edges.unpersist()
     // r11 OPTIMIZATION (guide §1.2 "the distributed algorithm" + §2.6
@@ -876,9 +888,9 @@ object Dedup {
         Some(Ordering.String.on[Any](_.asInstanceOf[String]))
       case _ => None
     }
-    // one ~nPart-task scan of the materialized checkpoint; counts BOTH
-    // directions of each undirected residue edge
-    val nResidue = cEdges.count()
+    // counts BOTH directions of each undirected residue edge; measured
+    // during the checkpoint job above, zero extra actions
+    val nResidue = Option(resObs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val labels: DataFrame =
       if (nResidue == 0L) {
         // all edge mass contracted to self-loops — nothing to solve; the

@@ -45,9 +45,19 @@ object CardPipeline {
       col("o_orderstatus").as("branch_status"),
       col("o_orderdate").as("branch_date"),
       col("o_orderpriority").as("branch_priority"))
-    val flat = branches.join(broadcast(orgs), "organization_id")
+    // r11: branch_key derives from orders columns alone, so it exists
+    // BEFORE the dimension join — spreading on it here aligns the layout
+    // with the merge aggregate below, which then runs partial+final fused
+    // in one 32-way stage (ONE sort of the wide stream instead of a
+    // single-task partial sort + exchange + final sort; ProfWall showed
+    // the old partial side as a ~0.9 s single task on the one-row-group
+    // orders scan). On a many-split corpus scan the spread is a no-op and
+    // the aggregate keeps its own exchange — same plan as before.
+    val flat = branches
       .withColumn("branch_key",
         F.hashKey(col("organization_id"), col("branch_status"), col("branch_priority")))
+      .transform(Relational.spreadForCompute(_, col("branch_key")))
+      .join(broadcast(orgs), "organization_id")
       // calculate_branch_short_name (helpers.py:61): curated short name
       // wins, full organization name otherwise
       .withColumn("branch_short_name",
@@ -92,6 +102,11 @@ object CardPipeline {
     val flat = services.join(branches.drop("__branch_merge_n"), "branch_id")
       .withColumn("service_id", F.hashKey(col("branch_id"), col("service_seq")))
       .withColumn("card_id", F.hashKey(col("branch_key"), col("service_id")))
+      // r11: same layout alignment as the branch merge above — the card
+      // dedup aggregate consumes this exchange directly (fused partial+
+      // final, one sort); a no-op when the join output already has
+      // session-parallelism partitions.
+      .transform(Relational.spreadForCompute(_, col("card_id")))
 
     // unique (service, branch) — the reference's flat-table dedup.
     // (service_date, service_seq) alone is NOT a total order — the test
