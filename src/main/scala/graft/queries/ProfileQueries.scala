@@ -101,10 +101,19 @@ object ProfileQueries {
       import graft.operators.{Profile, Sampling}
       import org.apache.spark.sql.functions.col
       val cols = Seq("doc_id", "lang", "source", "n_chars")
+      // r11: ONE spread + materialization feeds all four aggregate passes
+      // (2 snapshots × passA/passB). The old form gave each snapshot its
+      // own repartitionTo exchange (two scans, two 32-way shuffles of the
+      // same rows), and a shared repartition would NOT fix it — the slot
+      // filters push below a repartition exchange and fork the subtrees
+      // (the q75 pushdown trap) — so the share point is a checkpoint.
       val base = Tables.documents(s, dir)
-        .withColumn("slot", Sampling.saltedHash32(col("doc_id"), "v") % 10)
+        .select((cols.map(col) :+
+          (Sampling.saltedHash32(col("doc_id"), "v") % 10).as("slot")): _*)
+        .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
+        .localCheckpoint(false)
       def prof(snap: org.apache.spark.sql.DataFrame, suffix: String) =
-        Profile.profile(snap, cols, repartitionTo = Some(s.sparkContext.defaultParallelism))
+        Profile.profile(snap, cols)
           .select(col("col_name"),
             (col("n_rows") - col("n_nulls")).as("n" + suffix),
             col("n_distinct").as("ndv" + suffix))
