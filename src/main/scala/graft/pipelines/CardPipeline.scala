@@ -99,14 +99,22 @@ object CardPipeline {
       col("l_extendedprice").as("service_price"),
       col("l_shipdate").as("service_date"))
 
+    // r11: same layout alignment as the branch merge above — the card
+    // dedup aggregate consumes this exchange directly (fused partial+
+    // final, one sort). The fire-or-not decision reads the SERVICES
+    // scan's split count, not the joined frame's: spreadForCompute's
+    // `.rdd` probe physically plans its whole subtree, and doing that to
+    // the mid-pipeline join re-planned the branch pipeline once more per
+    // construction (~1 s of q65's build wall, ProfWall-measured). The
+    // scan probe is the same signal (the join's layout is scan-derived)
+    // at scan-planning cost.
+    val spreadCards = services.rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism
     val flat = services.join(branches.drop("__branch_merge_n"), "branch_id")
       .withColumn("service_id", F.hashKey(col("branch_id"), col("service_seq")))
       .withColumn("card_id", F.hashKey(col("branch_key"), col("service_id")))
-      // r11: same layout alignment as the branch merge above — the card
-      // dedup aggregate consumes this exchange directly (fused partial+
-      // final, one sort); a no-op when the join output already has
-      // session-parallelism partitions.
-      .transform(Relational.spreadForCompute(_, col("card_id")))
+      .transform(df => if (spreadCards)
+        df.repartition(spark.sparkContext.defaultParallelism, col("card_id")) else df)
 
     // unique (service, branch) — the reference's flat-table dedup.
     // (service_date, service_seq) alone is NOT a total order — the test
