@@ -245,7 +245,7 @@ object Dedup {
       .agg(count(lit(1)).as("scnt"))
       .filter(col("scnt") > hotThreshold * detectSample)
       .select(col("h").as("__hot_h"))
-      .localCheckpoint(false)
+      .transform(graft.CheckpointRegistry.local(_, false))
     if (hotSet.isEmpty) windowMarked(wins)
     else {
       val hotFirsts = wins
@@ -406,7 +406,7 @@ object Dedup {
                       threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = bandRows(k, bands)
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
-      .localCheckpoint(false) // referenced by banding AND twice by verify
+      .transform(graft.CheckpointRegistry.local(_, false)) // referenced by banding AND twice by verify
     val banded = sigs.select(
       col("id"),
       explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
@@ -455,7 +455,7 @@ object Dedup {
                         k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                         threshold: Double = 0.7): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleWidth)
-      .localCheckpoint(false) // referenced by banding AND twice by verify
+      .transform(graft.CheckpointRegistry.local(_, false)) // referenced by banding AND twice by verify
     starLinksFromSigs(sigs, k, bands, threshold)
   }
 
@@ -523,7 +523,7 @@ object Dedup {
                                threshold: Double = 0.7): DataFrame = {
     val flagged = df.withColumn("__new", isNew)
     val sigs = minhashSignatures(flagged, idCol, textCol, k, shingleWidth)
-      .localCheckpoint(false) // referenced by banding AND twice by verify
+      .transform(graft.CheckpointRegistry.local(_, false)) // referenced by banding AND twice by verify
     val newIds = flagged.select(col(idCol).as("id"), col("__new").as("is_new"))
     incrementalMinhashLabelsFromSigs(df.select(col(idCol).as("id")), sigs, newIds,
       labelsOld, k, bands, threshold)
@@ -632,7 +632,7 @@ object Dedup {
       // distinct+window, the broadcast join and both aggregates — ran
       // twice per call (q25's plan carried 4 documents scans). One row
       // per (id, blk): always small next to its own build cost.
-      .localCheckpoint(false)
+      .transform(graft.CheckpointRegistry.local(_, false))
     // the integer prune is exact ONLY for one-decimal thresholds; for
     // anything finer round() would TIGHTEN the bound and silently drop
     // valid pairs (e.g. t=0.75 -> num=8 prunes a legal 31/40 pair)
@@ -832,7 +832,7 @@ object Dedup {
       .join(firstHop, Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("nmin"), col("id"))).as("label"))
       .repartition(nPart, col("id"))
-      .localCheckpoint(true)
+      .transform(graft.CheckpointRegistry.local(_, true))
     // CONTRACT once through the init labels before iterating: rewrite
     // every edge to (label(u), label(v)) and drop self-loops + duplicates.
     // Near-duplicate clusters are near-CLIQUES, so the first-hop labels
@@ -858,7 +858,7 @@ object Dedup {
       .distinct()
       .repartition(nPart, col("v"))
       .observe(resObs, count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .transform(graft.CheckpointRegistry.local(_, true))
     edges.unpersist()
     // r11 OPTIMIZATION (guide §1.2 "the distributed algorithm" + §2.6
     // barriers): the contraction collapses near-clique duplicate mass to
@@ -970,7 +970,7 @@ object Dedup {
     val cInit = cEdges.groupBy(col("v").as("id")).agg(min(col("u")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .repartition(nPart, col("id"))
-      .localCheckpoint(true)
+      .transform(graft.CheckpointRegistry.local(_, true))
     var labels = cInit
     var changed = true
     var rounds = 0
@@ -1003,7 +1003,7 @@ object Dedup {
         // the checkpoint stores only (id, label); prev exists solely for
         // the in-flight metric
         .select(col("id"), col("label"))
-        .localCheckpoint(true)
+        .transform(graft.CheckpointRegistry.local(_, true))
       // null metric = zero rows in the contracted graph (all-clique input
       // contracts away entirely) — converged
       changed = Option(obs.get("changed")).exists(_.asInstanceOf[Long] > 0)
@@ -1032,7 +1032,7 @@ object Dedup {
             Seq("label"), "left")
           .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
           .repartition(nPart, col("id"))
-          .localCheckpoint(true)
+          .transform(graft.CheckpointRegistry.local(_, true))
         org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(beforeJump)
       }
     }

@@ -30,10 +30,10 @@ object Hierarchy {
   def breadcrumbs(nodes0: DataFrame, maxDepth: Int = 32): DataFrame = {
     // Materialize the adjacency ONCE: every round joins against it, and
     // an unmaterialized lineage would re-run the source scan per level.
-    val nodes = nodes0.localCheckpoint(true)
+    val nodes = nodes0.transform(graft.CheckpointRegistry.local(_, true))
     var frontier = nodes.filter(col("parent").isNull)
       .select(col("nid"), col("nname"), lit("").as("crumbs"), lit(0).as("depth"))
-      .localCheckpoint(true)
+      .transform(graft.CheckpointRegistry.local(_, true))
     var out = frontier
     var d = 0
     while (d < maxDepth && !frontier.isEmpty) {
@@ -48,7 +48,7 @@ object Hierarchy {
             .when(col("pcrumbs") === "", col("pname"))
             .otherwise(concat(col("pcrumbs"), lit("/"), col("pname"))).as("crumbs"),
           (col("pdepth") + 1).as("depth"))
-        .localCheckpoint(true)
+        .transform(graft.CheckpointRegistry.local(_, true))
       out = out.unionByName(next) // empty-final-level union is a no-op
       frontier = next
       d += 1

@@ -158,7 +158,7 @@ object CleaningQueries {
         // Bloom.build aggregate below and the exact join's build side.
         // Unmaterialized, each consumer re-ran the tokenize+shingle chain.
         // One lazy checkpoint = one shingle pass over the eval split.
-        .localCheckpoint(false)
+        .transform(graft.CheckpointRegistry.local(_, false))
       // Sized from corpus stats (generous static bound, not a count()
       // pass); 2^20 items at 1% fpp is a ~1.2 MB artifact.
       val bloom = Bloom.build(eval8, col("sh"), expectedItems = 1L << 20)

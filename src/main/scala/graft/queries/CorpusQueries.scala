@@ -91,7 +91,7 @@ object CorpusQueries {
     TopK.topKWithRank(freq, col("lang"),
         Seq(col("c").desc, col("tok")), k = 3, rankName = "rn")
       .select(col("lang").as("query_id"), col("tok"))
-      .localCheckpoint(true)
+      .transform(graft.CheckpointRegistry.local(_, true))
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -314,7 +314,7 @@ object CorpusQueries {
           (Sampling.docHash32(col("gram")) % m).as("b"))
         .groupBy(col("doc_id"), col("source"), col("b"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(false)
+        .transform(graft.CheckpointRegistry.local(_, false))
       val vocab = docBuckets.groupBy(col("b")).agg(
         sum(when(inDom, col("cnt")).otherwise(0L)).as("f_in"),
         sum(when(inDom, 0L).otherwise(col("cnt"))).as("f_gen"))
@@ -483,7 +483,7 @@ object CorpusQueries {
       // id < cutoff — share the materialized pass (at scale this frame is
       // the persisted signature artifact the sync already keeps).
       val sigsAll = Dedup.minhashSignatures(docs, "doc_id", "text", k = 64, shingleWidth = 3)
-        .localCheckpoint() // EAGER: both concurrent chains below read it
+        .transform(graft.CheckpointRegistry.local(_, true)) // EAGER: both concurrent chains below read it
       // Overlap the two independent chains (guide §2.6): the previous-sync
       // recompute (star links over old ids → CC) and the incremental
       // new-endpoint link discovery (banding + jaccard verify over the
@@ -498,7 +498,7 @@ object CorpusQueries {
             sigsAll.select(col("id"), (col("id") >= cutoff).as("is_new")),
             threshold = 0.9)
           .select(col("id_a"), col("id_b"))
-          .localCheckpoint() // eager — this IS the background materialization
+          .transform(graft.CheckpointRegistry.local(_, true)) // eager — this IS the background materialization
       }
       val labelsOld = Dedup.connectedComponents(
         docs.filter(col("doc_id") < cutoff).select(col("doc_id").as("id")),
@@ -552,7 +552,7 @@ object CorpusQueries {
         .join(existing, Seq("text_hash"), "left")
         .withColumn("seen", coalesce(col("seen"), lit(false)))
         .withColumnRenamed("text_hash", "h")
-        .localCheckpoint(false)
+        .transform(graft.CheckpointRegistry.local(_, false))
       graft.operators.Dedup.joinPerHash(
           incoming.withColumnRenamed("text_hash", "h"), perHash, "cnt")
         .select(col("doc_id"), col("h").as("text_hash"),

@@ -369,12 +369,12 @@ object LlmQueries {
         .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
         .select(col("doc_id"),
           array_distinct(Dedup.shingles(F.tokens(col("text")), 3)).as("shs"))
-        .localCheckpoint(false)
+        .transform(graft.CheckpointRegistry.local(_, false))
       val ex = t.select(col("doc_id"), explode(col("shs")).as("sh"))
       val mins = (0 until 8).map(i =>
         min(Sampling.docHash32(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
       val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-        .localCheckpoint(false)
+        .transform(graft.CheckpointRegistry.local(_, false))
       val bandStructs = (0 until 4).map { b =>
         struct(lit(b).as("bi"),
           md5(concat_ws(":", col(s"h${2 * b}").cast("string"),

@@ -111,7 +111,7 @@ object ProfileQueries {
         .select((cols.map(col) :+
           (Sampling.saltedHash32(col("doc_id"), "v") % 10).as("slot")): _*)
         .transform(graft.operators.Relational.spreadForCompute(_, col("doc_id")))
-        .localCheckpoint(false)
+        .transform(graft.CheckpointRegistry.local(_, false))
       def prof(snap: org.apache.spark.sql.DataFrame, suffix: String) =
         Profile.profile(snap, cols)
           .select(col("col_name"),
