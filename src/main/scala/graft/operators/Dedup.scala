@@ -422,14 +422,25 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate pairs against per-id shingle
-    * sets (shared by the all-pairs and star-link pipelines). */
+    * sets (shared by the all-pairs and star-link pipelines).
+    *
+    * r12 (guide §1.2 per-task work, same fix as [[jaccardPairs]]' pair
+    * stage): |A∪B| = |A|+|B|-|A∩B| — both inputs are `array_distinct`ed
+    * shingle sets, so the identity is exact and `array_union` (a second
+    * full hash-set build per pair) is never evaluated; and the intersect
+    * sits behind a ComputeBarrier so the threshold filter cannot be
+    * pushed into the join condition where it would re-evaluate the
+    * intersect per reference. Same integer sizes → same double → same
+    * round → byte-identical pairs and jaccard values. */
   private def verifyJaccard(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh_set", "set_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh_set", "set_b"), "id_b")
+      .withColumn("__inter", graft.functions.expressions.ComputeBarrier(
+        size(array_intersect(col("set_a"), col("set_b")))))
       .withColumn("jaccard",
-        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"), 4))
+        round(col("__inter").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("__inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
@@ -667,12 +678,24 @@ object Dedup {
     // Native merge-scan intersect of the sorted overflow maps (codegen'd
     // SortedMapBitIntersect) — the interpreted HOF form allocated per map
     // entry on every candidate pair, and the pair loop is the hot path.
+    //
+    // r12 (guide §1.2 per-task work): the intersect must run ONCE per
+    // candidate pair, AFTER the cheap prunes. Without the barrier the
+    // jaccard filter is pushed into the join condition, where the
+    // observed plan evaluated `sorted_map_bit_intersect` TWICE (the ratio
+    // references it in numerator and denominator; no CSE in a join
+    // condition) ahead of the id/size conjuncts, plus once more in the
+    // post-join projection — every key-matched pair paid the expensive
+    // path before the cheap rejects ran. With ComputeBarrier the join
+    // keeps only the cheap conjuncts, the intersect evaluates once per
+    // surviving candidate, and the same round()-ed filter runs right
+    // above it in the same codegen stage. Byte-identical pairs + values.
     val inter = bit_count(col("m0_a").bitwiseAND(col("m0_b"))).cast("int") +
       graft.functions.expressions.SortedMapBitIntersect(col("rest_a"), col("rest_b"))
     a.join(b, col("blk_a") === col("blk_b") && col("band_a") === col("band_b")
         && col("id_a") < col("id_b")
         && col("sz_a") * 10 >= col("sz_b") * num && col("sz_b") * 10 >= col("sz_a") * num)
-      .withColumn("inter", inter)
+      .withColumn("inter", graft.functions.expressions.ComputeBarrier(inter))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)

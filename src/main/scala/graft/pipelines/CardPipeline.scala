@@ -53,21 +53,30 @@ object CardPipeline {
     // the old partial side as a ~0.9 s single task on the one-row-group
     // orders scan). On a many-split corpus scan the spread is a no-op and
     // the aggregate keeps its own exchange — same plan as before.
-    val flat = branches
-      .withColumn("branch_key",
-        F.hashKey(col("organization_id"), col("branch_status"), col("branch_priority")))
-      .transform(Relational.spreadForCompute(_, col("branch_key")))
+    //
+    // r12 (guide §2.3 "shuffle fewer bytes" / §8 "decide with small rows,
+    // move big rows once"): the merge used to run AFTER the dimension
+    // join, so its exchange + min_by sort carried the whole org payload
+    // (name, kind, balance, short name). The dedup's keys and ordering
+    // derive from ORDERS columns alone, and (branch_date, branch_id) is a
+    // total order (branch_id is the orders PK), so the kept row is the
+    // same physical orders row either way — merging FIRST and attaching
+    // the broadcast dimension payload to the survivors is row-for-row
+    // identical (even under a branch_key hash collision the winner's own
+    // organization_id fetches the winner's own payload).
+    val merged = Relational.dedupKeepFirstAggCounted(
+      branches
+        .withColumn("branch_key",
+          F.hashKey(col("organization_id"), col("branch_status"), col("branch_priority")))
+        .transform(Relational.spreadForCompute(_, col("branch_key"))),
+      keys = Seq(col("branch_key")),
+      order = Seq(col("branch_date"), col("branch_id")),
+      countCol = "__branch_merge_n")
       .join(broadcast(orgs), "organization_id")
       // calculate_branch_short_name (helpers.py:61): curated short name
       // wins, full organization name otherwise
       .withColumn("branch_short_name",
         F.branchShortName(col("organization_name"), col("organization_short_name")))
-    // merge duplicate branches per content key; keep earliest as the
-    // representative and count branches per organization
-    val merged = Relational.dedupKeepFirstAggCounted(flat,
-      keys = Seq(col("branch_key")),
-      order = Seq(col("branch_date"), col("branch_id")),
-      countCol = "__branch_merge_n")
     // branch count per organization as a WINDOW over the merged stream —
     // a groupBy + self-join here makes Spark recompute the whole merged
     // subtree for the aggregate branch (no auto-CSE across plan arms);
@@ -90,13 +99,23 @@ object CardPipeline {
     * frame adds conditional aggregation, never a rescan-with-different-
     * filter of a stage input. */
   def cardsWithStats(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val branches = flatBranchesCounted(spark, dir)
+    // r12 (guide §3.3 + the r11 multi-consumer lesson): the merged branch
+    // table now feeds THREE plan arms — the narrow (branch_id, branch_key)
+    // map the card dedup needs, the wide payload join-back after it, and
+    // the branch stage-stat — so it materializes once; unshared, the
+    // merge aggregate would re-run per arm (ReuseExchange shares only the
+    // exchange below it). ~one row per kept branch: always small next to
+    // its own build cost. Released by the runner after the query's action
+    // (CheckpointRegistry).
+    val branches = graft.CheckpointRegistry.local(flatBranchesCounted(spark, dir), false)
+    // service_price is never consumed downstream and the dedup's ordering
+    // does not compare it — dropping it here narrows the dedup exchange
+    // without touching the kept-row decision.
     val services = Tables.lineitem(spark, dir).select(
       col("l_orderkey").as("branch_id"),
       col("l_linenumber").as("service_seq"),
       col("l_returnflag").as("service_flag"),
       col("l_linestatus").as("service_status"),
-      col("l_extendedprice").as("service_price"),
       col("l_shipdate").as("service_date"))
 
     // r11: same layout alignment as the branch merge above — the card
@@ -110,7 +129,18 @@ object CardPipeline {
     // at scan-planning cost.
     val spreadCards = services.rdd.getNumPartitions <
       spark.sparkContext.defaultParallelism
-    val flat = services.join(branches.drop("__branch_merge_n"), "branch_id")
+
+    // r12 (guide §2.3/§8 — the same narrow-dedup move as the branch
+    // merge): the card dedup used to consume services ⋈ FULL branch
+    // payload, so its exchange + min_by sort carried every org/branch
+    // column for every service row. card_id and the dedup ordering
+    // derive from service columns + branch_key alone, and within a
+    // card_id group the branch payload is constant (same branch_id), so
+    // deduping the NARROW stream and joining the wide branch row back to
+    // the surviving cards is row-for-row identical — the exchange now
+    // carries ~6 small columns instead of the full card width.
+    val flat = services
+      .join(branches.select(col("branch_id"), col("branch_key")), "branch_id")
       .withColumn("service_id", F.hashKey(col("branch_id"), col("service_seq")))
       .withColumn("card_id", F.hashKey(col("branch_key"), col("service_id")))
       .transform(df => if (spreadCards)
@@ -126,6 +156,9 @@ object CardPipeline {
       order = Seq(col("service_date"), col("service_seq"),
         col("service_flag"), col("service_status")),
       countCol = "__card_merge_n")
+      // attach the wide branch payload to the SURVIVORS once (the
+      // decision pass ran on narrow rows); drop the duplicated key first
+      .join(branches.drop("__branch_merge_n", "branch_key"), "branch_id")
 
     // Geo step (to_dp.py:875 + helpers.py:57): project branch coordinates
     // and derive the fixed-format point_id; national services collapse to

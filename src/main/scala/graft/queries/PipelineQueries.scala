@@ -148,14 +148,29 @@ object PipelineQueries {
          |  array_to_string(list_sort(list_distinct(flatten(list(autocompletes)))), '|') AS autocomplete
          |FROM cards_out GROUP BY organization_id
          |""".stripMargin) { (s, dir) =>
+      // r12 (guide §2.3 — shuffle keys and metadata instead of payloads):
+      // the rollup exchange used to carry THREE derived string payloads
+      // per card row (card_id:point child, '/c/' sitemap path, and the
+      // 3-string autocomplete triple). All of them are derivable from
+      // less: `cards` and `sitemap_paths` both come from ONE collected
+      // (card_id, point) struct list — card_ids are 8 fixed hex chars and
+      // unique after the card dedup, so struct order == the former
+      // concatenated-string order and the '/c/' prefix preserves it —
+      // and the autocomplete triple is a pure function of (organization_
+      // kind, branch_priority), of which an organization has ≤ a handful
+      // of distinct values: collect_set's partial buffers carry the
+      // per-partition DISTINCT triples (a few rows per org) where
+      // collect_list shipped ~75 B for every card row. Post-aggregate
+      // transforms run over ≤ #orgs rows — noise. Sorted-distinct output
+      // strings are identical by construction.
       val cards = CardPipeline.cards(s, dir)
         // project the collect inputs before the groupBy (SURVEY §6
         // lesson 14: ObjectHashAggregate inputs evaluate interpreted)
         .select(
           col("organization_id"), col("organization_name"),
           col("national_service"), round(col("card_score"), 4).as("card_score"),
-          concat(col("card_id"), lit(":"), coalesce(col("point_id"), lit(""))).as("card_child"),
-          concat(lit("/c/"), col("card_id")).as("sitemap_path"),
+          struct(col("card_id"),
+            coalesce(col("point_id"), lit("")).as("pid")).as("card_child"),
           col("possible_autocomplete"))
       cards
         .groupBy(col("organization_id"))
@@ -164,9 +179,18 @@ object PipelineQueries {
           count(lit(1)).as("n_cards"),
           sum(when(col("national_service"), 1L).otherwise(0L)).as("n_national"),
           round(max(col("card_score")), 4).as("top_score"),
-          array_join(sort_array(collect_list(col("card_child"))), "|").as("cards"),
-          array_join(sort_array(array_distinct(collect_list(col("sitemap_path")))), "|").as("sitemap_paths"),
-          array_join(sort_array(array_distinct(flatten(collect_list(col("possible_autocomplete"))))), "|")
+          collect_list(col("card_child")).as("__cc"),
+          collect_set(col("possible_autocomplete")).as("__au"))
+        .select(
+          col("organization_id"), col("organization_name"),
+          col("n_cards"), col("n_national"), col("top_score"),
+          array_join(transform(sort_array(col("__cc")),
+            x => concat(x.getField("card_id"), lit(":"), x.getField("pid"))), "|")
+            .as("cards"),
+          array_join(sort_array(array_distinct(transform(col("__cc"),
+            x => concat(lit("/c/"), x.getField("card_id"))))), "|")
+            .as("sitemap_paths"),
+          array_join(sort_array(array_distinct(flatten(col("__au")))), "|")
             .as("autocomplete"))
     }
   )
