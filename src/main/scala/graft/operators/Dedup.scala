@@ -851,11 +851,17 @@ object Dedup {
     // pair discovery (an expensive blocked self-join) must hit the cache,
     // not re-run its lineage.
     val firstHop = edges.groupBy(col("v").as("id")).agg(min(col("u")).as("nmin"))
+    // r12 (§2.6 — one fewer global barrier): the init-label checkpoint is
+    // LAZY, so its blocks materialize inside the cEdges checkpoint job
+    // that consumes it (lu/lv below) instead of costing a separate
+    // blocking driver action; the final compose then reads the stored
+    // blocks. One CC call = 2 blocking actions (cEdges + residue solve),
+    // down from 3, across a 9-query family.
     val labels0 = ids.select(col("id"))
       .join(firstHop, Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("nmin"), col("id"))).as("label"))
       .repartition(nPart, col("id"))
-      .transform(graft.CheckpointRegistry.local(_, true))
+      .transform(graft.CheckpointRegistry.local(_, false))
     // CONTRACT once through the init labels before iterating: rewrite
     // every edge to (label(u), label(v)) and drop self-loops + duplicates.
     // Near-duplicate clusters are near-CLIQUES, so the first-hop labels
@@ -990,10 +996,12 @@ object Dedup {
     // Smart init over the residue: its node set is exactly cEdges'
     // v-side (edges are bidirectional); contracted nodes with no
     // surviving edge are already final.
+    // lazy (r12): materializes inside round 1's checkpoint job rather
+    // than as its own blocking action — same §2.6 move as labels0
     val cInit = cEdges.groupBy(col("v").as("id")).agg(min(col("u")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .repartition(nPart, col("id"))
-      .transform(graft.CheckpointRegistry.local(_, true))
+      .transform(graft.CheckpointRegistry.local(_, false))
     var labels = cInit
     var changed = true
     var rounds = 0

@@ -37,7 +37,26 @@ object Relational {
     val target = sc.defaultParallelism
     // metadata-only: resolves the scan's planned splits, runs no job
     val planned = df.rdd.getNumPartitions
-    if (planned < target) df.repartition(target, keys: _*) else df
+    if (planned >= target) df
+    else {
+      // r12 dev/test guard (off by default — it runs a job): a
+      // low-cardinality spread key hashes its whole input into a handful
+      // of partitions and silently SERIALIZES the stage this operator
+      // exists to parallelize (guide §2.5 wants 20-100x more distinct
+      // key values than partitions). SpreadKeySpec sets the conf and
+      // constructs every spread-bearing query, so a future key
+      // regression fails a test instead of shipping.
+      df.sparkSession.conf.getOption("spark.graft.spread.assertMinKeys")
+        .map(_.toLong).filter(_ > 0L).foreach { minKeys =>
+          val n = df.select(
+            approx_count_distinct(struct(keys: _*)).as("n")).head().getLong(0)
+          require(n >= minKeys,
+            s"spreadForCompute key ${keys.mkString(",")} has ~$n distinct values " +
+              s"(< $minKeys): the spread exchange would serialize — key on a " +
+              "higher-cardinality column")
+        }
+      df.repartition(target, keys: _*)
+    }
   }
 
   /** Explode one array column into a row per element.
