@@ -55,13 +55,24 @@ object Profile {
     * consumers (PlanSpec pins it). At 100 TB splits are plentiful and a
     * full-table shuffle is the wrong trade: leave it None there — the
     * plan becomes two shuffle-free scans instead. */
-  def profile(df: DataFrame, cols: Seq[String], repartitionTo: Option[Int] = None): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], repartitionTo: Option[Int] = None,
+              repartitionKeys: Seq[Column] = Nil): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
     require(cols.distinct.size == cols.size,
       "profile: duplicate column names produce ambiguous aggregate aliases")
     val types = cols.map(c => c -> df.schema(c).dataType).toMap
     val projected = df.select(cols.map(col): _*)
-    val base = repartitionTo.map(projected.repartition(_)).getOrElse(projected)
+    // r12: hash-partition on caller-supplied high-cardinality keys when
+    // given — a keyless repartition(n) locally sorts its whole input
+    // first (sortBeforeRepartition, retry determinism), which on the
+    // single-split local regime is a serial pre-pass charged to the one
+    // scan task; hashing is map-side free and both passes still consume
+    // the IDENTICAL exchange (ReuseExchange, PlanSpec-pinned). Global
+    // aggregates are partitioning-invariant, so results are unchanged.
+    val base = repartitionTo.map { n =>
+      if (repartitionKeys.nonEmpty) projected.repartition(n, repartitionKeys: _*)
+      else projected.repartition(n)
+    }.getOrElse(projected)
 
     // pass A: single aggregate row, then stack it back out to per-column rows
     val aggs = cols.flatMap { c =>

@@ -124,9 +124,20 @@ object ProfileQueries {
 
     "q104_table_profile" -> QueryDef.of(
       AllCols.map(c => colSql(c, DblCols.contains(c))).mkString("", "\nUNION ALL\n", "\n")) {
-      (s, dir) => Profile.profile(Tables.lineitem(s, dir), AllCols,
-        // test tables are single-split: parallelism must follow CPU
-        repartitionTo = Some(s.sparkContext.defaultParallelism))
+      (s, dir) =>
+        val li = Tables.lineitem(s, dir)
+        // r12: the spread is now CONDITIONAL on the scan's planned split
+        // count (the spreadForCompute criterion) — the old unconditional
+        // Some(parallelism) would shuffle the whole fact table at 100 TB,
+        // exactly the regime the Profile scaladoc says to leave None
+        // (two shuffle-free scans). Keyed on the high-cardinality line
+        // PK so the local exchange skips the keyless-repartition sort.
+        val spread = li.rdd.getNumPartitions < s.sparkContext.defaultParallelism
+        Profile.profile(li, AllCols,
+          repartitionTo = if (spread) Some(s.sparkContext.defaultParallelism) else None,
+          repartitionKeys = Seq(
+            org.apache.spark.sql.functions.col("l_orderkey"),
+            org.apache.spark.sql.functions.col("l_linenumber")))
     },
 
     // q123: the 100 TB form of q104 as a registered query (the q121
