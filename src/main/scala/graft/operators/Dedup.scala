@@ -352,9 +352,16 @@ object Dedup {
                         k: Int, shingleWidth: Int): DataFrame = {
     import graft.functions.expressions.{MinHashSig, Shingles}
     // Small corpora arrive as one parquet split but shingling+hashing is
-    // compute-bound — spread rows across all cores first (at real scale
-    // the scan has many splits and AQE keeps this exchange cheap).
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // compute-bound — spread rows across all cores first. r12: this is
+    // now the layout-adaptive spread (guide §2.5): a planner-time NO-OP
+    // on many-split production scans (the old unconditional form shipped
+    // the full text payload through an exchange at any scale), and
+    // hash-keyed on the id — keyless repartition(n) locally sorts its
+    // whole input first (sortBeforeRepartition), a serial pre-pass on
+    // the one-split scan; hashing a high-cardinality id is map-side
+    // free. Signatures are per-row pure functions: results identical
+    // under any partitioning.
+    val spread = Relational.spreadForCompute(df, col(idCol))
     spread
       // null text gate BEFORE shingling (tokenize/shingle null-propagate,
       // so this is the same rows — but filtering on "sh" would push a
@@ -712,7 +719,9 @@ object Dedup {
     * dropped, matching what explode-of-null produced. Returns (id, sim). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.expressions.SimHashSig
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // r12: layout-adaptive keyed spread — same rationale and same
+    // result-invariance as minhashSignatures above
+    Relational.spreadForCompute(df, col(idCol))
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), SimHashSig(F.tokens(col(textCol))).as("sim"))
   }

@@ -105,9 +105,12 @@ class DedupSpec extends SpecBase {
   test("minhashSignatures is map-only (zero exchanges past the parallelism spread)") {
     val plan = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
       .queryExecution.executedPlan.toString
-    // exactly the one round-robin spread repartition; no aggregate exchange
+    // exactly the one spread repartition; no aggregate exchange. r12:
+    // the spread is the layout-adaptive keyed form (hash on the id, not
+    // round-robin — no sortBeforeRepartition pre-pass, and a planner
+    // no-op on many-split scans)
     assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan.take(600))
-    assert(plan.contains("RoundRobinPartitioning"), plan.take(600))
+    assert(plan.contains("hashpartitioning(doc_id"), plan.take(600))
     assert(!plan.toLowerCase.contains("aggregate"), plan.take(600))
     // shingling must run once per row: not duplicated into a pushed filter
     assert(plan.linesIterator.count(_.contains("shingles(")) == 1, plan.take(900))
