@@ -674,8 +674,11 @@ object Dedup {
     val band = floor(log(greatest(col("sz"), lit(1)).cast("double")) / lit(logInvT)).cast("int")
     // Pair evaluation is the compute bottleneck, and AQE would coalesce the
     // tiny mask exchange down to one partition — pin the probe side's
-    // parallelism so the O(pairs) work uses every core.
-    val a = masks.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // parallelism so the O(pairs) work uses every core. r12: hash-keyed
+    // on the unique id (keyless repartition pays sortBeforeRepartition;
+    // hashing is map-side free and retry-deterministic), join results
+    // are partitioning-invariant.
+    val a = masks.repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("id").as("id_a"), col("blk").as("blk_a"), band.as("band_a"),
         col("m0").as("m0_a"), col("rest").as("rest_a"), col("sz").as("sz_a"))
     val b = masks
